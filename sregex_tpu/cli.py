@@ -30,20 +30,20 @@ from .thompson_vm import ThompsonCtx
 
 def _parse_regex_flags(flags_str, nregexes):
     """--flags parsing (sre_cli.c:676-711): space-separated per-regex
-    groups; only 'i' is supported.  Returns list or None on error
-    (error text already printed)."""
+    groups; only 'i' is supported.  Returns (errmsg, list)."""
     multi_flags = [0] * nregexes
     i = 0
     for ch in flags_str:
         if i >= nregexes:
             return ("Too many flags given but only %d regexes "
                     "specified.\n" % nregexes, None)
-        if ch == ' ':
+        if ch == 0x20:
             i += 1
-        elif ch == 'i':
+        elif ch == 0x69:  # 'i'
             multi_flags[i] |= SRE_REGEX_CASELESS
         else:
-            return ("Bad regex flag '%c' for regex %d\n" % (ch, i), None)
+            return ("Bad regex flag '%c' for regex %d\n" % (chr(ch), i),
+                    None)
     return (None, multi_flags)
 
 
@@ -197,8 +197,11 @@ def _process_string(o, s, prog, ncaps, dfa=None):
 def main(argv=None, stdin=None, stdout=None, stderr=None, use_dfa=True):
     """CLI entry point; returns the exit code.  All I/O is via byte
     streams so tests can run it in-process."""
+    import os
     if argv is None:
         argv = sys.argv
+    # normalize argv to raw bytes (the C CLI sees raw argv bytes)
+    argv = [a if isinstance(a, bytes) else os.fsencode(a) for a in argv]
     if stdin is None:
         stdin = sys.stdin.buffer
     if stdout is None:
@@ -218,30 +221,30 @@ def main(argv=None, stdin=None, stdout=None, stderr=None, use_dfa=True):
     i = 1
     while i < len(argv):
         a = argv[i]
-        if not a.startswith("-"):
+        if not a.startswith(b"-"):
             break
-        if a.startswith("--stdin"):
+        if a.startswith(b"--stdin"):
             from_stdin = True
-        elif a.startswith("--flags"):
+        elif a.startswith(b"--flags"):
             if i == len(argv) - 1:
                 o.err("--flags should take a value.\n")
                 return 1
             i += 1
             flags_str = argv[i]
-        elif a.startswith("-n"):
+        elif a.startswith(b"-n"):
             if i == len(argv) - 1:
                 o.err("-n should take a value.\n")
                 return 1
             i += 1
             try:
-                nregexes = int(argv[i])
+                nregexes = int(argv[i].decode("latin-1"))
             except ValueError:
                 nregexes = 0
             if nregexes <= 0:
-                o.err("invalid -n value: %s.\n" % argv[i])
+                o.err(b"invalid -n value: " + argv[i] + b".\n")
                 return 1
         else:
-            o.err("unknown option: %s\n" % a)
+            o.err(b"unknown option: " + a + b"\n")
             return 1
         i += 1
 
@@ -250,7 +253,7 @@ def main(argv=None, stdin=None, stdout=None, stderr=None, use_dfa=True):
         errmsg, multi_flags = _parse_regex_flags(flags_str, nregexes)
         if errmsg is not None:
             o.err(errmsg)
-            o.err("Bad --flags option value: %s" % flags_str)
+            o.err(b"Bad --flags option value: " + flags_str)
             return 1
 
     if nregexes == 1:
@@ -328,9 +331,7 @@ def main(argv=None, stdin=None, stdout=None, stderr=None, use_dfa=True):
             o.err("no subject string specified.\n")
             return 1
         for j in range(i, len(argv)):
-            a = argv[j]
-            s = a.encode("latin-1") if isinstance(a, str) else a
-            _process_string(o, s, prog, ncaps, dfa)
+            _process_string(o, argv[j], prog, ncaps, dfa)
 
     return 0
 

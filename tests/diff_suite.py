@@ -33,12 +33,12 @@ def build_invocation(block, oracle):
         return None
     opts = []
     if flags:
-        opts += ["--flags", flags.decode("latin-1")]
+        opts += [b"--flags", flags]
     if isinstance(re_val, list):
-        opts += ["-n", str(len(re_val))]
-        regexes = [r.decode("latin-1") for r in re_val]
+        opts += [b"-n", str(len(re_val)).encode()]
+        regexes = list(re_val)
     else:
-        regexes = [re_val.decode("latin-1")]
+        regexes = [re_val]
     stdin = b"%d\n%s" % (len(s_val), s_val)
     return opts + regexes, stdin
 

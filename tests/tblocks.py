@@ -44,15 +44,19 @@ while (my $line = <STDIN>) {
         my $re = decode_base64($args[0]);
         my $s = $args[1] eq "-" ? "" : decode_base64($args[1]);
         my $matched;
-        eval { $matched = ($s =~ m/$re/sm); };
+        my @pairs;
+        eval {
+            $matched = ($s =~ m/$re/sm);
+            if ($matched) {
+                for (my $i = 0; $i < @-; $i++) {
+                    my $f = defined $-[$i] ? $-[$i] : -1;
+                    my $t = defined $+[$i] ? $+[$i] : -1;
+                    push @pairs, "$f,$t";
+                }
+            }
+        };
         if ($@) { print "ERR ", b64($@), "\n"; next; }
         if (!$matched) { print "NOMATCH\n"; next; }
-        my @pairs;
-        for (my $i = 0; $i < @-; $i++) {
-            my $f = defined $-[$i] ? $-[$i] : -1;
-            my $t = defined $+[$i] ? $+[$i] : -1;
-            push @pairs, "$f,$t";
-        }
         print "MATCH ", join(" ", @pairs), "\n";
     } elsif ($cmd eq "LIKE") {
         my $rx = decode_base64($args[0]);
