@@ -1,0 +1,294 @@
+"""NFA -> DFA table compiler: the TPU-native successor of the
+reference's DynASM x86-64 JIT (/root/reference/src/sregex/
+sre_vm_thompson_x64.dasc).
+
+Where the JIT flattens per-state epsilon closures into native code at
+compile time (get_next_states, sre_vm_thompson_x64.dasc:624-726), we go
+one step further and run full ahead-of-time subset construction,
+emitting dense transition tables an XLA/Pallas kernel can scan at one
+lookup per byte.
+
+Assertions are resolved by extending the alphabet with context:
+
+  - a DFA state is (pending NFA set, prev-byte context), where the
+    pending set holds NFA positions *after* consuming a byte and
+    *before* epsilon closure, and the context records is_word/is_nl of
+    the consumed byte (plus a BOS flag for the start state);
+  - a transition on byte b first closes the pending set under
+    epsilons+assertions using (prev ctx, ctx(b)) — exactly the
+    seen_word/seen_newline carry of the Pike VM
+    (sre_vm_pike.c:470-497,586-601) — then consumes b;
+  - acceptance is a property of the *transition* (match can be
+    detected at a boundary given the current byte) plus a separate
+    EOF-acceptance vector.
+
+The byte alphabet is first reduced to equivalence classes (bytes
+indistinguishable by every CHAR/IN/NOTIN test and by is_word/is_nl),
+so tables are [nstates x nclasses] with a 256-entry class map.
+
+Boolean (Thompson-equivalent) semantics: match[s][c] says "some match
+ends at this boundary".  This is exact for the reference's
+yes/no engines; the tagged (capture-carrying) construction lives on
+top of this module.
+"""
+
+import numpy as np
+
+from .consts import (
+    OP_CHAR, OP_MATCH, OP_JMP, OP_SPLIT, OP_ANY, OP_SAVE, OP_IN,
+    OP_NOTIN, OP_ASSERT,
+    SRE_OK, SRE_AGAIN, SRE_DECLINED,
+    SRE_REGEX_ASSERT_BIG_A, SRE_REGEX_ASSERT_CARET, SRE_REGEX_ASSERT_DOLLAR,
+    SRE_REGEX_ASSERT_SMALL_Z, SRE_REGEX_ASSERT_BIG_B, SRE_REGEX_ASSERT_SMALL_B,
+)
+
+
+class DfaTooLarge(Exception):
+    """Raised when subset construction exceeds the state budget."""
+
+
+# prev-byte context encodings (BOS = absolute stream position 0)
+_CTX_BOS = 0
+_CTX_OTHER = 1
+_CTX_WORD = 2
+_CTX_NL = 3
+
+_WORD_MASK = np.zeros(256, dtype=bool)
+for _c in range(256):
+    _WORD_MASK[_c] = (48 <= _c <= 57 or 65 <= _c <= 90
+                      or 97 <= _c <= 122 or _c == 95)
+_NL_MASK = np.zeros(256, dtype=bool)
+_NL_MASK[10] = True
+
+
+def _byte_classes(prog):
+    """Partition 0..255 into equivalence classes: same behavior on
+    every CHAR/IN/NOTIN instruction and same is_word/is_nl context.
+    Returns (class_map[256] int32, nclasses, class_word, class_nl,
+    accept[ninsts x nclasses] bool)."""
+    insts = prog.insts
+    sigs = [_WORD_MASK, _NL_MASK]
+    accept_rows = {}
+    for idx, ins in enumerate(insts):
+        op = ins.opcode
+        if op == OP_CHAR:
+            m = np.zeros(256, dtype=bool)
+            m[ins.ch] = True
+        elif op == OP_ANY:
+            m = np.ones(256, dtype=bool)
+        elif op == OP_IN or op == OP_NOTIN:
+            m = np.zeros(256, dtype=bool)
+            for f, t in ins.ranges:
+                m[f:t + 1] = True
+            if op == OP_NOTIN:
+                m = ~m
+        else:
+            continue
+        accept_rows[idx] = m
+        sigs.append(m)
+
+    sig = np.stack(sigs, axis=1)  # [256, nsigs]
+    _, class_map, = np.unique(sig, axis=0, return_inverse=True)
+    class_map = class_map.astype(np.int32)
+    nclasses = int(class_map.max()) + 1
+    # representative byte per class
+    rep = np.zeros(nclasses, dtype=np.int32)
+    for b in range(255, -1, -1):
+        rep[class_map[b]] = b
+    class_word = _WORD_MASK[rep]
+    class_nl = _NL_MASK[rep]
+    accept = {idx: m[rep] for idx, m in accept_rows.items()}
+    return class_map, nclasses, class_word, class_nl, accept
+
+
+def _closure(insts, pending, prev_ctx, cur_word, cur_nl, at_eof):
+    """Epsilon+assertion closure of the pending set.  Returns
+    (consuming instruction indices in priority order, matched bool).
+
+    prev_ctx is one of _CTX_*; cur_word/cur_nl describe the byte about
+    to be consumed (both False when at_eof)."""
+    seen = set()
+    out = []
+    matched = False
+    prev_word = prev_ctx == _CTX_WORD
+    prev_nl = prev_ctx == _CTX_NL
+    at_bos = prev_ctx == _CTX_BOS
+
+    stack = list(reversed(pending))
+    while stack:
+        pc = stack.pop()
+        if pc in seen or pc >= len(insts):
+            continue
+        seen.add(pc)
+        ins = insts[pc]
+        op = ins.opcode
+        if op == OP_JMP:
+            stack.append(ins.x)
+        elif op == OP_SPLIT:
+            stack.append(ins.y)
+            stack.append(ins.x)
+        elif op == OP_SAVE:
+            stack.append(pc + 1)
+        elif op == OP_ASSERT:
+            a = ins.assertion
+            if a == SRE_REGEX_ASSERT_BIG_A:
+                if at_bos:
+                    stack.append(pc + 1)
+            elif a == SRE_REGEX_ASSERT_CARET:
+                if at_bos or prev_nl:
+                    stack.append(pc + 1)
+            elif a == SRE_REGEX_ASSERT_DOLLAR:
+                if at_eof or cur_nl:
+                    stack.append(pc + 1)
+            elif a == SRE_REGEX_ASSERT_SMALL_Z:
+                if at_eof:
+                    stack.append(pc + 1)
+            elif a == SRE_REGEX_ASSERT_SMALL_B:
+                if prev_word != bool(cur_word):
+                    stack.append(pc + 1)
+            elif a == SRE_REGEX_ASSERT_BIG_B:
+                if prev_word == bool(cur_word):
+                    stack.append(pc + 1)
+        elif op == OP_MATCH:
+            matched = True
+        else:
+            out.append(pc)
+    return out, matched
+
+
+class Dfa:
+    """Dense DFA tables.
+
+    trans:     int32 [nstates, nclasses] — next state
+    match:     bool  [nstates, nclasses] — a match ends at the current
+               boundary given this state and current byte class
+    match_eof: bool  [nstates] — a match ends at EOF
+    class_map: int32 [256]
+    start = 0; the dead state (if any) self-loops with no matches.
+    """
+
+    def __init__(self, prog, trans, match, match_eof, class_map):
+        self.program = prog
+        self.trans = trans
+        self.match = match
+        self.match_eof = match_eof
+        self.class_map = class_map
+        self.nstates = trans.shape[0]
+        self.nclasses = trans.shape[1]
+        self._trans_bytes = None
+        self._match_bytes = None
+
+    # expanded [nstates, 256] views for kernels
+    @property
+    def trans_bytes(self):
+        if self._trans_bytes is None:
+            self._trans_bytes = np.ascontiguousarray(
+                self.trans[:, self.class_map])
+        return self._trans_bytes
+
+    @property
+    def match_bytes(self):
+        if self._match_bytes is None:
+            self._match_bytes = np.ascontiguousarray(
+                self.match[:, self.class_map])
+        return self._match_bytes
+
+    def create_ctx(self):
+        return DfaCtx(self)
+
+
+def build_dfa(prog, max_states=8192):
+    """Subset construction.  Raises DfaTooLarge beyond max_states."""
+    insts = prog.insts
+    class_map, nclasses, class_word, class_nl, accept = _byte_classes(prog)
+
+    # state key -> id
+    start_key = ((0,), _CTX_BOS)
+    ids = {start_key: 0}
+    keys = [start_key]
+    trans_rows = []
+    match_rows = []
+    match_eof = []
+    closure_cache = {}
+
+    i = 0
+    while i < len(keys):
+        pending, prev_ctx = keys[i]
+        i += 1
+        trow = np.zeros(nclasses, dtype=np.int32)
+        mrow = np.zeros(nclasses, dtype=bool)
+
+        for c in range(nclasses):
+            cw = bool(class_word[c])
+            cn = bool(class_nl[c])
+            ck = (pending, prev_ctx, cw, cn)
+            res = closure_cache.get(ck)
+            if res is None:
+                res = _closure(insts, pending, prev_ctx, cw, cn, False)
+                closure_cache[ck] = res
+            consuming, matched = res
+            mrow[c] = matched
+            # canonical (sorted) pending set: boolean semantics are
+            # order-independent
+            nxt = tuple(sorted({pc + 1 for pc in consuming
+                                if accept[pc][c]}))
+            nctx = _CTX_WORD if cw else (_CTX_NL if cn else _CTX_OTHER)
+            nkey = (nxt, nctx) if nxt else ((), _CTX_OTHER)
+            sid = ids.get(nkey)
+            if sid is None:
+                sid = len(keys)
+                if sid >= max_states:
+                    raise DfaTooLarge(
+                        "DFA exceeds %d states" % max_states)
+                ids[nkey] = sid
+                keys.append(nkey)
+            trow[c] = sid
+
+        _, eof_matched = _closure(insts, pending, prev_ctx, False, False,
+                                  True)
+        trans_rows.append(trow)
+        match_rows.append(mrow)
+        match_eof.append(eof_matched)
+
+    trans = np.stack(trans_rows)
+    match = np.stack(match_rows)
+    return Dfa(prog, trans, match, np.array(match_eof, dtype=bool),
+               class_map)
+
+
+class DfaCtx:
+    """Streaming DFA execution context: the resumable carry is just
+    (state, matched_flag) — the dense-table analogue of the Thompson
+    ctx (sre_vm_thompson.h:28-40)."""
+
+    def __init__(self, dfa):
+        self.dfa = dfa
+        self.state = 0
+
+    def exec(self, input_, eof):
+        """Feed one chunk; SRE_OK on match, SRE_AGAIN to continue,
+        SRE_DECLINED at EOF without a match."""
+        if input_ is None:
+            input_ = b""
+        dfa = self.dfa
+        cmap = dfa.class_map
+        trans = dfa.trans
+        match = dfa.match
+        s = self.state
+
+        if len(input_):
+            arr = cmap[np.frombuffer(input_, dtype=np.uint8)]
+            # sequential scan; the TPU kernels vectorize this via
+            # per-chunk transfer functions (ops/scan.py)
+            for c in arr:
+                if match[s, c]:
+                    self.state = s
+                    return SRE_OK
+                s = trans[s, c]
+            self.state = s
+
+        if eof:
+            if dfa.match_eof[s]:
+                return SRE_OK
+            return SRE_DECLINED
+        return SRE_AGAIN
