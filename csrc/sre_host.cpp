@@ -1,0 +1,88 @@
+// Native host runtime for sregex-tpu.
+//
+// The TPU owns the bulk scan (ops/scan.py); this C++ module is the
+// host-side fast path for the same DFA tables: streaming scans over
+// chunks that are too small to be worth a device round-trip, match
+// counting, and the leading-byte prefilter.  It plays the role the
+// hand-written C VMs + DynASM JIT play in the reference
+// (/root/reference/src/sregex/sre_vm_thompson.c, sre_vm_pike.c,
+// sre_vm_thompson_x64.dasc) — but driven by the ahead-of-time DFA
+// tables instead of per-byte NFA simulation.
+//
+// Exposed via a plain C ABI for ctypes (no pybind11 dependency).
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// Fused table layout: fused[state*256 + byte] = next_state | match<<20
+// (match = a match ends at the boundary BEFORE consuming this byte,
+// given the current state; see sregex_tpu/ops/scan.py).
+static const int32_t kMatchShift = 20;
+static const int32_t kStateMask = (1 << kMatchShift) - 1;
+
+// Scan until the first match boundary.  Returns the boundary offset
+// (0..n-1) or -1 if no match boundary occurs inside the buffer.
+// *state_io carries the DFA state across calls (streaming resume).
+int64_t sre_dfa_scan_first(const int32_t* fused, const uint8_t* data,
+                           int64_t n, int32_t* state_io) {
+    int32_t s = *state_io;
+    for (int64_t i = 0; i < n; i++) {
+        int32_t e = fused[(s << 8) | data[i]];
+        if (e >> kMatchShift) {
+            *state_io = s;
+            return i;
+        }
+        s = e & kStateMask;
+    }
+    *state_io = s;
+    return -1;
+}
+
+// Count every boundary (0..n-1) at which a match ends; returns the
+// count and carries the state.  (The EOF boundary is the caller's.)
+int64_t sre_dfa_count(const int32_t* fused, const uint8_t* data,
+                      int64_t n, int32_t* state_io) {
+    int32_t s = *state_io;
+    int64_t count = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int32_t e = fused[(s << 8) | data[i]];
+        count += (e >> kMatchShift);
+        s = e & kStateMask;
+    }
+    *state_io = s;
+    return count;
+}
+
+// Enumerative transfer function: run the chunk from every entry state
+// in [0, nstates): phi[s] = exit state, fm[s] = first match boundary
+// offset or -1.  This is the host mirror of the device chunk_transfer
+// kernel, used for cross-validation and for CPU-side sharding.
+void sre_dfa_transfer(const int32_t* fused, int32_t nstates,
+                      const uint8_t* data, int64_t n,
+                      int32_t* phi, int64_t* fm) {
+    for (int32_t s0 = 0; s0 < nstates; s0++) {
+        int32_t s = s0;
+        int64_t first = -1;
+        for (int64_t i = 0; i < n; i++) {
+            int32_t e = fused[(s << 8) | data[i]];
+            if (first < 0 && (e >> kMatchShift)) first = i;
+            s = e & kStateMask;
+        }
+        phi[s0] = s;
+        fm[s0] = first;
+    }
+}
+
+// memchr-style prefilter: first offset >= 0 whose byte is accepted by
+// the 256-entry mask, or n.
+int64_t sre_find_first_byte(const uint8_t* accept, const uint8_t* data,
+                            int64_t n) {
+    for (int64_t i = 0; i < n; i++) {
+        if (accept[data[i]]) return i;
+    }
+    return n;
+}
+
+}  // extern "C"

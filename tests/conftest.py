@@ -4,11 +4,18 @@ import sys
 # JAX tests run on a virtual 8-device CPU mesh so multi-chip sharding
 # is exercised without TPU hardware (the driver separately dry-runs the
 # multichip path).  Must be set before jax is imported.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# (hard override: the environment may pre-register a TPU plugin via
+# sitecustomize and pre-import jax, so env vars alone are not enough;
+# tests must be hermetic on the virtual CPU mesh.  Set
+# SREGEX_TEST_TPU=1 to run tests on real hardware instead.)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+if os.environ.get("SREGEX_TEST_TPU") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
