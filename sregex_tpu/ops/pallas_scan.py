@@ -1,0 +1,266 @@
+"""Speculative Pallas DFA scan — the speed-of-light single-chip path.
+
+Design (data-parallel FSM with prefix speculation, executed as a
+Mosaic kernel):
+
+  - the input is class-mapped (byte -> equivalence class, dfa.py),
+    cut into C chunks of K bytes, each chunk's window prefixed with W
+    warmup bytes from the preceding chunk, and packed 4 classes per
+    int32 word so the kernel streams int32 vectors;
+  - the DFA table is flattened to a single 128-lane vector
+    fused[s*ncls + cls] = (next*ncls) | (match << 20); one per-lane
+    dynamic gather (tpu dynamic_gather via take_along_axis) advances
+    1024 streams by one byte;
+  - the per-tile gather chain is LATENCY-bound (~90ns dependent), so
+    the kernel interleaves G=4 independent tiles (4096 streams) whose
+    gather chains pipeline against each other (measured ~15ns per
+    gather-step), and unrolls over packed words to amortize loop
+    overhead;
+  - match *positions* are not tracked in the hot loop: an
+    OR-accumulator records whether any boundary in the chunk matched,
+    and the host fold resolves exact offsets by re-scanning the first
+    firing chunk with the native C++ engine (sregex_tpu/native.py);
+  - chunks other than the first start their warmup from an arbitrary
+    state; DFA convergence makes the state at the end of the warmup
+    almost always equal the true entry state.  The kernel records the
+    speculative entry (``swarm``) and the host fold validates it
+    against the sequentially-known true entry, re-scanning mismatched
+    chunks natively.  Exactness is therefore unconditional.
+
+Constraints: S * nclasses <= 128 (one lane row).  Larger automata fall
+back to the enumerative XLA path (ops/scan.py) or the host engine.
+
+This replaces the reference's DynASM x86-64 JIT as the "compiled" hot
+path (sre_vm_thompson_x64.dasc); the per-byte work is one VPU gather
+versus the JIT's per-thread native dispatch loop.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MATCH_SHIFT = 20
+_STATE_MASK = (1 << _MATCH_SHIFT) - 1
+_BIG = np.int32(2 ** 30)
+
+WARMUP = 32          # speculation warmup bytes (multiple of CPW)
+WORDS_PER_ITER = 2   # packed words consumed per loop iteration
+GROUPS = 4           # interleaved tiles per block (latency hiding)
+TILE = 1024          # streams per tile (8 sublanes x 128 lanes)
+DEFAULT_K = 2048     # chunk length (VMEM-bounded with GROUPS tiles)
+CPW = 8              # classes per packed int32 word (4-bit classes;
+                     # automata with >16 classes are out of SpecTables
+                     # range anyway since S*ncls <= 128 forces S <= 8,
+                     # which the enumerative path handles)
+
+
+class SpecTables:
+    """Host-side preprocessing of a Dfa for the speculative kernel."""
+
+    def __init__(self, dfa):
+        S, ncls = dfa.nstates, dfa.nclasses
+        if S * ncls > 128:
+            raise ValueError("automaton too large for the 128-lane "
+                             "fused table (S*ncls = %d)" % (S * ncls))
+        if ncls > 16:
+            raise ValueError("more than 16 byte classes (%d): 4-bit "
+                             "class packing unavailable" % ncls)
+        self.dfa = dfa
+        self.nstates = S
+        self.ncls = ncls
+        fused = np.zeros(128, dtype=np.int32)
+        for s in range(S):
+            for c in range(ncls):
+                nxt = int(dfa.trans[s, c]) * ncls
+                m = int(dfa.match[s, c]) << _MATCH_SHIFT
+                fused[s * ncls + c] = nxt | m
+        self.fused_vec = jnp.asarray(
+            np.broadcast_to(fused, (8, 128)).copy())
+        self.class_map = dfa.class_map.astype(np.uint8)
+        self.match_eof = dfa.match_eof
+
+
+def _kernel(data_ref, state0_ref, j0_ref, fused_ref,
+            phi_ref, fm_ref, swarm_ref, *, J, W):
+    """data_ref block: [1, J//CPW, G, 8, 128] int32, CPW 4-bit
+    classes per word."""
+    fused = fused_ref[:]                       # [8, 128]
+    G = GROUPS
+
+    # phase 1: warmup bytes 0..W with the per-chunk freeze predicate
+    def warm_step(wi, states):
+        words = [data_ref[0, wi, g] for g in range(G)]
+        for b in range(CPW):
+            j = wi * CPW + b
+            rows = [(words[g] >> (4 * b)) & 0xF for g in range(G)]
+            es = [jnp.take_along_axis(
+                fused, (states[g] + rows[g]) & 127, axis=1)
+                for g in range(G)]
+            states = tuple(
+                jnp.where(j >= j0_ref[0, g], es[g] & _STATE_MASK,
+                          states[g])
+                for g in range(G))
+        return states
+
+    states = tuple(state0_ref[0, g] for g in range(G))
+    states = lax.fori_loop(0, W // CPW, warm_step, states)
+    for g in range(G):
+        swarm_ref[0, g] = states[g]            # speculative entries
+
+    # phase 2: the hot loop, G-interleaved and word-unrolled
+    WPI = WORDS_PER_ITER
+
+    def step(it, carry):
+        states, maccs = carry
+        base = W // CPW + it * WPI
+        slab = data_ref[0, pl.ds(base, WPI)]   # [WPI, G, 8, 128]
+        for w in range(WPI):
+            words = [slab[w, g] for g in range(G)]
+            for b in range(CPW):
+                rows = [(words[g] >> (4 * b)) & 0xF for g in range(G)]
+                # the & 127 mask proves in-bounds lane indices to the
+                # compiler, keeping the gather on the fast path
+                es = [jnp.take_along_axis(
+                    fused, (states[g] + rows[g]) & 127, axis=1)
+                    for g in range(G)]
+                maccs = tuple(maccs[g] | es[g] for g in range(G))
+                states = tuple(es[g] & _STATE_MASK for g in range(G))
+        return states, maccs
+
+    z = jnp.zeros((8, 128), jnp.int32)
+    maccs = tuple(z for _ in range(G))
+    n_iter = (J - W) // (CPW * WPI)
+    states, maccs = lax.fori_loop(0, n_iter, step, (states, maccs))
+    for g in range(G):
+        phi_ref[0, g] = states[g]
+        fm_ref[0, g] = maccs[g] >> _MATCH_SHIFT   # nonzero iff match
+
+
+@functools.partial(jax.jit, static_argnames=("J", "W"))
+def _spec_scan(data, state0, j0, fused_vec, *, J, W):
+    """data: int32 [B, J//CPW, G, 8, 128] packed; state0/j0:
+    [B, G, 8, 128].  Returns (phi, fm, swarm), each [B, G, 8, 128]."""
+    B = data.shape[0]
+    G = GROUPS
+    Jw = J // CPW
+    kernel = functools.partial(_kernel, J=J, W=W)
+    interpret = jax.default_backend() == "cpu"
+    small = pl.BlockSpec((1, G, 8, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Jw, G, 8, 128),
+                         lambda i: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            small, small,
+            pl.BlockSpec((8, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[small, small, small],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(data, state0, j0, fused_vec)
+
+
+def _prepare(tables, data_np, chunk_len):
+    """Host prep: class-map, overlapping windows, 4-per-word packing,
+    tiling into [B, J//4, G, 8, 128].  Vectorized."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    n = len(data_np)
+    K = int(chunk_len)
+    assert K % (CPW * WORDS_PER_ITER) == 0 and WARMUP % CPW == 0
+    W = WARMUP
+    G = GROUPS
+    C = max(1, -(-n // K))
+    B = -(-C // (G * TILE))
+    Cp = B * G * TILE
+    J = W + K
+
+    raw = np.frombuffer(data_np, dtype=np.uint8) \
+        if not isinstance(data_np, np.ndarray) else data_np
+    cls = tables.class_map[raw]
+
+    padded = np.zeros(W + Cp * K, dtype=np.uint8)
+    padded[W:W + n] = cls
+    win = sliding_window_view(padded, J)[::K][:Cp]       # [Cp, J] view
+
+    # pack CPW 4-bit classes per word; chunk c = ((b*G+g)*TILE+t)
+    arr = np.ascontiguousarray(win).reshape(B, G, TILE, J // CPW, CPW)
+    nib = (arr[..., 0::2] | (arr[..., 1::2] << 4))   # 2 classes/byte
+    words = np.ascontiguousarray(nib).view("<u4")[..., 0] \
+        .astype(np.int32)                            # [B,G,TILE,J/CPW]
+    packed = np.ascontiguousarray(words.transpose(0, 3, 1, 2))
+    return packed.reshape(B, J // CPW, G, 8, 128), C, K, J, B
+
+
+def spec_scan_bytes(tables, data_np, chunk_len=DEFAULT_K,
+                    entry_state=0, prepared=None):
+    """Whole-buffer scan.  Returns (final_state, first_match_boundary
+    or -1); boundaries 0..n-1 only, the EOF boundary is the caller's
+    (tables.match_eof).  Exact: speculation misses and firing chunks
+    are re-scanned with the native engine.  On a match the returned
+    state is the matching chunk's entry state.
+
+    ``prepared`` may carry the result of a prior _prepare() to skip
+    host preprocessing (benchmarks, repeated scans)."""
+    from ..native import NativeDfa
+
+    n = len(data_np)
+    if n == 0:
+        return entry_state, -1
+    W = WARMUP
+    if prepared is None:
+        prepared = _prepare(tables, data_np, chunk_len)
+    data, C, K, J, B = prepared
+    ncls = tables.ncls
+    G = GROUPS
+
+    state0 = np.zeros((B, G * TILE), dtype=np.int32)
+    j0 = np.zeros((B, G * TILE), dtype=np.int32)
+    # chunk 0: skip warmup entirely, start from the true entry state
+    state0[0, 0] = entry_state * ncls
+    j0[0, 0] = W
+
+    outs = _spec_scan(
+        jnp.asarray(data),
+        jnp.asarray(state0.reshape(B, G, 8, 128)),
+        jnp.asarray(j0.reshape(B, G, 8, 128)),
+        tables.fused_vec, J=J, W=W)
+    # one stacked readback: a host round trip per array is expensive
+    outs = np.asarray(jnp.stack(outs))
+    phi = outs[0].reshape(B * G * TILE)[:C]
+    many = outs[1].reshape(B * G * TILE)[:C]
+    swarm = outs[2].reshape(B * G * TILE)[:C]
+
+    # validation fold (all values are premultiplied by ncls)
+    native = None
+    raw = np.frombuffer(data_np, dtype=np.uint8) \
+        if not isinstance(data_np, np.ndarray) else data_np
+    e = entry_state * ncls
+    for c in range(C):
+        lo = c * K
+        hi = min(lo + K, n)
+        need_rescan = (swarm[c] != e or hi - lo != K    # spec miss
+                       or many[c] != 0)                 # match inside
+        if not need_rescan:
+            e = int(phi[c])
+            continue
+        if native is None:
+            native = NativeDfa(tables.dfa)
+        f, st = native.scan_first(raw[lo:hi].tobytes(), e // ncls)
+        if f >= 0:
+            return e // ncls, lo + f
+        e = st * ncls
+    return e // ncls, -1

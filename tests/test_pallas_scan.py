@@ -1,0 +1,54 @@
+"""Speculative Pallas scan vs host DFA engine (interpret mode on the
+CPU mesh; the same code compiles to a Mosaic kernel on TPU)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from sregex_tpu import parse, compile_regex
+from sregex_tpu.dfa import build_dfa
+from sregex_tpu.native import NativeDfa
+
+from sregex_tpu.ops.pallas_scan import SpecTables, spec_scan_bytes
+
+PATTERNS = [
+    "(?:a|b)aa(?:aa|bb)cc(?:a|b)",
+    "abc",
+    "a+b",
+    r"\bword\b",
+    "^line",
+    r"tail\z",
+]
+
+
+@pytest.mark.parametrize("pattern", PATTERNS)
+def test_spec_scan_matches_native(pattern):
+    ast, _ = parse(pattern)
+    dfa = build_dfa(compile_regex(ast))
+    tables = SpecTables(dfa)
+    native = NativeDfa(dfa)
+    rng = random.Random(hash(pattern) & 0xFFFF)
+    alphabet = b"abcwordline tail\nxyz"
+    for trial in range(4):
+        n = rng.choice([100, 1000, 5000])
+        data = bytes(rng.choice(alphabet) for _ in range(n))
+        if trial == 2:
+            mid = n // 2
+            data = data[:mid] + b" abcaaabbccab word tail" + data[mid:]
+        exp_first, exp_state = native.scan_first(data, 0)
+        got_state, got_first = spec_scan_bytes(tables, data,
+                                               chunk_len=256)
+        assert got_first == exp_first, \
+            "%r: first %r != %r" % (pattern, got_first, exp_first)
+        if exp_first < 0:
+            assert got_state == exp_state
+
+
+def test_spec_tables_reject_large():
+    # a pattern whose S*ncls exceeds one lane row
+    ast, _ = parse("(abc|def|ghi|jkl|mno|pqr)(stu|vwx)[0-9]{4}")
+    dfa = build_dfa(compile_regex(ast))
+    if dfa.nstates * dfa.nclasses > 128:
+        with pytest.raises(ValueError):
+            SpecTables(dfa)
