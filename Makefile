@@ -1,0 +1,27 @@
+# sregex-tpu build/test driver (analog of the reference Makefile).
+
+PY ?= python
+
+.PHONY: all native test conformance bench clean
+
+all: native
+
+# native host runtime (csrc/sre_host.cpp); also built lazily on first
+# use by sregex_tpu/native.py
+native:
+	g++ -O3 -march=native -shared -fPIC -o csrc/libsrehost.so csrc/sre_host.cpp
+
+test:
+	$(PY) -m pytest tests/ -q
+
+# full byte-exact differential run against the reference binary (needs
+# /tmp/refbuild/sregex-cli; dev-only)
+conformance:
+	$(PY) tests/diff_suite.py
+
+bench:
+	$(PY) bench.py
+
+clean:
+	rm -f csrc/libsrehost.so
+	find . -name __pycache__ -type d -exec rm -rf {} +

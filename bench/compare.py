@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Multi-engine benchmark driver: the analog of the reference's
+bench/bench script (which times sregex{thompson,jit,pike} vs
+re1/pcre/re2).  Times each of OUR engines on the same corpus+pattern:
+
+    pike-py        streaming Pike VM (Python host oracle)
+    thompson-py    streaming Thompson VM (Python)
+    dfa-native     C++ host DFA scanner (csrc/sre_host.cpp)
+    dfa-xla        enumerative XLA device scan (ops/scan.py)
+    dfa-pallas     speculative Pallas kernel (ops/pallas_scan.py)
+    python-re      CPython's re module, for scale
+
+Usage: python bench/compare.py [pattern] [corpus-mult] [--device]
+"""
+
+import sys
+import time
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def timeit(fn, reps=3):
+    ts = []
+    fn()
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    with_device = "--device" in sys.argv
+    pattern = args[0] if args else "(?:a|b)aa(?:aa|bb)cc(?:a|b)"
+    mult = int(args[1]) if len(args) > 1 else 1
+    corpus = b"abccc" * (1024 * 1024 * mult) + b"aaabbccb"
+    n = len(corpus)
+
+    from sregex_tpu import parse, compile_regex
+    from sregex_tpu.pike_vm import PikeCtx
+    from sregex_tpu.thompson_vm import ThompsonCtx
+    from sregex_tpu.dfa import build_dfa
+    from sregex_tpu.native import NativeDfa
+
+    ast, ncaps = parse(pattern)
+    prog = compile_regex(ast)
+    dfa = build_dfa(prog)
+    native = NativeDfa(dfa)
+
+    print("pattern: %s   corpus: %d MB" % (pattern, n >> 20))
+    print("%-14s %10s %12s" % ("engine", "ms", "GB/s"))
+
+    def report(name, dt):
+        print("%-14s %10.2f %12.3f" % (name, dt * 1e3, n / dt / 1e9))
+
+    report("dfa-native", timeit(lambda: native.scan_first(corpus, 0)))
+
+    import re as pyre
+    cre = pyre.compile(pattern.encode())
+    report("python-re", timeit(lambda: cre.search(corpus)))
+
+    report("thompson-py",
+           timeit(lambda: ThompsonCtx(prog).exec(corpus, True), reps=1))
+
+    def pike():
+        ctx = PikeCtx(prog)
+        ctx.exec(corpus, True)
+    report("pike-py", timeit(pike, reps=1))
+
+    if with_device:
+        import jax.numpy as jnp
+        from sregex_tpu.ops.scan import dfa_device_tables, scan_bytes
+        tables = dfa_device_tables(dfa)
+        report("dfa-xla",
+               timeit(lambda: scan_bytes(tables, corpus), reps=2))
+
+        from sregex_tpu.ops.pallas_scan import (SpecTables,
+                                                spec_scan_bytes,
+                                                _prepare)
+        st = SpecTables(dfa)
+        prepared = _prepare(st, corpus, 2048)
+        report("dfa-pallas",
+               timeit(lambda: spec_scan_bytes(st, corpus,
+                                              chunk_len=2048,
+                                              prepared=prepared)))
+
+
+if __name__ == "__main__":
+    main()

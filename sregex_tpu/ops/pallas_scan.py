@@ -152,7 +152,7 @@ def _spec_scan(data, state0, j0, fused_vec, *, J, W):
     interpret = jax.default_backend() == "cpu"
     small = pl.BlockSpec((1, G, 8, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    phi, fm, swarm = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
@@ -171,6 +171,11 @@ def _spec_scan(data, state0, j0, fused_vec, *, J, W):
         ],
         interpret=interpret,
     )(data, state0, j0, fused_vec)
+    # compress to one small uint8 array: premultiplied states fit in 7
+    # bits and the relayed host readback is bandwidth-precious
+    return jnp.stack([phi.astype(jnp.uint8),
+                      jnp.minimum(fm, 1).astype(jnp.uint8),
+                      swarm.astype(jnp.uint8)])
 
 
 def _prepare(tables, data_np, chunk_len):
@@ -202,7 +207,11 @@ def _prepare(tables, data_np, chunk_len):
     words = np.ascontiguousarray(nib).view("<u4")[..., 0] \
         .astype(np.int32)                            # [B,G,TILE,J/CPW]
     packed = np.ascontiguousarray(words.transpose(0, 3, 1, 2))
-    return packed.reshape(B, J // CPW, G, 8, 128), C, K, J, B
+    packed = packed.reshape(B, J // CPW, G, 8, 128)
+    # commit to the device here so repeated scans skip the upload
+    dev = jnp.asarray(packed)
+    dev.block_until_ready()
+    return dev, C, K, J, B
 
 
 def spec_scan_bytes(tables, data_np, chunk_len=DEFAULT_K,
@@ -234,33 +243,51 @@ def spec_scan_bytes(tables, data_np, chunk_len=DEFAULT_K,
     j0[0, 0] = W
 
     outs = _spec_scan(
-        jnp.asarray(data),
+        data if isinstance(data, jax.Array) else jnp.asarray(data),
         jnp.asarray(state0.reshape(B, G, 8, 128)),
         jnp.asarray(j0.reshape(B, G, 8, 128)),
         tables.fused_vec, J=J, W=W)
-    # one stacked readback: a host round trip per array is expensive
-    outs = np.asarray(jnp.stack(outs))
+    # one small stacked uint8 readback
+    outs = np.asarray(outs).astype(np.int64)
     phi = outs[0].reshape(B * G * TILE)[:C]
     many = outs[1].reshape(B * G * TILE)[:C]
     swarm = outs[2].reshape(B * G * TILE)[:C]
 
-    # validation fold (all values are premultiplied by ncls)
-    native = None
+    # validation fold (all values are premultiplied by ncls).
+    # Vectorized fast path: assume every chunk's speculative entry was
+    # right; by induction the assumed entries are correct up to the
+    # first discrepancy, so if there is none (and no chunk fired a
+    # match) the whole scan is valid in O(C) numpy work.
     raw = np.frombuffer(data_np, dtype=np.uint8) \
         if not isinstance(data_np, np.ndarray) else data_np
-    e = entry_state * ncls
-    for c in range(C):
+    e0 = entry_state * ncls
+    entries_assumed = np.empty(C, dtype=np.int64)
+    entries_assumed[0] = e0
+    if C > 1:
+        entries_assumed[1:] = phi[:-1]
+    sizes_ok = np.full(C, True)
+    if C * K > n:
+        sizes_ok[-1] = (n - (C - 1) * K) == K
+    ok = (swarm == entries_assumed) & (many == 0) & sizes_ok
+    if ok.all():
+        return int(phi[-1]) // ncls, -1
+    first_bad = int(np.argmax(~ok))
+
+    # sequential handling from the first discrepancy (rare); chunks
+    # before it validated, so their assumed entries are the truth
+    native = NativeDfa(tables.dfa)
+    e = int(entries_assumed[first_bad])
+    c = first_bad
+    while c < C:
         lo = c * K
         hi = min(lo + K, n)
-        need_rescan = (swarm[c] != e or hi - lo != K    # spec miss
-                       or many[c] != 0)                 # match inside
-        if not need_rescan:
+        if swarm[c] == e and hi - lo == K and many[c] == 0:
             e = int(phi[c])
+            c += 1
             continue
-        if native is None:
-            native = NativeDfa(tables.dfa)
         f, st = native.scan_first(raw[lo:hi].tobytes(), e // ncls)
         if f >= 0:
             return e // ncls, lo + f
         e = st * ncls
+        c += 1
     return e // ncls, -1
