@@ -154,17 +154,27 @@ def _process_string(o, s, prog, ncaps, dfa=None):
             o.out(_thompson_result(rc))
             break
 
-    # Pike, whole buffer
+    # Pike, whole buffer.  Engine selectable: the Python oracle VM or
+    # the native C++ engine (SREGEX_PIKE_ENGINE=native), which share
+    # the exec protocol and ovector semantics.
+    import os as _os
+
+    def make_pike():
+        if _os.environ.get("SREGEX_PIKE_ENGINE") == "native":
+            from .native_pike import NativePikeCtx
+            return NativePikeCtx(prog, ovecsize=2 * (ncaps + 1))
+        return PikeCtx(prog, [-1] * (2 * (ncaps + 1)))
+
     o.out("pike ")
-    ovector = [-1] * (2 * (ncaps + 1))
-    pctx = PikeCtx(prog, ovector)
+    pctx = make_pike()
+    ovector = pctx.ovector
     rc, _ = pctx.exec(s, True)
     _pike_print(o, rc, ovector, ncaps)
 
     # Splitted Pike
     o.out("splitted pike ")
-    ovector = [-1] * (2 * (ncaps + 1))
-    pctx = PikeCtx(prog, ovector)
+    pctx = make_pike()
+    ovector = pctx.ovector
 
     final_rc = None
     gen_empty = True
