@@ -48,15 +48,10 @@ _MATCH_SHIFT = 20
 _STATE_MASK = (1 << _MATCH_SHIFT) - 1
 _BIG = np.int32(2 ** 30)
 
-WARMUP = 32          # speculation warmup bytes (multiple of CPW)
 WORDS_PER_ITER = 2   # packed words consumed per loop iteration
 GROUPS = 4           # interleaved tiles per block (latency hiding)
 TILE = 1024          # streams per tile (8 sublanes x 128 lanes)
-DEFAULT_K = 2048     # chunk length (VMEM-bounded with GROUPS tiles)
-CPW = 8              # classes per packed int32 word (4-bit classes;
-                     # automata with >16 classes are out of SpecTables
-                     # range anyway since S*ncls <= 128 forces S <= 8,
-                     # which the enumerative path handles)
+DEFAULT_K = 2048     # nominal chunk length (rounded to the packing)
 
 
 class SpecTables:
@@ -68,11 +63,16 @@ class SpecTables:
             raise ValueError("automaton too large for the 128-lane "
                              "fused table (S*ncls = %d)" % (S * ncls))
         if ncls > 16:
-            raise ValueError("more than 16 byte classes (%d): 4-bit "
+            raise ValueError("more than 16 byte classes (%d): sub-byte "
                              "class packing unavailable" % ncls)
         self.dfa = dfa
         self.nstates = S
         self.ncls = ncls
+        # packing density: 3-bit classes (10 per word) when they fit,
+        # else 4-bit (8 per word)
+        self.bits = 3 if ncls <= 8 else 4
+        self.cpw = 10 if ncls <= 8 else 8
+        self.warmup = 4 * self.cpw
         fused = np.zeros(128, dtype=np.int32)
         for s in range(S):
             for c in range(ncls):
@@ -86,18 +86,20 @@ class SpecTables:
 
 
 def _kernel(data_ref, state0_ref, j0_ref, fused_ref,
-            phi_ref, fm_ref, swarm_ref, *, J, W):
-    """data_ref block: [1, J//CPW, G, 8, 128] int32, CPW 4-bit
+            phi_ref, fm_ref, swarm_ref, *, J, W, CPW, BITS):
+    """data_ref block: [1, J//CPW, G, 8, 128] int32, CPW BITS-bit
     classes per word."""
     fused = fused_ref[:]                       # [8, 128]
     G = GROUPS
+    CMASK = (1 << BITS) - 1
 
     # phase 1: warmup bytes 0..W with the per-chunk freeze predicate
     def warm_step(wi, states):
         words = [data_ref[0, wi, g] for g in range(G)]
         for b in range(CPW):
             j = wi * CPW + b
-            rows = [(words[g] >> (4 * b)) & 0xF for g in range(G)]
+            rows = [(words[g] >> (BITS * b)) & CMASK
+                    for g in range(G)]
             es = [jnp.take_along_axis(
                 fused, (states[g] + rows[g]) & 127, axis=1)
                 for g in range(G)]
@@ -122,7 +124,8 @@ def _kernel(data_ref, state0_ref, j0_ref, fused_ref,
         for w in range(WPI):
             words = [slab[w, g] for g in range(G)]
             for b in range(CPW):
-                rows = [(words[g] >> (4 * b)) & 0xF for g in range(G)]
+                rows = [(words[g] >> (BITS * b)) & CMASK
+                        for g in range(G)]
                 # the & 127 mask proves in-bounds lane indices to the
                 # compiler, keeping the gather on the fast path
                 es = [jnp.take_along_axis(
@@ -141,14 +144,15 @@ def _kernel(data_ref, state0_ref, j0_ref, fused_ref,
         fm_ref[0, g] = maccs[g] >> _MATCH_SHIFT   # nonzero iff match
 
 
-@functools.partial(jax.jit, static_argnames=("J", "W"))
-def _spec_scan(data, state0, j0, fused_vec, *, J, W):
+@functools.partial(jax.jit, static_argnames=("J", "W", "CPW", "BITS"))
+def _spec_scan(data, state0, j0, fused_vec, *, J, W, CPW, BITS):
     """data: int32 [B, J//CPW, G, 8, 128] packed; state0/j0:
-    [B, G, 8, 128].  Returns (phi, fm, swarm), each [B, G, 8, 128]."""
+    [B, G, 8, 128].  Returns stacked uint8 [3, B, G, 8, 128]:
+    (phi, any-match, swarm)."""
     B = data.shape[0]
     G = GROUPS
     Jw = J // CPW
-    kernel = functools.partial(_kernel, J=J, W=W)
+    kernel = functools.partial(_kernel, J=J, W=W, CPW=CPW, BITS=BITS)
     interpret = jax.default_backend() == "cpu"
     small = pl.BlockSpec((1, G, 8, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -184,9 +188,10 @@ def _prepare(tables, data_np, chunk_len):
     from numpy.lib.stride_tricks import sliding_window_view
 
     n = len(data_np)
-    K = int(chunk_len)
-    assert K % (CPW * WORDS_PER_ITER) == 0 and WARMUP % CPW == 0
-    W = WARMUP
+    CPW = tables.cpw
+    quantum = CPW * WORDS_PER_ITER
+    K = max(quantum, int(chunk_len) // quantum * quantum)
+    W = tables.warmup
     G = GROUPS
     C = max(1, -(-n // K))
     B = -(-C // (G * TILE))
@@ -201,11 +206,16 @@ def _prepare(tables, data_np, chunk_len):
     padded[W:W + n] = cls
     win = sliding_window_view(padded, J)[::K][:Cp]       # [Cp, J] view
 
-    # pack CPW 4-bit classes per word; chunk c = ((b*G+g)*TILE+t)
+    # pack CPW BITS-bit classes per word; chunk c = ((b*G+g)*TILE+t)
     arr = np.ascontiguousarray(win).reshape(B, G, TILE, J // CPW, CPW)
-    nib = (arr[..., 0::2] | (arr[..., 1::2] << 4))   # 2 classes/byte
-    words = np.ascontiguousarray(nib).view("<u4")[..., 0] \
-        .astype(np.int32)                            # [B,G,TILE,J/CPW]
+    if tables.bits == 4:
+        nib = (arr[..., 0::2] | (arr[..., 1::2] << 4))
+        words = np.ascontiguousarray(nib).view("<u4")[..., 0] \
+            .astype(np.int32)
+    else:
+        words = arr[..., 0].astype(np.int32).copy()
+        for k in range(1, CPW):
+            words |= arr[..., k].astype(np.int32) << (3 * k)
     packed = np.ascontiguousarray(words.transpose(0, 3, 1, 2))
     packed = packed.reshape(B, J // CPW, G, 8, 128)
     # commit to the device here so repeated scans skip the upload
@@ -229,7 +239,7 @@ def spec_scan_bytes(tables, data_np, chunk_len=DEFAULT_K,
     n = len(data_np)
     if n == 0:
         return entry_state, -1
-    W = WARMUP
+    W = tables.warmup
     if prepared is None:
         prepared = _prepare(tables, data_np, chunk_len)
     data, C, K, J, B = prepared
@@ -246,7 +256,8 @@ def spec_scan_bytes(tables, data_np, chunk_len=DEFAULT_K,
         data if isinstance(data, jax.Array) else jnp.asarray(data),
         jnp.asarray(state0.reshape(B, G, 8, 128)),
         jnp.asarray(j0.reshape(B, G, 8, 128)),
-        tables.fused_vec, J=J, W=W)
+        tables.fused_vec, J=J, W=W, CPW=tables.cpw,
+        BITS=tables.bits)
     # one small stacked uint8 readback
     outs = np.asarray(outs).astype(np.int64)
     phi = outs[0].reshape(B * G * TILE)[:C]

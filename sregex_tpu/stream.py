@@ -112,6 +112,20 @@ class Scanner:
         if self.dfa is not None:
             from .native import NativeDfa
             self._native = NativeDfa(self.dfa)
+        # prefer the C++ Pike engine for capture resolution
+        self._pike_nprog = None
+        try:
+            from .native_pike import NativePikeCtx, NativeProgram
+            if NativePikeCtx.available():
+                self._pike_nprog = NativeProgram(prog)
+        except Exception:
+            self._pike_nprog = None
+
+    def _pike_ctx(self):
+        if self._pike_nprog is not None:
+            from .native_pike import NativePikeCtx
+            return NativePikeCtx(self._pike_nprog)
+        return PikeCtx(self.program)
 
     def match(self, data):
         if self.dfa is None:
@@ -137,25 +151,28 @@ class Scanner:
             first, state = self._native.scan_first(data, 0)
             if first < 0 and not self.dfa.match_eof[state]:
                 return None
-        ctx = PikeCtx(self.program)
+        ctx = self._pike_ctx()
         rc, _ = ctx.exec(data, True)
         if rc < 0:
             return None
-        return rc, list(ctx.ovector)
+        return rc, [int(v) for v in ctx.ovector]
 
     def finditer(self, data):
         """Iterate successive matches (the substitution-loop protocol:
         after each final match the engine re-arms and continues from
         the match end, sre_vm_pike.c:624-635)."""
-        ctx = PikeCtx(self.program)
+        ctx = self._pike_ctx()
+        pos = 0
         while True:
-            pos = ctx.processed_bytes
             rc, _ = ctx.exec(data[pos:], True)
             if rc < 0:
                 return
-            yield rc, list(ctx.ovector)
-            if ctx.eof:
+            ov = [int(v) for v in ctx.ovector]
+            yield rc, ov
+            # the ctx re-armed at the match end (absolute offset)
+            if ov[1] >= len(data) and ov[0] == ov[1]:
                 return
+            pos = ov[1]
 
 
 def compile_pattern(pattern, flags=0):
