@@ -86,7 +86,8 @@ class SpecTables:
 
 
 def _kernel(data_ref, state0_ref, j0_ref, fused_ref,
-            phi_ref, fm_ref, swarm_ref, *, J, W, CPW, BITS):
+            phi_ref, fm_ref, swarm_ref, *, J, W, CPW, BITS,
+            COUNT=False):
     """data_ref block: [1, J//CPW, G, 8, 128] int32, CPW BITS-bit
     classes per word."""
     fused = fused_ref[:]                       # [8, 128]
@@ -131,7 +132,11 @@ def _kernel(data_ref, state0_ref, j0_ref, fused_ref,
                 es = [jnp.take_along_axis(
                     fused, (states[g] + rows[g]) & 127, axis=1)
                     for g in range(G)]
-                maccs = tuple(maccs[g] | es[g] for g in range(G))
+                if COUNT:
+                    maccs = tuple(maccs[g] + (es[g] >> _MATCH_SHIFT)
+                                  for g in range(G))
+                else:
+                    maccs = tuple(maccs[g] | es[g] for g in range(G))
                 states = tuple(es[g] & _STATE_MASK for g in range(G))
         return states, maccs
 
@@ -141,18 +146,25 @@ def _kernel(data_ref, state0_ref, j0_ref, fused_ref,
     states, maccs = lax.fori_loop(0, n_iter, step, (states, maccs))
     for g in range(G):
         phi_ref[0, g] = states[g]
-        fm_ref[0, g] = maccs[g] >> _MATCH_SHIFT   # nonzero iff match
+        if COUNT:
+            fm_ref[0, g] = maccs[g]               # per-chunk count
+        else:
+            fm_ref[0, g] = maccs[g] >> _MATCH_SHIFT  # any-match flag
 
 
-@functools.partial(jax.jit, static_argnames=("J", "W", "CPW", "BITS"))
-def _spec_scan(data, state0, j0, fused_vec, *, J, W, CPW, BITS):
+@functools.partial(jax.jit,
+                   static_argnames=("J", "W", "CPW", "BITS", "COUNT"))
+def _spec_scan(data, state0, j0, fused_vec, *, J, W, CPW, BITS,
+               COUNT=False):
     """data: int32 [B, J//CPW, G, 8, 128] packed; state0/j0:
-    [B, G, 8, 128].  Returns stacked uint8 [3, B, G, 8, 128]:
-    (phi, any-match, swarm)."""
+    [B, G, 8, 128].  Returns stacked uint8 [4, B, G, 8, 128]:
+    (phi, fm-lo, swarm, fm-hi) where fm is the any-match flag, or the
+    per-chunk match count split into lo/hi bytes when COUNT."""
     B = data.shape[0]
     G = GROUPS
     Jw = J // CPW
-    kernel = functools.partial(_kernel, J=J, W=W, CPW=CPW, BITS=BITS)
+    kernel = functools.partial(_kernel, J=J, W=W, CPW=CPW, BITS=BITS,
+                               COUNT=COUNT)
     interpret = jax.default_backend() == "cpu"
     small = pl.BlockSpec((1, G, 8, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -178,8 +190,9 @@ def _spec_scan(data, state0, j0, fused_vec, *, J, W, CPW, BITS):
     # compress to one small uint8 array: premultiplied states fit in 7
     # bits and the relayed host readback is bandwidth-precious
     return jnp.stack([phi.astype(jnp.uint8),
-                      jnp.minimum(fm, 1).astype(jnp.uint8),
-                      swarm.astype(jnp.uint8)])
+                      (fm & 0xFF).astype(jnp.uint8),
+                      swarm.astype(jnp.uint8),
+                      ((fm >> 8) & 0xFF).astype(jnp.uint8)])
 
 
 def _prepare(tables, data_np, chunk_len):
@@ -263,6 +276,7 @@ def spec_scan_bytes(tables, data_np, chunk_len=DEFAULT_K,
     phi = outs[0].reshape(B * G * TILE)[:C]
     many = outs[1].reshape(B * G * TILE)[:C]
     swarm = outs[2].reshape(B * G * TILE)[:C]
+    del outs
 
     # validation fold (all values are premultiplied by ncls).
     # Vectorized fast path: assume every chunk's speculative entry was
@@ -302,3 +316,71 @@ def spec_scan_bytes(tables, data_np, chunk_len=DEFAULT_K,
         e = st * ncls
         c += 1
     return e // ncls, -1
+
+
+def spec_count_bytes(tables, data_np, chunk_len=DEFAULT_K,
+                     entry_state=0, prepared=None):
+    """Count every boundary (0..n-1) at which a match ends.  Returns
+    (final_state, count); the EOF boundary is the caller's
+    (tables.match_eof).  Exact: chunks whose speculation missed are
+    re-counted with the native engine."""
+    from ..native import NativeDfa
+
+    n = len(data_np)
+    if n == 0:
+        return entry_state, 0
+    W = tables.warmup
+    if prepared is None:
+        prepared = _prepare(tables, data_np, chunk_len)
+    data, C, K, J, B = prepared
+    ncls = tables.ncls
+    G = GROUPS
+
+    state0 = np.zeros((B, G * TILE), dtype=np.int32)
+    j0 = np.zeros((B, G * TILE), dtype=np.int32)
+    state0[0, 0] = entry_state * ncls
+    j0[0, 0] = W
+
+    outs = _spec_scan(
+        data if isinstance(data, jax.Array) else jnp.asarray(data),
+        jnp.asarray(state0.reshape(B, G, 8, 128)),
+        jnp.asarray(j0.reshape(B, G, 8, 128)),
+        tables.fused_vec, J=J, W=W, CPW=tables.cpw,
+        BITS=tables.bits, COUNT=True)
+    outs = np.asarray(outs).astype(np.int64)
+    phi = outs[0].reshape(B * G * TILE)[:C]
+    cnt = (outs[1] | (outs[3] << 8)).reshape(B * G * TILE)[:C]
+    swarm = outs[2].reshape(B * G * TILE)[:C]
+
+    raw = np.frombuffer(data_np, dtype=np.uint8) \
+        if not isinstance(data_np, np.ndarray) else data_np
+    e0 = entry_state * ncls
+    entries_assumed = np.empty(C, dtype=np.int64)
+    entries_assumed[0] = e0
+    if C > 1:
+        entries_assumed[1:] = phi[:-1]
+    sizes_ok = np.full(C, True)
+    if C * K > n:
+        sizes_ok[-1] = (n - (C - 1) * K) == K
+    ok = (swarm == entries_assumed) & sizes_ok
+    if ok.all():
+        return int(phi[-1]) // ncls, int(cnt.sum())
+
+    # sequential repair from the first discrepancy
+    first_bad = int(np.argmax(~ok))
+    total = int(cnt[:first_bad].sum())
+    native = NativeDfa(tables.dfa)
+    e = int(entries_assumed[first_bad])
+    c = first_bad
+    while c < C:
+        lo = c * K
+        hi = min(lo + K, n)
+        if swarm[c] == e and hi - lo == K:
+            total += int(cnt[c])
+            e = int(phi[c])
+        else:
+            k, st = native.count(raw[lo:hi].tobytes(), e // ncls)
+            total += k
+            e = st * ncls
+        c += 1
+    return e // ncls, total

@@ -52,3 +52,18 @@ def test_spec_tables_reject_large():
     if dfa.nstates * dfa.nclasses > 128:
         with pytest.raises(ValueError):
             SpecTables(dfa)
+
+
+def test_spec_count_matches_native():
+    from sregex_tpu.ops.pallas_scan import spec_count_bytes
+    ast, _ = parse("ab")
+    dfa = build_dfa(compile_regex(ast))
+    tables = SpecTables(dfa)
+    native = NativeDfa(dfa)
+    rng = random.Random(7)
+    data = bytes(rng.choice(b"aabbc") for _ in range(5000))
+    exp, _st = native.count(data, 0)
+    st, got = spec_count_bytes(tables, data, chunk_len=240)
+    assert got == exp, (got, exp)
+    _, st2 = native.count(data, 0)
+    assert st == st2
