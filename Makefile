@@ -25,3 +25,10 @@ bench:
 clean:
 	rm -f csrc/libsrehost.so
 	find . -name __pycache__ -type d -exec rm -rf {} +
+
+# AddressSanitizer build of the native engines + differential stress
+# run (the analog of the reference's `make valtest` valgrind mode)
+asan:
+	g++ -O1 -g -fsanitize=address -shared -fPIC -o csrc/libsrepike_asan.so csrc/sre_pike.cpp
+	g++ -O1 -g -fsanitize=address -shared -fPIC -o csrc/libsrehost_asan.so csrc/sre_host.cpp
+	LD_PRELOAD=$$(gcc -print-file-name=libasan.so) $(PY) tests/asan_stress.py
