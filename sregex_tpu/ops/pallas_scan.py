@@ -68,10 +68,14 @@ class SpecTables:
         self.dfa = dfa
         self.nstates = S
         self.ncls = ncls
-        # packing density: 3-bit classes (10 per word) when they fit,
-        # else 4-bit (8 per word)
-        self.bits = 3 if ncls <= 8 else 4
-        self.cpw = 10 if ncls <= 8 else 8
+        # packing density: 4-bit classes (8 per word) by default;
+        # 3-bit (10 per word, ~25% less HBM traffic) is opt-in via
+        # SREGEX_PACK_BITS=3 — its larger unrolled kernel body has
+        # pathological compile times on the remote-compile relay
+        import os
+        want = int(os.environ.get("SREGEX_PACK_BITS", "4"))
+        self.bits = 3 if (want == 3 and ncls <= 8) else 4
+        self.cpw = 10 if self.bits == 3 else 8
         self.warmup = 4 * self.cpw
         fused = np.zeros(128, dtype=np.int32)
         for s in range(S):
