@@ -57,19 +57,37 @@ def main():
     def report(name, dt):
         print("%-14s %10.2f %12.3f" % (name, dt * 1e3, n / dt / 1e9))
 
+    def report_scaled(name, dt, nbytes):
+        print("%-14s %10.2f %12.3f   (on %d KB)"
+              % (name, dt * 1e3, nbytes / dt / 1e9, nbytes >> 10))
+
     report("dfa-native", timeit(lambda: native.scan_first(corpus, 0)))
 
     import re as pyre
     cre = pyre.compile(pattern.encode())
     report("python-re", timeit(lambda: cre.search(corpus)))
 
-    report("thompson-py",
-           timeit(lambda: ThompsonCtx(prog).exec(corpus, True), reps=1))
+    try:
+        from sregex_tpu.native_pike import NativePikeCtx, NativeProgram
+        nprog = NativeProgram(prog)
+
+        def npike():
+            NativePikeCtx(nprog).exec(corpus, True)
+        report("pike-native", timeit(npike, reps=1))
+    except Exception:
+        pass
+
+    # the Python VMs are oracles, not production engines: time them on
+    # a bounded slice
+    small = corpus[:262144]
+    report_scaled("thompson-py",
+                  timeit(lambda: ThompsonCtx(prog).exec(small, True),
+                         reps=1), len(small))
 
     def pike():
         ctx = PikeCtx(prog)
-        ctx.exec(corpus, True)
-    report("pike-py", timeit(pike, reps=1))
+        ctx.exec(small, True)
+    report_scaled("pike-py", timeit(pike, reps=1), len(small))
 
     if with_device:
         import jax.numpy as jnp
