@@ -158,12 +158,20 @@ def _kernel(data_ref, state0_ref, j0_ref, fused_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("J", "W", "CPW", "BITS", "COUNT"))
-def _spec_scan(data, state0, j0, fused_vec, *, J, W, CPW, BITS,
-               COUNT=False):
+def _spec_scan(data, state0, j0, fused_vec, C, bad_tail, *, J, W, CPW,
+               BITS, COUNT=False):
     """data: int32 [B, J//CPW, G, 8, 128] packed; state0/j0:
-    [B, G, 8, 128].  Returns stacked uint8 [4, B, G, 8, 128]:
-    (phi, fm-lo, swarm, fm-hi) where fm is the any-match flag, or the
-    per-chunk match count split into lo/hi bytes when COUNT."""
+    [B, G, 8, 128]; C = live chunk count (traced scalar); bad_tail =
+    index of a ragged tail chunk or -1.
+
+    Returns (summary int32 [8], packed uint8 [4, B, G, 8, 128]).
+    The summary performs the speculation-chain validation ON DEVICE so
+    the common case reads back ~32 bytes instead of megabytes:
+      [0] all_ok  [1] first_bad  [2] entry@first_bad  [3] phi@first_bad
+      [4] swarm@first_bad  [5] fm@first_bad  [6] phi@C-1
+      [7] sum(fm[0:first_bad])  (the valid-prefix count, COUNT mode)
+    The packed array is the full per-chunk data for the (rare) repair
+    path: (phi, fm-lo, swarm, fm-hi)."""
     B = data.shape[0]
     G = GROUPS
     Jw = J // CPW
@@ -191,12 +199,32 @@ def _spec_scan(data, state0, j0, fused_vec, *, J, W, CPW, BITS,
         ],
         interpret=interpret,
     )(data, state0, j0, fused_vec)
-    # compress to one small uint8 array: premultiplied states fit in 7
-    # bits and the relayed host readback is bandwidth-precious
-    return jnp.stack([phi.astype(jnp.uint8),
-                      (fm & 0xFF).astype(jnp.uint8),
-                      swarm.astype(jnp.uint8),
-                      ((fm >> 8) & 0xFF).astype(jnp.uint8)])
+
+    Cp = phi.size
+    phi_f = phi.reshape(Cp)
+    fm_f = fm.reshape(Cp)
+    swarm_f = swarm.reshape(Cp)
+    e0 = state0.reshape(Cp)[0]
+    entries = jnp.concatenate([e0[None], phi_f[:-1]])
+    idx = jnp.arange(Cp, dtype=jnp.int32)
+    okv = swarm_f == entries
+    if not COUNT:
+        okv = okv & (fm_f == 0)
+    okv = (okv | (idx >= C)) & (idx != bad_tail)
+    all_ok = jnp.all(okv)
+    fb = jnp.argmin(okv.astype(jnp.int32)).astype(jnp.int32)
+    # when every chunk validated, the "prefix" is the whole corpus
+    fb_eff = jnp.where(all_ok, C, fb)
+    prefix_cnt = jnp.sum(jnp.where((idx < fb_eff) & (idx < C), fm_f, 0))
+    summary = jnp.stack([
+        all_ok.astype(jnp.int32), fb, entries[fb], phi_f[fb],
+        swarm_f[fb], fm_f[fb], phi_f[C - 1],
+        prefix_cnt.astype(jnp.int32)])
+    packed = jnp.stack([phi.astype(jnp.uint8),
+                        (fm & 0xFF).astype(jnp.uint8),
+                        swarm.astype(jnp.uint8),
+                        ((fm >> 8) & 0xFF).astype(jnp.uint8)])
+    return summary, packed
 
 
 def _prepare(tables, data_np, chunk_len):
@@ -269,44 +297,40 @@ def spec_scan_bytes(tables, data_np, chunk_len=DEFAULT_K,
     state0[0, 0] = entry_state * ncls
     j0[0, 0] = W
 
-    outs = _spec_scan(
+    bad_tail = (C - 1) if C * K > n and (n - (C - 1) * K) != K else -1
+    summary, packed = _spec_scan(
         data if isinstance(data, jax.Array) else jnp.asarray(data),
         jnp.asarray(state0.reshape(B, G, 8, 128)),
         jnp.asarray(j0.reshape(B, G, 8, 128)),
-        tables.fused_vec, J=J, W=W, CPW=tables.cpw,
-        BITS=tables.bits)
-    # one small stacked uint8 readback
-    outs = np.asarray(outs).astype(np.int64)
+        tables.fused_vec, jnp.int32(C), jnp.int32(bad_tail),
+        J=J, W=W, CPW=tables.cpw, BITS=tables.bits)
+    # common case: ~32-byte readback; the per-chunk arrays stay on
+    # device and are pulled only for the repair path
+    summ = np.asarray(summary).astype(np.int64)
+    all_ok, fb = bool(summ[0]), int(summ[1])
+    if all_ok:
+        return int(summ[6]) // ncls, -1
+
+    raw = np.frombuffer(data_np, dtype=np.uint8) \
+        if not isinstance(data_np, np.ndarray) else data_np
+    native = NativeDfa(tables.dfa)
+    entry_fb, phi_fb, swarm_fb, many_fb = (int(summ[2]), int(summ[3]),
+                                           int(summ[4]), int(summ[5]))
+    lo = fb * K
+    hi = min(lo + K, n)
+    if swarm_fb == entry_fb and hi - lo == K and many_fb:
+        # validated chunk fired a match: one native re-scan pins it
+        f, _ = native.scan_first(raw[lo:hi].tobytes(), entry_fb // ncls)
+        return entry_fb // ncls, lo + f
+
+    # general repair (speculation miss / ragged tail): pull the
+    # per-chunk arrays and walk sequentially from the discrepancy
+    outs = np.asarray(packed).astype(np.int64)
     phi = outs[0].reshape(B * G * TILE)[:C]
     many = outs[1].reshape(B * G * TILE)[:C]
     swarm = outs[2].reshape(B * G * TILE)[:C]
-    del outs
-
-    # validation fold (all values are premultiplied by ncls).
-    # Vectorized fast path: assume every chunk's speculative entry was
-    # right; by induction the assumed entries are correct up to the
-    # first discrepancy, so if there is none (and no chunk fired a
-    # match) the whole scan is valid in O(C) numpy work.
-    raw = np.frombuffer(data_np, dtype=np.uint8) \
-        if not isinstance(data_np, np.ndarray) else data_np
-    e0 = entry_state * ncls
-    entries_assumed = np.empty(C, dtype=np.int64)
-    entries_assumed[0] = e0
-    if C > 1:
-        entries_assumed[1:] = phi[:-1]
-    sizes_ok = np.full(C, True)
-    if C * K > n:
-        sizes_ok[-1] = (n - (C - 1) * K) == K
-    ok = (swarm == entries_assumed) & (many == 0) & sizes_ok
-    if ok.all():
-        return int(phi[-1]) // ncls, -1
-    first_bad = int(np.argmax(~ok))
-
-    # sequential handling from the first discrepancy (rare); chunks
-    # before it validated, so their assumed entries are the truth
-    native = NativeDfa(tables.dfa)
-    e = int(entries_assumed[first_bad])
-    c = first_bad
+    e = entry_fb
+    c = fb
     while c < C:
         lo = c * K
         hi = min(lo + K, n)
@@ -345,37 +369,31 @@ def spec_count_bytes(tables, data_np, chunk_len=DEFAULT_K,
     state0[0, 0] = entry_state * ncls
     j0[0, 0] = W
 
-    outs = _spec_scan(
+    bad_tail = (C - 1) if C * K > n and (n - (C - 1) * K) != K else -1
+    summary, packed = _spec_scan(
         data if isinstance(data, jax.Array) else jnp.asarray(data),
         jnp.asarray(state0.reshape(B, G, 8, 128)),
         jnp.asarray(j0.reshape(B, G, 8, 128)),
-        tables.fused_vec, J=J, W=W, CPW=tables.cpw,
-        BITS=tables.bits, COUNT=True)
-    outs = np.asarray(outs).astype(np.int64)
+        tables.fused_vec, jnp.int32(C), jnp.int32(bad_tail),
+        J=J, W=W, CPW=tables.cpw, BITS=tables.bits, COUNT=True)
+    summ = np.asarray(summary).astype(np.int64)
+    if bool(summ[0]):
+        # every chunk validated: in COUNT mode fb saturates past C, so
+        # the prefix sum covers the whole corpus
+        return int(summ[6]) // ncls, int(summ[7])
+
+    # repair from the first speculation miss (or ragged tail)
+    raw = np.frombuffer(data_np, dtype=np.uint8) \
+        if not isinstance(data_np, np.ndarray) else data_np
+    fb = int(summ[1])
+    total = int(summ[7])          # counts of the validated prefix
+    native = NativeDfa(tables.dfa)
+    outs = np.asarray(packed).astype(np.int64)
     phi = outs[0].reshape(B * G * TILE)[:C]
     cnt = (outs[1] | (outs[3] << 8)).reshape(B * G * TILE)[:C]
     swarm = outs[2].reshape(B * G * TILE)[:C]
-
-    raw = np.frombuffer(data_np, dtype=np.uint8) \
-        if not isinstance(data_np, np.ndarray) else data_np
-    e0 = entry_state * ncls
-    entries_assumed = np.empty(C, dtype=np.int64)
-    entries_assumed[0] = e0
-    if C > 1:
-        entries_assumed[1:] = phi[:-1]
-    sizes_ok = np.full(C, True)
-    if C * K > n:
-        sizes_ok[-1] = (n - (C - 1) * K) == K
-    ok = (swarm == entries_assumed) & sizes_ok
-    if ok.all():
-        return int(phi[-1]) // ncls, int(cnt.sum())
-
-    # sequential repair from the first discrepancy
-    first_bad = int(np.argmax(~ok))
-    total = int(cnt[:first_bad].sum())
-    native = NativeDfa(tables.dfa)
-    e = int(entries_assumed[first_bad])
-    c = first_bad
+    e = int(summ[2])
+    c = fb
     while c < C:
         lo = c * K
         hi = min(lo + K, n)

@@ -67,3 +67,18 @@ def test_spec_count_matches_native():
     assert got == exp, (got, exp)
     _, st2 = native.count(data, 0)
     assert st == st2
+
+
+def test_spec_count_exact_multiple_length():
+    # corpus length an exact multiple of chunk_len: no ragged tail, so
+    # the all-valid fast path (device prefix sum) is what returns
+    from sregex_tpu.ops.pallas_scan import spec_count_bytes
+    ast, _ = parse("ab")
+    dfa = build_dfa(compile_regex(ast))
+    tables = SpecTables(dfa)
+    native = NativeDfa(dfa)
+    data = (b"ab" * 120)  # 240 = one full chunk at chunk_len=240
+    # chunk_len quantized to 240 for 4-bit packing (CPW*WPI=16 -> 240)
+    exp, _ = native.count(data, 0)
+    st, got = spec_count_bytes(tables, data, chunk_len=240)
+    assert got == exp, (got, exp)
