@@ -109,9 +109,16 @@ class Scanner:
         self.use_device = use_device
         self._native = None
         self._tables = None
+        self._spec = None
         if self.dfa is not None:
             from .native import NativeDfa
             self._native = NativeDfa(self.dfa)
+            if use_device:
+                try:
+                    from .ops.pallas_scan import SpecTables
+                    self._spec = SpecTables(self.dfa)
+                except ValueError:
+                    self._spec = None   # automaton too large
         # prefer the C++ Pike engine for capture resolution
         self._pike_nprog = None
         try:
@@ -127,10 +134,19 @@ class Scanner:
             return NativePikeCtx(self._pike_nprog)
         return PikeCtx(self.program)
 
+    DEVICE_THRESHOLD = 4 << 20   # below this the host engine wins
+
+    def _scan_first(self, data):
+        if self._spec is not None and len(data) >= self.DEVICE_THRESHOLD:
+            from .ops.pallas_scan import spec_scan_bytes
+            state, first = spec_scan_bytes(self._spec, data)
+            return first, state
+        return self._native.scan_first(data, 0)
+
     def match(self, data):
         if self.dfa is None:
             return self.find(data) is not None
-        first, state = self._native.scan_first(data, 0)
+        first, state = self._scan_first(data)
         if first >= 0:
             return True
         return bool(self.dfa.match_eof[state])
@@ -139,7 +155,11 @@ class Scanner:
         """Number of match-ending boundaries (including EOF)."""
         if self.dfa is None:
             raise NotImplementedError("pattern too large for DFA")
-        c, state = self._native.count(data, 0)
+        if self._spec is not None and len(data) >= self.DEVICE_THRESHOLD:
+            from .ops.pallas_scan import spec_count_bytes
+            state, c = spec_count_bytes(self._spec, data)
+        else:
+            c, state = self._native.count(data, 0)
         if self.dfa.match_eof[state]:
             c += 1
         return c
@@ -148,7 +168,7 @@ class Scanner:
         """Leftmost-first match with captures (Pike semantics)."""
         if self.dfa is not None:
             # DFA prefilter: no match end anywhere => no match at all
-            first, state = self._native.scan_first(data, 0)
+            first, state = self._scan_first(data)
             if first < 0 and not self.dfa.match_eof[state]:
                 return None
         ctx = self._pike_ctx()

@@ -88,3 +88,30 @@ def test_multi_pattern_scanner():
     sc = compile_pattern([b"foo", b"bar"])
     rid, ov = sc.find(b"xx bar foo")
     assert rid == 1 and (ov[0], ov[1]) == (3, 6)
+
+
+def test_scanner_device_paths():
+    # exercise the device-backed match/count through the public API
+    # (pallas kernel in interpreter mode on CPU); force a tiny
+    # threshold so small corpora take the device path
+    sc = Scanner(compile_pattern("ab").program, use_device=True)
+    if sc._spec is None:
+        pytest.skip("pattern too large for the spec kernel")
+    sc.DEVICE_THRESHOLD = 0
+    data = b"xab" * 700
+    assert sc.match(data)
+    assert sc.count(data) == 700
+    assert not Scanner(compile_pattern("zq").program,
+                       use_device=True).match(data)
+
+
+def test_multi_pattern_device_scan():
+    # multi-regex programs compile into one DFA: device count counts
+    # boundaries where ANY pattern matches
+    sc = Scanner(compile_pattern([b"foo", b"bar"]).program,
+                 use_device=True)
+    if sc._spec is None:
+        pytest.skip("combined automaton too large")
+    sc.DEVICE_THRESHOLD = 0
+    data = b"foo bar foo zz" * 100
+    assert sc.count(data) == 300
