@@ -40,6 +40,21 @@ int64_t sre_dfa_scan_first(const int32_t* fused, const uint8_t* data,
     return -1;
 }
 
+// Scan recording the LAST boundary (0..n-1) at which a match ends;
+// returns it (or -1) and carries the state across the whole buffer.
+int64_t sre_dfa_scan_last(const int32_t* fused, const uint8_t* data,
+                          int64_t n, int32_t* state_io) {
+    int32_t s = *state_io;
+    int64_t last = -1;
+    for (int64_t i = 0; i < n; i++) {
+        int32_t e = fused[(s << 8) | data[i]];
+        if (e >> kMatchShift) last = i;
+        s = e & kStateMask;
+    }
+    *state_io = s;
+    return last;
+}
+
 // Count every boundary (0..n-1) at which a match ends; returns the
 // count and carries the state.  (The EOF boundary is the caller's.)
 int64_t sre_dfa_count(const int32_t* fused, const uint8_t* data,

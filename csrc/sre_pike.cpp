@@ -359,6 +359,17 @@ void* sre_pike_ctx_create(void* prog_, int64_t* ovector,
     return ctx;
 }
 
+// Initialize the cross-chunk carry so a stream can be entered
+// mid-corpus: absolute position + the seen_newline/seen_word context
+// of the byte immediately before it (sre_vm_pike.c ctx fields).
+void sre_pike_ctx_set_carry(void* ctx_, int64_t processed_bytes,
+                            int32_t seen_newline, int32_t seen_word) {
+    Ctx* ctx = (Ctx*) ctx_;
+    ctx->processed_bytes = processed_bytes;
+    ctx->seen_newline = seen_newline != 0;
+    ctx->seen_word = seen_word != 0;
+}
+
 void sre_pike_ctx_destroy(void* ctx_) {
     Ctx* ctx = (Ctx*) ctx_;
     clear_list(ctx, ctx->clist);

@@ -49,6 +49,9 @@ def get_lib():
                                            i32p]
         lib.sre_dfa_count.restype = ctypes.c_int64
         lib.sre_dfa_count.argtypes = [i32p, u8p, ctypes.c_int64, i32p]
+        lib.sre_dfa_scan_last.restype = ctypes.c_int64
+        lib.sre_dfa_scan_last.argtypes = [i32p, u8p, ctypes.c_int64,
+                                          i32p]
         lib.sre_dfa_transfer.restype = None
         lib.sre_dfa_transfer.argtypes = [i32p, ctypes.c_int32, u8p,
                                          ctypes.c_int64, i32p, i64p]
@@ -98,6 +101,25 @@ class NativeDfa:
                 return i, s
             s = e & 0xFFFFF
         return -1, s
+
+    def scan_last(self, data, state=0):
+        """Returns (last_match_boundary or -1, state_after_buffer)."""
+        buf = np.frombuffer(data, dtype=np.uint8) \
+            if not isinstance(data, np.ndarray) else data
+        if self.lib is not None:
+            st = np.array([state], dtype=np.int32)
+            r = self.lib.sre_dfa_scan_last(
+                _i32p(self.fused), _u8p(buf), len(buf), _i32p(st))
+            return int(r), int(st[0])
+        s = state
+        last = -1
+        fused = self.fused
+        for i, b in enumerate(buf):
+            e = fused[s, b]
+            if e >> 20:
+                last = i
+            s = e & 0xFFFFF
+        return last, s
 
     def count(self, data, state=0):
         """Count match-ending boundaries inside data (EOF excluded).

@@ -56,6 +56,10 @@ def get_lib():
                                             ctypes.c_int32]
         lib.sre_pike_ctx_destroy.restype = None
         lib.sre_pike_ctx_destroy.argtypes = [ctypes.c_void_p]
+        lib.sre_pike_ctx_set_carry.restype = None
+        lib.sre_pike_ctx_set_carry.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32]
         lib.sre_pike_exec.restype = ctypes.c_int64
         lib.sre_pike_exec.argtypes = [
             ctypes.c_void_p, u8p, ctypes.c_int64, ctypes.c_int32,
@@ -170,6 +174,13 @@ class NativePikeCtx:
             self.nprog.handle,
             self._ovec.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             ovecsize)
+
+    def set_carry(self, processed_bytes, seen_newline, seen_word):
+        """Enter a stream mid-corpus: absolute position plus the
+        newline/word context of the preceding byte."""
+        self.nprog.lib.sre_pike_ctx_set_carry(
+            self.handle, processed_bytes, 1 if seen_newline else 0,
+            1 if seen_word else 0)
 
     def exec(self, input_, eof, want_pending=False):
         if input_ is None:

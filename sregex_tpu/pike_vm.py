@@ -112,6 +112,14 @@ class PikeCtx:
 
         self._prefilter_tbl = None  # lazy 256-byte translate table
 
+    def set_carry(self, processed_bytes, seen_newline, seen_word):
+        """Enter a stream mid-corpus: absolute position plus the
+        newline/word context of the preceding byte (the ctx carry
+        fields of sre_vm_pike.c:47-76)."""
+        self.processed_bytes = processed_bytes
+        self.seen_newline = bool(seen_newline)
+        self.seen_word = bool(seen_word)
+
     # -- add_thread (sre_vm_pike_add_thread, sre_vm_pike.c:756-942) ---
 
     def _add_thread(self, lst, pc0, cap0, pos, want_pcap):

@@ -23,7 +23,7 @@ end — the DFA is the filter, Pike is the resolver.
 
 import numpy as np
 
-from .consts import SRE_OK, SRE_AGAIN, SRE_DECLINED, SRE_ERROR
+from .consts import SRE_OK, SRE_AGAIN, SRE_DECLINED, SRE_ERROR, sre_isword
 from .dfa import build_dfa, DfaTooLarge
 from .pike_vm import PikeCtx
 
@@ -100,8 +100,9 @@ class Scanner:
                         protocol, including empty-match handling)
     """
 
-    def __init__(self, prog, use_device=False):
+    def __init__(self, prog, use_device=False, ast=None):
         self.program = prog
+        self.ast = ast
         try:
             self.dfa = build_dfa(prog)
         except DfaTooLarge:
@@ -119,6 +120,9 @@ class Scanner:
                     self._spec = SpecTables(self.dfa)
                 except ValueError:
                     self._spec = None   # automaton too large
+        # reverse automaton (lazy): locates match STARTS by scanning
+        # backwards, so find() only simulates the match region
+        self._rev = False
         # prefer the C++ Pike engine for capture resolution
         self._pike_nprog = None
         try:
@@ -164,13 +168,55 @@ class Scanner:
             c += 1
         return c
 
+    def _rev_dfa(self):
+        if self._rev is False:
+            self._rev = None
+            if self.ast is not None:
+                try:
+                    from .reverse import reverse_wrapped_ast
+                    from .compiler import compile_regex
+                    from .native import NativeDfa
+                    rprog = compile_regex(reverse_wrapped_ast(self.ast))
+                    self._rev = NativeDfa(build_dfa(rprog))
+                except (DfaTooLarge, ValueError):
+                    self._rev = None
+        return self._rev
+
     def find(self, data):
-        """Leftmost-first match with captures (Pike semantics)."""
+        """Leftmost-first match with captures (Pike semantics).
+
+        Fast path: the forward DFA proves a match exists, a REVERSE
+        automaton scan of the reversed corpus locates the winner's
+        start (the leftmost-first winner starts at the minimal start
+        of any completed match), and the Pike engine resolves exact
+        captures from there with the proper seen_word/seen_newline
+        carry — only the match region is thread-simulated.
+        """
+        n = len(data)
         if self.dfa is not None:
             # DFA prefilter: no match end anywhere => no match at all
             first, state = self._scan_first(data)
             if first < 0 and not self.dfa.match_eof[state]:
                 return None
+            rev = self._rev_dfa()
+            if rev is not None:
+                q, rstate = rev.scan_last(data[::-1], 0)
+                if rev.match_eof[rstate]:
+                    s_star = 0            # a match starts at offset 0
+                elif q >= 0:
+                    s_star = n - q
+                else:
+                    s_star = None         # shouldn't happen; fall back
+                if s_star is not None:
+                    ctx = self._pike_ctx()
+                    if s_star > 0:
+                        prev = data[s_star - 1]
+                        ctx.set_carry(s_star, prev == 10,
+                                      sre_isword(prev))
+                    rc, _ = ctx.exec(data[s_star:], True)
+                    if rc >= 0:
+                        return rc, [int(v) for v in ctx.ovector]
+                    return None
         ctx = self._pike_ctx()
         rc, _ = ctx.exec(data, True)
         if rc < 0:
@@ -206,4 +252,4 @@ def compile_pattern(pattern, flags=0):
                              if isinstance(flags, int) else flags)
     else:
         ast, _ = parse(pattern, flags)
-    return Scanner(compile_regex(ast))
+    return Scanner(compile_regex(ast), ast=ast)

@@ -115,3 +115,28 @@ def test_multi_pattern_device_scan():
     sc.DEVICE_THRESHOLD = 0
     data = b"foo bar foo zz" * 100
     assert sc.count(data) == 300
+
+
+@pytest.mark.parametrize("pattern,data", [
+    ("a|ba", b"zzba zz"),
+    ("ab|b", b"xxabxx"),
+    (r"\bcat\b", b"scatter cat s"),
+    ("^line", b"text\nline two"),
+    (r"end$", b"the end\nmore end"),
+    (r"(\w+)@(\w+)", b"big haystack " * 50 + b"user@host tail"),
+    (r"\Astart", b"start here"),
+    (r"tail\z", b"x tail"),
+    ("(a+)(b+)?", b"zzzaab"),
+    ("nomatch", b"hay hay"),
+])
+def test_find_fast_equals_full_pike(pattern, data):
+    # the reverse-scan fast path must give exactly the full-engine span
+    sc = compile_pattern(pattern)
+    fast = sc.find(data)
+    ctx = sc._pike_ctx()
+    rc, _ = ctx.exec(data, True)
+    full = None if rc < 0 else (rc, [int(v) for v in ctx.ovector])
+    assert fast == full, "%r: fast %r != full %r" % (pattern, fast, full)
+    # and the reverse path really engaged for matching cases
+    if full is not None:
+        assert sc._rev_dfa() is not None
