@@ -170,6 +170,8 @@ def _spec_scan(data, state0, j0, fused_vec, C, bad_tail, *, J, W, CPW,
       [0] all_ok  [1] first_bad  [2] entry@first_bad  [3] phi@first_bad
       [4] swarm@first_bad  [5] fm@first_bad  [6] phi@C-1
       [7] sum(fm[0:first_bad])  (the valid-prefix count, COUNT mode)
+      [8] last firing chunk in the validated prefix (-1 none)
+      [9] entry @ that chunk
     The packed array is the full per-chunk data for the (rare) repair
     path: (phi, fm-lo, swarm, fm-hi)."""
     B = data.shape[0]
@@ -216,10 +218,14 @@ def _spec_scan(data, state0, j0, fused_vec, C, bad_tail, *, J, W, CPW,
     # when every chunk validated, the "prefix" is the whole corpus
     fb_eff = jnp.where(all_ok, C, fb)
     prefix_cnt = jnp.sum(jnp.where((idx < fb_eff) & (idx < C), fm_f, 0))
+    # last firing chunk within the validated prefix (reverse scans)
+    fire = (fm_f != 0) & (idx < fb_eff) & (idx < C)
+    last_fire = jnp.max(jnp.where(fire, idx, -1)).astype(jnp.int32)
+    lf = jnp.maximum(last_fire, 0)
     summary = jnp.stack([
         all_ok.astype(jnp.int32), fb, entries[fb], phi_f[fb],
         swarm_f[fb], fm_f[fb], phi_f[C - 1],
-        prefix_cnt.astype(jnp.int32)])
+        prefix_cnt.astype(jnp.int32), last_fire, entries[lf]])
     packed = jnp.stack([phi.astype(jnp.uint8),
                         (fm & 0xFF).astype(jnp.uint8),
                         swarm.astype(jnp.uint8),
@@ -406,3 +412,78 @@ def spec_count_bytes(tables, data_np, chunk_len=DEFAULT_K,
             e = st * ncls
         c += 1
     return e // ncls, total
+
+
+def spec_scan_last_bytes(tables, data_np, chunk_len=DEFAULT_K,
+                         entry_state=0, prepared=None):
+    """Find the LAST boundary (0..n-1) at which a match ends (used by
+    the reverse-scan start locator).  Returns (final_state,
+    last_boundary or -1).  Exact via the same speculation validation."""
+    from ..native import NativeDfa
+
+    n = len(data_np)
+    if n == 0:
+        return entry_state, -1
+    W = tables.warmup
+    if prepared is None:
+        prepared = _prepare(tables, data_np, chunk_len)
+    data, C, K, J, B = prepared
+    ncls = tables.ncls
+    G = GROUPS
+
+    state0 = np.zeros((B, G * TILE), dtype=np.int32)
+    j0 = np.zeros((B, G * TILE), dtype=np.int32)
+    state0[0, 0] = entry_state * ncls
+    j0[0, 0] = W
+
+    bad_tail = (C - 1) if C * K > n and (n - (C - 1) * K) != K else -1
+    summary, packed = _spec_scan(
+        data if isinstance(data, jax.Array) else jnp.asarray(data),
+        jnp.asarray(state0.reshape(B, G, 8, 128)),
+        jnp.asarray(j0.reshape(B, G, 8, 128)),
+        tables.fused_vec, jnp.int32(C), jnp.int32(bad_tail),
+        J=J, W=W, CPW=tables.cpw, BITS=tables.bits, COUNT=True)
+    summ = np.asarray(summary).astype(np.int64)
+    raw = np.frombuffer(data_np, dtype=np.uint8) \
+        if not isinstance(data_np, np.ndarray) else data_np
+    native = NativeDfa(tables.dfa)
+
+    if bool(summ[0]):
+        last_fire = int(summ[8])
+        if last_fire < 0:
+            return int(summ[6]) // ncls, -1
+        lo = last_fire * K
+        r, _ = native.scan_last(raw[lo:lo + K].tobytes(),
+                                int(summ[9]) // ncls)
+        return int(summ[6]) // ncls, lo + r
+
+    # repair path: walk from the first discrepancy, tracking the last
+    # fire exactly; the device summary covers the validated prefix
+    fb = int(summ[1])
+    best = -1
+    if int(summ[8]) >= 0:
+        lo = int(summ[8]) * K
+        r, _ = native.scan_last(raw[lo:lo + K].tobytes(),
+                                int(summ[9]) // ncls)
+        best = lo + r
+    outs = np.asarray(packed).astype(np.int64)
+    phi = outs[0].reshape(B * G * TILE)[:C]
+    cnt = (outs[1] | (outs[3] << 8)).reshape(B * G * TILE)[:C]
+    swarm = outs[2].reshape(B * G * TILE)[:C]
+    e = int(summ[2])
+    c = fb
+    while c < C:
+        lo = c * K
+        hi = min(lo + K, n)
+        if swarm[c] == e and hi - lo == K:
+            if cnt[c]:
+                r, _ = native.scan_last(raw[lo:hi].tobytes(), e // ncls)
+                best = lo + r
+            e = int(phi[c])
+        else:
+            r, st = native.scan_last(raw[lo:hi].tobytes(), e // ncls)
+            if r >= 0:
+                best = lo + r
+            e = st * ncls
+        c += 1
+    return e // ncls, best

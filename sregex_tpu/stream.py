@@ -171,13 +171,21 @@ class Scanner:
     def _rev_dfa(self):
         if self._rev is False:
             self._rev = None
+            self._rev_spec = None
             if self.ast is not None:
                 try:
                     from .reverse import reverse_wrapped_ast
                     from .compiler import compile_regex
                     from .native import NativeDfa
                     rprog = compile_regex(reverse_wrapped_ast(self.ast))
-                    self._rev = NativeDfa(build_dfa(rprog))
+                    rdfa = build_dfa(rprog)
+                    self._rev = NativeDfa(rdfa)
+                    if self.use_device:
+                        try:
+                            from .ops.pallas_scan import SpecTables
+                            self._rev_spec = SpecTables(rdfa)
+                        except ValueError:
+                            pass
                 except (DfaTooLarge, ValueError):
                     self._rev = None
         return self._rev
@@ -200,7 +208,14 @@ class Scanner:
                 return None
             rev = self._rev_dfa()
             if rev is not None:
-                q, rstate = rev.scan_last(data[::-1], 0)
+                rdata = data[::-1]
+                if (self._rev_spec is not None
+                        and n >= self.DEVICE_THRESHOLD):
+                    from .ops.pallas_scan import spec_scan_last_bytes
+                    rstate, q = spec_scan_last_bytes(self._rev_spec,
+                                                     rdata)
+                else:
+                    q, rstate = rev.scan_last(rdata, 0)
                 if rev.match_eof[rstate]:
                     s_star = 0            # a match starts at offset 0
                 elif q >= 0:

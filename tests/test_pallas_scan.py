@@ -82,3 +82,18 @@ def test_spec_count_exact_multiple_length():
     exp, _ = native.count(data, 0)
     st, got = spec_count_bytes(tables, data, chunk_len=240)
     assert got == exp, (got, exp)
+
+
+def test_spec_scan_last_matches_native():
+    from sregex_tpu.ops.pallas_scan import spec_scan_last_bytes
+    ast, _ = parse("ab")
+    dfa = build_dfa(compile_regex(ast))
+    tables = SpecTables(dfa)
+    native = NativeDfa(dfa)
+    rng = random.Random(11)
+    for n in (100, 3000, 4800):
+        data = bytes(rng.choice(b"aabbc") for _ in range(n))
+        exp, est = native.scan_last(data, 0)
+        st, got = spec_scan_last_bytes(tables, data, chunk_len=240)
+        assert got == exp, (n, got, exp)
+        assert st == est

@@ -140,3 +140,20 @@ def test_find_fast_equals_full_pike(pattern, data):
     # and the reverse path really engaged for matching cases
     if full is not None:
         assert sc._rev_dfa() is not None
+
+
+def test_find_device_reverse_path():
+    # both forward and reverse scans on the (interpreted) device path
+    sc = Scanner(compile_pattern(rb"u@h").program, use_device=True,
+                 ast=None)
+    # ast=None disables the fast path; build a proper one instead
+    from sregex_tpu import parse, compile_regex
+    ast, _ = parse(rb"(\w)@(\w)")
+    sc = Scanner(compile_regex(ast), use_device=True, ast=ast)
+    sc.DEVICE_THRESHOLD = 0
+    data = b"hay " * 800 + b"u@h" + b" more" * 10
+    got = sc.find(data)
+    assert got is not None
+    rid, ov = got
+    assert (ov[0], ov[1]) == (3200, 3203)
+    assert sc._rev_spec is not None  # device reverse tables engaged
