@@ -88,6 +88,52 @@ class SpecTables:
         self.class_map = dfa.class_map.astype(np.uint8)
         self.match_eof = dfa.match_eof
 
+    def _scan(self, data, state0, j0, C, bad_tail, J, W, COUNT=False):
+        return _spec_scan(data, state0, j0, self.fused_vec, C,
+                          bad_tail, J=J, W=W, CPW=self.cpw,
+                          BITS=self.bits, COUNT=COUNT)
+
+
+class SpecTablesWide:
+    """Like SpecTables but for automata with 128 < S*ncls <= 1024: the
+    fused table spans R <= 8 lane rows and the kernel selects the row
+    by the index's high bits (R gathers + selects per byte).  Slower
+    per byte than the narrow kernel but still orders of magnitude
+    above the scalar XLA fallback."""
+
+    def __init__(self, dfa):
+        S, ncls = dfa.nstates, dfa.nclasses
+        if ncls > 16:
+            raise ValueError("more than 16 byte classes (%d)" % ncls)
+        if S * ncls > 1024:
+            raise ValueError("automaton too large for the wide fused "
+                             "table (S*ncls = %d)" % (S * ncls))
+        self.dfa = dfa
+        self.nstates = S
+        self.ncls = ncls
+        self.bits = 4
+        self.cpw = 8
+        self.warmup = 4 * self.cpw
+        self.rows = -(-(S * ncls) // 128)
+        fused = np.zeros(self.rows * 128, dtype=np.int32)
+        for st in range(S):
+            for c in range(ncls):
+                nxt = int(dfa.trans[st, c]) * ncls
+                m = int(dfa.match[st, c]) << _MATCH_SHIFT
+                fused[st * ncls + c] = nxt | m
+        rows = fused.reshape(self.rows, 128)
+        self.fused_rows = jnp.asarray(np.ascontiguousarray(
+            np.broadcast_to(rows[:, None, :],
+                            (self.rows, 8, 128)).copy()))
+        self.class_map = dfa.class_map.astype(np.uint8)
+        self.match_eof = dfa.match_eof
+
+    def _scan(self, data, state0, j0, C, bad_tail, J, W, COUNT=False):
+        return _spec_scan_wide(data, state0, j0, self.fused_rows, C,
+                               bad_tail, J=J, W=W, CPW=self.cpw,
+                               BITS=self.bits, COUNT=COUNT,
+                               R=self.rows)
+
 
 def _kernel(data_ref, state0_ref, j0_ref, fused_ref,
             phi_ref, fm_ref, swarm_ref, *, J, W, CPW, BITS,
@@ -156,6 +202,156 @@ def _kernel(data_ref, state0_ref, j0_ref, fused_ref,
             fm_ref[0, g] = maccs[g] >> _MATCH_SHIFT  # any-match flag
 
 
+def _kernel_wide(data_ref, state0_ref, j0_ref, fused_ref,
+                 phi_ref, fm_ref, swarm_ref, *, J, W, CPW, BITS, R,
+                 COUNT=False):
+    """Wide-table variant: fused_ref [R, 8, 128]; the gather row is
+    selected by the high bits of the (premultiplied state + class)
+    index."""
+    G = GROUPS
+    CMASK = (1 << BITS) - 1
+    frows = [fused_ref[r] for r in range(R)]
+
+    def lookup(idx):
+        lane = idx & 127
+        hi = idx >> 7
+        e = jnp.take_along_axis(frows[0], lane, axis=1)
+        for r in range(1, R):
+            er = jnp.take_along_axis(frows[r], lane, axis=1)
+            e = jnp.where(hi == r, er, e)
+        return e
+
+    j0 = j0_ref[0]
+
+    def warm_step(wi, states):
+        words = [data_ref[0, wi, g] for g in range(G)]
+        for b in range(CPW):
+            j = wi * CPW + b
+            rows = [(words[g] >> (BITS * b)) & CMASK
+                    for g in range(G)]
+            es = [lookup(states[g] + rows[g]) for g in range(G)]
+            states = tuple(
+                jnp.where(j >= j0_ref[0, g], es[g] & _STATE_MASK,
+                          states[g])
+                for g in range(G))
+        return states
+
+    states = tuple(state0_ref[0, g] for g in range(G))
+    states = lax.fori_loop(0, W // CPW, warm_step, states)
+    for g in range(G):
+        swarm_ref[0, g] = states[g]
+
+    WPI = WORDS_PER_ITER
+
+    def step(it, carry):
+        states, maccs = carry
+        base = W // CPW + it * WPI
+        slab = data_ref[0, pl.ds(base, WPI)]
+        for w in range(WPI):
+            words = [slab[w, g] for g in range(G)]
+            for b in range(CPW):
+                rows = [(words[g] >> (BITS * b)) & CMASK
+                        for g in range(G)]
+                es = [lookup(states[g] + rows[g]) for g in range(G)]
+                if COUNT:
+                    maccs = tuple(maccs[g] + (es[g] >> _MATCH_SHIFT)
+                                  for g in range(G))
+                else:
+                    maccs = tuple(maccs[g] | es[g] for g in range(G))
+                states = tuple(es[g] & _STATE_MASK for g in range(G))
+        return states, maccs
+
+    z = jnp.zeros((8, 128), jnp.int32)
+    maccs = tuple(z for _ in range(G))
+    n_iter = (J - W) // (CPW * WPI)
+    states, maccs = lax.fori_loop(0, n_iter, step, (states, maccs))
+    for g in range(G):
+        phi_ref[0, g] = states[g]
+        if COUNT:
+            fm_ref[0, g] = maccs[g]
+        else:
+            fm_ref[0, g] = maccs[g] >> _MATCH_SHIFT
+
+
+def _summarize(phi, fm, swarm, state0, C, bad_tail, COUNT):
+    """Shared post-kernel summary (see _spec_scan docstring)."""
+    Cp = phi.size
+    phi_f = phi.reshape(Cp)
+    fm_f = fm.reshape(Cp)
+    swarm_f = swarm.reshape(Cp)
+    e0 = state0.reshape(Cp)[0]
+    entries = jnp.concatenate([e0[None], phi_f[:-1]])
+    idx = jnp.arange(Cp, dtype=jnp.int32)
+    okv = swarm_f == entries
+    if not COUNT:
+        okv = okv & (fm_f == 0)
+    okv = (okv | (idx >= C)) & (idx != bad_tail)
+    all_ok = jnp.all(okv)
+    fb = jnp.argmin(okv.astype(jnp.int32)).astype(jnp.int32)
+    fb_eff = jnp.where(all_ok, C, fb)
+    prefix_cnt = jnp.sum(jnp.where((idx < fb_eff) & (idx < C), fm_f, 0))
+    fire = (fm_f != 0) & (idx < fb_eff) & (idx < C)
+    last_fire = jnp.max(jnp.where(fire, idx, -1)).astype(jnp.int32)
+    lf = jnp.maximum(last_fire, 0)
+    summary = jnp.stack([
+        all_ok.astype(jnp.int32), fb, entries[fb], phi_f[fb],
+        swarm_f[fb], fm_f[fb], phi_f[C - 1],
+        prefix_cnt.astype(jnp.int32), last_fire, entries[lf]])
+    packed = jnp.stack([phi.astype(jnp.uint8),
+                        (fm & 0xFF).astype(jnp.uint8),
+                        swarm.astype(jnp.uint8),
+                        ((fm >> 8) & 0xFF).astype(jnp.uint8)])
+    return summary, packed
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("J", "W", "CPW", "BITS", "COUNT",
+                                    "R"))
+def _spec_scan_wide(data, state0, j0, fused_rows, C, bad_tail, *, J,
+                    W, CPW, BITS, R, COUNT=False):
+    """Wide-table counterpart of _spec_scan; fused_rows [R, 8, 128].
+    packed uint8 states only hold 8 bits — wide states may exceed 255,
+    so packed planes carry (value & 0xFF) | plane3 high bits: here we
+    use int16-split (lo in plane 0 is phi low byte...).  To keep the
+    repair path exact for wide automata the packed planes carry
+    phi/swarm SPLIT across planes: [phi_lo, fm_lo, swarm_lo, fm_hi]
+    plus [phi_hi, swarm_hi] folded into spare bits of fm planes is
+    overly clever — instead wide mode returns full int32 arrays (the
+    repair path is rare and wide automata are not the benchmark
+    path)."""
+    B = data.shape[0]
+    G = GROUPS
+    Jw = J // CPW
+    kernel = functools.partial(_kernel_wide, J=J, W=W, CPW=CPW,
+                               BITS=BITS, R=R, COUNT=COUNT)
+    interpret = jax.default_backend() == "cpu"
+    small = pl.BlockSpec((1, G, 8, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    phi, fm, swarm = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Jw, G, 8, 128),
+                         lambda i: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            small, small,
+            pl.BlockSpec((R, 8, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[small, small, small],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(data, state0, j0, fused_rows)
+    summary, _packed8 = _summarize(phi, fm, swarm, state0, C,
+                                   bad_tail, COUNT)
+    packed = jnp.stack([phi, fm, swarm])   # int32; wide states > 255
+    return summary, packed
+
+
 @functools.partial(jax.jit,
                    static_argnames=("J", "W", "CPW", "BITS", "COUNT"))
 def _spec_scan(data, state0, j0, fused_vec, C, bad_tail, *, J, W, CPW,
@@ -202,35 +398,22 @@ def _spec_scan(data, state0, j0, fused_vec, C, bad_tail, *, J, W, CPW,
         interpret=interpret,
     )(data, state0, j0, fused_vec)
 
-    Cp = phi.size
-    phi_f = phi.reshape(Cp)
-    fm_f = fm.reshape(Cp)
-    swarm_f = swarm.reshape(Cp)
-    e0 = state0.reshape(Cp)[0]
-    entries = jnp.concatenate([e0[None], phi_f[:-1]])
-    idx = jnp.arange(Cp, dtype=jnp.int32)
-    okv = swarm_f == entries
-    if not COUNT:
-        okv = okv & (fm_f == 0)
-    okv = (okv | (idx >= C)) & (idx != bad_tail)
-    all_ok = jnp.all(okv)
-    fb = jnp.argmin(okv.astype(jnp.int32)).astype(jnp.int32)
-    # when every chunk validated, the "prefix" is the whole corpus
-    fb_eff = jnp.where(all_ok, C, fb)
-    prefix_cnt = jnp.sum(jnp.where((idx < fb_eff) & (idx < C), fm_f, 0))
-    # last firing chunk within the validated prefix (reverse scans)
-    fire = (fm_f != 0) & (idx < fb_eff) & (idx < C)
-    last_fire = jnp.max(jnp.where(fire, idx, -1)).astype(jnp.int32)
-    lf = jnp.maximum(last_fire, 0)
-    summary = jnp.stack([
-        all_ok.astype(jnp.int32), fb, entries[fb], phi_f[fb],
-        swarm_f[fb], fm_f[fb], phi_f[C - 1],
-        prefix_cnt.astype(jnp.int32), last_fire, entries[lf]])
-    packed = jnp.stack([phi.astype(jnp.uint8),
-                        (fm & 0xFF).astype(jnp.uint8),
-                        swarm.astype(jnp.uint8),
-                        ((fm >> 8) & 0xFF).astype(jnp.uint8)])
-    return summary, packed
+    return _summarize(phi, fm, swarm, state0, C, bad_tail, COUNT)
+
+
+def _unpack(outs, C):
+    """Host-side unpack of the repair-path arrays for either packed
+    format (narrow uint8 [4,...] with lo/hi count planes, or wide
+    int32 [3,...])."""
+    outs = np.asarray(outs).astype(np.int64)
+    total = outs.shape[1] * outs.shape[2] * outs.shape[3] * outs.shape[4]
+    phi = outs[0].reshape(total)[:C]
+    swarm = outs[2].reshape(total)[:C]
+    if outs.shape[0] == 4:
+        fmcnt = (outs[1] | (outs[3] << 8)).reshape(total)[:C]
+    else:
+        fmcnt = outs[1].reshape(total)[:C]
+    return phi, fmcnt, swarm
 
 
 def _prepare(tables, data_np, chunk_len):
@@ -304,12 +487,11 @@ def spec_scan_bytes(tables, data_np, chunk_len=DEFAULT_K,
     j0[0, 0] = W
 
     bad_tail = (C - 1) if C * K > n and (n - (C - 1) * K) != K else -1
-    summary, packed = _spec_scan(
+    summary, packed = tables._scan(
         data if isinstance(data, jax.Array) else jnp.asarray(data),
         jnp.asarray(state0.reshape(B, G, 8, 128)),
         jnp.asarray(j0.reshape(B, G, 8, 128)),
-        tables.fused_vec, jnp.int32(C), jnp.int32(bad_tail),
-        J=J, W=W, CPW=tables.cpw, BITS=tables.bits)
+        jnp.int32(C), jnp.int32(bad_tail), J, W)
     # common case: ~32-byte readback; the per-chunk arrays stay on
     # device and are pulled only for the repair path
     summ = np.asarray(summary).astype(np.int64)
@@ -331,10 +513,7 @@ def spec_scan_bytes(tables, data_np, chunk_len=DEFAULT_K,
 
     # general repair (speculation miss / ragged tail): pull the
     # per-chunk arrays and walk sequentially from the discrepancy
-    outs = np.asarray(packed).astype(np.int64)
-    phi = outs[0].reshape(B * G * TILE)[:C]
-    many = outs[1].reshape(B * G * TILE)[:C]
-    swarm = outs[2].reshape(B * G * TILE)[:C]
+    phi, many, swarm = _unpack(packed, C)
     e = entry_fb
     c = fb
     while c < C:
@@ -376,12 +555,11 @@ def spec_count_bytes(tables, data_np, chunk_len=DEFAULT_K,
     j0[0, 0] = W
 
     bad_tail = (C - 1) if C * K > n and (n - (C - 1) * K) != K else -1
-    summary, packed = _spec_scan(
+    summary, packed = tables._scan(
         data if isinstance(data, jax.Array) else jnp.asarray(data),
         jnp.asarray(state0.reshape(B, G, 8, 128)),
         jnp.asarray(j0.reshape(B, G, 8, 128)),
-        tables.fused_vec, jnp.int32(C), jnp.int32(bad_tail),
-        J=J, W=W, CPW=tables.cpw, BITS=tables.bits, COUNT=True)
+        jnp.int32(C), jnp.int32(bad_tail), J, W, COUNT=True)
     summ = np.asarray(summary).astype(np.int64)
     if bool(summ[0]):
         # every chunk validated: in COUNT mode fb saturates past C, so
@@ -394,10 +572,7 @@ def spec_count_bytes(tables, data_np, chunk_len=DEFAULT_K,
     fb = int(summ[1])
     total = int(summ[7])          # counts of the validated prefix
     native = NativeDfa(tables.dfa)
-    outs = np.asarray(packed).astype(np.int64)
-    phi = outs[0].reshape(B * G * TILE)[:C]
-    cnt = (outs[1] | (outs[3] << 8)).reshape(B * G * TILE)[:C]
-    swarm = outs[2].reshape(B * G * TILE)[:C]
+    phi, cnt, swarm = _unpack(packed, C)
     e = int(summ[2])
     c = fb
     while c < C:
@@ -437,12 +612,11 @@ def spec_scan_last_bytes(tables, data_np, chunk_len=DEFAULT_K,
     j0[0, 0] = W
 
     bad_tail = (C - 1) if C * K > n and (n - (C - 1) * K) != K else -1
-    summary, packed = _spec_scan(
+    summary, packed = tables._scan(
         data if isinstance(data, jax.Array) else jnp.asarray(data),
         jnp.asarray(state0.reshape(B, G, 8, 128)),
         jnp.asarray(j0.reshape(B, G, 8, 128)),
-        tables.fused_vec, jnp.int32(C), jnp.int32(bad_tail),
-        J=J, W=W, CPW=tables.cpw, BITS=tables.bits, COUNT=True)
+        jnp.int32(C), jnp.int32(bad_tail), J, W, COUNT=True)
     summ = np.asarray(summary).astype(np.int64)
     raw = np.frombuffer(data_np, dtype=np.uint8) \
         if not isinstance(data_np, np.ndarray) else data_np
@@ -466,10 +640,7 @@ def spec_scan_last_bytes(tables, data_np, chunk_len=DEFAULT_K,
         r, _ = native.scan_last(raw[lo:lo + K].tobytes(),
                                 int(summ[9]) // ncls)
         best = lo + r
-    outs = np.asarray(packed).astype(np.int64)
-    phi = outs[0].reshape(B * G * TILE)[:C]
-    cnt = (outs[1] | (outs[3] << 8)).reshape(B * G * TILE)[:C]
-    swarm = outs[2].reshape(B * G * TILE)[:C]
+    phi, cnt, swarm = _unpack(packed, C)
     e = int(summ[2])
     c = fb
     while c < C:

@@ -115,11 +115,13 @@ class Scanner:
             from .native import NativeDfa
             self._native = NativeDfa(self.dfa)
             if use_device:
-                try:
-                    from .ops.pallas_scan import SpecTables
-                    self._spec = SpecTables(self.dfa)
-                except ValueError:
-                    self._spec = None   # automaton too large
+                from .ops.pallas_scan import SpecTables, SpecTablesWide
+                for cls in (SpecTables, SpecTablesWide):
+                    try:
+                        self._spec = cls(self.dfa)
+                        break
+                    except ValueError:
+                        self._spec = None   # automaton too large
         # reverse automaton (lazy): locates match STARTS by scanning
         # backwards, so find() only simulates the match region
         self._rev = False
@@ -181,11 +183,14 @@ class Scanner:
                     rdfa = build_dfa(rprog)
                     self._rev = NativeDfa(rdfa)
                     if self.use_device:
-                        try:
-                            from .ops.pallas_scan import SpecTables
-                            self._rev_spec = SpecTables(rdfa)
-                        except ValueError:
-                            pass
+                        from .ops.pallas_scan import (SpecTables,
+                                                      SpecTablesWide)
+                        for cls in (SpecTables, SpecTablesWide):
+                            try:
+                                self._rev_spec = cls(rdfa)
+                                break
+                            except ValueError:
+                                pass
                 except (DfaTooLarge, ValueError):
                     self._rev = None
         return self._rev

@@ -97,3 +97,36 @@ def test_spec_scan_last_matches_native():
         st, got = spec_scan_last_bytes(tables, data, chunk_len=240)
         assert got == exp, (n, got, exp)
         assert st == est
+
+
+def test_wide_tables_match_native():
+    from sregex_tpu.ops.pallas_scan import (SpecTablesWide,
+                                            spec_scan_bytes,
+                                            spec_count_bytes,
+                                            spec_scan_last_bytes)
+    # an automaton too large for the narrow table (long counted run:
+    # ~62 states, 3 byte classes)
+    pat = "a{60}b"
+    ast, _ = parse(pat)
+    dfa = build_dfa(compile_regex(ast))
+    assert dfa.nstates * dfa.nclasses > 128
+    with pytest.raises(ValueError):
+        SpecTables(dfa)
+    tables = SpecTablesWide(dfa)
+    native = NativeDfa(dfa)
+    rng = random.Random(3)
+    alphabet = b"aaaaaaab "
+    for trial in range(4):
+        data = bytes(rng.choice(alphabet) for _ in range(3000))
+        if trial >= 2:
+            mid = 1000 + trial
+            data = data[:mid] + b"c" + b"a" * 60 + b"b" + data[mid:]
+        exp_first, est = native.scan_first(data, 0)
+        st, got = spec_scan_bytes(tables, data, chunk_len=240)
+        assert got == exp_first, (trial, got, exp_first)
+        exp_cnt, ecst = native.count(data, 0)
+        cst, cnt = spec_count_bytes(tables, data, chunk_len=240)
+        assert cnt == exp_cnt and cst == ecst
+        exp_last, elst = native.scan_last(data, 0)
+        lst, last = spec_scan_last_bytes(tables, data, chunk_len=240)
+        assert last == exp_last and lst == elst
