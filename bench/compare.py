@@ -90,21 +90,25 @@ def main():
     report_scaled("pike-py", timeit(pike, reps=1), len(small))
 
     if with_device:
-        import jax.numpy as jnp
-        from sregex_tpu.ops.scan import dfa_device_tables, scan_bytes
-        tables = dfa_device_tables(dfa)
-        report("dfa-xla",
-               timeit(lambda: scan_bytes(tables, corpus), reps=2))
-
         from sregex_tpu.ops.pallas_scan import (SpecTables,
+                                                SpecTablesWide,
                                                 spec_scan_bytes,
                                                 _prepare)
-        st = SpecTables(dfa)
+        try:
+            st = SpecTables(dfa)
+        except ValueError:
+            st = SpecTablesWide(dfa)
         prepared = _prepare(st, corpus, 2048)
         report("dfa-pallas",
                timeit(lambda: spec_scan_bytes(st, corpus,
                                               chunk_len=2048,
                                               prepared=prepared)))
+        if "--xla" in sys.argv:
+            from sregex_tpu.ops.scan import (dfa_device_tables,
+                                             scan_bytes)
+            tables = dfa_device_tables(dfa)
+            report("dfa-xla",
+                   timeit(lambda: scan_bytes(tables, corpus), reps=2))
 
 
 if __name__ == "__main__":

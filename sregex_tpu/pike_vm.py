@@ -33,6 +33,7 @@ Semantic fine points replicated exactly (see sre_vm_pike.c):
     the reference's literal use of vector[1] for ends (:692-735)
 """
 
+import os
 from collections import deque
 
 from .consts import (
@@ -71,6 +72,17 @@ class _Thread:
         self.pc = pc
         self.cap = cap
         self.seen_word = seen_word
+
+
+# dd()-style debug tracing (the analog of the reference's compile-time
+# DDEBUG, ddebug.h:13-26): set SREGEX_TRACE=1 to dump per-step thread
+# lists and match events to stderr.  Zero overhead when off.
+_TRACE = os.environ.get("SREGEX_TRACE") == "1"
+
+
+def _dd(fmt, *args):
+    import sys
+    sys.stderr.write("sregex: " + (fmt % args) + "\n")
 
 
 def _in_ranges(ranges, c):
@@ -319,7 +331,13 @@ class PikeCtx:
             self.tag = prog.tag
 
         while spi < size or (eof and spi == size):
+            if _TRACE:
+                _dd("pos %d (abs %d) cur list: %s",
+                    spi, self.processed_bytes + spi,
+                    " ".join(str(t.pc) for t in clist))
             if not clist:
+                if _TRACE:
+                    _dd("clist empty. abort.")
                 break
 
             if prog.leading_bytes and self.seen_start_state:
@@ -412,6 +430,9 @@ class PikeCtx:
                 elif op == OP_MATCH:
                     self.last_matched_pos = cap.vector[1]
                     cap.regex_id = ins.regex_id
+                    if _TRACE:
+                        _dd("matched regex %d at %s", ins.regex_id,
+                            cap.vector[:2])
                     matched = cap
                     clist.clear()
                     goto_step_done = True
