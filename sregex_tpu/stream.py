@@ -46,8 +46,15 @@ class StreamScanner:
 
     def _device_tables(self):
         if self._tables is None:
-            from .ops.scan import dfa_device_tables
-            self._tables = dfa_device_tables(self.dfa)
+            from .ops.pallas_scan import SpecTables, SpecTablesWide
+            for cls in (SpecTables, SpecTablesWide):
+                try:
+                    self._tables = cls(self.dfa)
+                    break
+                except ValueError:
+                    pass
+            if self._tables is None:
+                self._tables = False
         return self._tables
 
     def exec(self, chunk, eof=False):
@@ -62,10 +69,12 @@ class StreamScanner:
             chunk = b""
 
         if len(chunk):
-            if self.use_device and len(chunk) >= self.DEVICE_THRESHOLD:
-                from .ops.scan import scan_bytes
-                state, first = scan_bytes(self._device_tables(), chunk,
-                                          entry_state=self.state)
+            tables = (self._device_tables() if self.use_device
+                      and len(chunk) >= self.DEVICE_THRESHOLD else None)
+            if tables:
+                from .ops.pallas_scan import spec_scan_bytes
+                state, first = spec_scan_bytes(tables, chunk,
+                                               entry_state=self.state)
                 if first >= 0:
                     end = self.processed_bytes + first
                     self.processed_bytes += len(chunk)

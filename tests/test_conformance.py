@@ -13,6 +13,8 @@ import io
 import os
 import re as pyre
 
+import sys
+
 import pytest
 
 from tblocks import REF_T_DIR, iter_suite, resolve_section
@@ -235,3 +237,17 @@ def test_suite_file(fname, perl_oracle):
     assert not failures, ("%d block failures in %s:\n%s"
                           % (len(failures), fname,
                              "\n---\n".join(failures[:5])))
+
+
+def test_fuzz_differential_smoke():
+    """Short randomized differential run against the reference binary
+    (dev machines; skipped when it is absent)."""
+    import subprocess
+    if not os.path.exists("/tmp/refbuild/sregex-cli"):
+        pytest.skip("reference binary not built")
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__),
+                      "fuzz_differential.py"), "120", "5"],
+        capture_output=True, timeout=240)
+    assert r.returncode == 0, r.stdout.decode()[-2000:]

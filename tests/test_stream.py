@@ -157,3 +157,13 @@ def test_find_device_reverse_path():
     rid, ov = got
     assert (ov[0], ov[1]) == (3200, 3203)
     assert sc._rev_spec is not None  # device reverse tables engaged
+
+
+def test_stream_scanner_device_backend():
+    ast, _ = parse("needle")
+    dfa = build_dfa(compile_regex(ast))
+    s = StreamScanner(dfa, use_device=True)
+    s.DEVICE_THRESHOLD = 0
+    data = b"hay " * 500 + b"needle" + b" hay" * 100
+    rc, end = s.exec(data, eof=True)
+    assert rc == SRE_OK and end == 2006
