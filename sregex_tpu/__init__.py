@@ -29,6 +29,7 @@ from .pike_vm import PikeCtx, pike_create_ctx
 from .thompson_vm import ThompsonCtx, thompson_create_ctx
 from .ast_nodes import dump_str as dump_ast
 from .bytecode import dump_program
+from .stream import compile_pattern, Scanner, StreamScanner
 
 __version__ = "0.1.0"
 
@@ -38,4 +39,5 @@ __all__ = [
     "parse", "parse_multi", "ParseError", "compile_regex",
     "PikeCtx", "pike_create_ctx", "ThompsonCtx", "thompson_create_ctx",
     "dump_ast", "dump_program",
+    "compile_pattern", "Scanner", "StreamScanner",
 ]

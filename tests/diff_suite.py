@@ -62,6 +62,10 @@ def run_ref(argv_tail, stdin):
 
 
 def main():
+    if not os.path.exists(REF_CLI):
+        print("reference binary not found at %s; build it first "
+              "(see CLAUDE.md)" % REF_CLI)
+        return 0
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     mask_jit = "--mask-jit" in sys.argv
     verbose = "-v" in sys.argv
