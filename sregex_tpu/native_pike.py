@@ -36,7 +36,8 @@ def get_lib():
             if (not os.path.exists(_SO)
                     or os.path.getmtime(_SO) < os.path.getmtime(_CSRC)):
                 subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _CSRC],
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                     "-o", _SO, _CSRC],
                     check=True, capture_output=True)
             lib = ctypes.CDLL(_SO)
         except Exception:
