@@ -350,6 +350,9 @@ void* sre_pike_ctx_create(void* prog_, int64_t* ovector,
     ctx->initial_states_count = 0;
     ctx->ovector = ovector;
     ctx->user_ovecsize = ovecsize;
+    ctx->clist.reserve(64);
+    ctx->nlist.reserve(64);
+    ctx->tmp.reserve(16);
     ctx->first_buf = true;
     ctx->seen_start_state = false;
     ctx->eof = false;
