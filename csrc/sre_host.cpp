@@ -101,3 +101,49 @@ int64_t sre_find_first_byte(const uint8_t* accept, const uint8_t* data,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Corpus preparation for the speculative device kernel
+// (sregex_tpu/ops/pallas_scan.py): class-map each byte, window each
+// K-byte chunk with W warmup bytes from its predecessor, pack CPW
+// 4-bit classes per int32 word, and lay out
+// [B, J/CPW, G, 8, 128] with chunk c = ((b*G+g)*1024 + lane).
+// One sequential read pass per chunk; parallel over chunks.
+void sre_pack_prepare(const uint8_t* data, int64_t n,
+                      const uint8_t* cmap, int32_t K, int32_t W,
+                      int32_t G, int64_t Cp, int32_t* out) {
+    const int32_t J = W + K;
+    const int32_t Jw = J / 8;
+    const int64_t TILE = 1024;
+    const int64_t stride_w = (int64_t) G * 8 * 128;  // int32 elements
+#pragma omp parallel for schedule(static)
+    for (int64_t c = 0; c < Cp; c++) {
+        const int64_t b = c / (G * TILE);
+        const int64_t r = c % (G * TILE);
+        const int64_t g = r / TILE;
+        const int64_t t = r % TILE;
+        int32_t* base = out + ((b * Jw * G + g) * 8 + t / 128) * 128
+                        + (t % 128);
+        const int64_t pos0 = c * (int64_t) K - W;
+        for (int32_t w = 0; w < Jw; w++) {
+            uint32_t word = 0;
+            const int64_t p0 = pos0 + (int64_t) w * 8;
+            if (p0 >= 0 && p0 + 8 <= n) {
+                for (int k = 0; k < 8; k++) {
+                    word |= (uint32_t) cmap[data[p0 + k]] << (4 * k);
+                }
+            } else {
+                for (int k = 0; k < 8; k++) {
+                    const int64_t p = p0 + k;
+                    if (p >= 0 && p < n) {
+                        word |= (uint32_t) cmap[data[p]] << (4 * k);
+                    }
+                }
+            }
+            base[(int64_t) w * stride_w] = (int32_t) word;
+        }
+    }
+}
+
+}  // extern "C"

@@ -22,9 +22,13 @@ _tried = False
 
 
 def _build():
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-o", _SO, _CSRC]
-    subprocess.run(cmd, check=True, capture_output=True)
+    cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
+           "-fPIC", "-o", _SO, _CSRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        cmd.remove("-fopenmp")
+        subprocess.run(cmd, check=True, capture_output=True)
 
 
 def get_lib():
@@ -57,6 +61,10 @@ def get_lib():
                                          ctypes.c_int64, i32p, i64p]
         lib.sre_find_first_byte.restype = ctypes.c_int64
         lib.sre_find_first_byte.argtypes = [u8p, u8p, ctypes.c_int64]
+        lib.sre_pack_prepare.restype = None
+        lib.sre_pack_prepare.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int64, i32p]
         _lib = lib
         return _lib
 

@@ -434,24 +434,39 @@ def _prepare(tables, data_np, chunk_len):
 
     raw = np.frombuffer(data_np, dtype=np.uint8) \
         if not isinstance(data_np, np.ndarray) else data_np
-    cls = tables.class_map[raw]
 
-    padded = np.zeros(W + Cp * K, dtype=np.uint8)
-    padded[W:W + n] = cls
-    win = sliding_window_view(padded, J)[::K][:Cp]       # [Cp, J] view
-
-    # pack CPW BITS-bit classes per word; chunk c = ((b*G+g)*TILE+t)
-    arr = np.ascontiguousarray(win).reshape(B, G, TILE, J // CPW, CPW)
-    if tables.bits == 4:
-        nib = (arr[..., 0::2] | (arr[..., 1::2] << 4))
-        words = np.ascontiguousarray(nib).view("<u4")[..., 0] \
-            .astype(np.int32)
+    from ..native import get_lib, _u8p, _i32p
+    lib = get_lib()
+    if tables.bits == 4 and lib is not None \
+            and hasattr(lib, "sre_pack_prepare"):
+        # native single-pass prepare (numpy's strided paths are
+        # pathologically slow on large arrays in some environments)
+        packed = np.empty((B, J // CPW, GROUPS, 8, 128),
+                          dtype=np.int32)
+        lib.sre_pack_prepare(_u8p(raw), n, _u8p(tables.class_map),
+                             K, W, GROUPS, Cp,
+                             _i32p(packed.reshape(-1)))
     else:
-        words = arr[..., 0].astype(np.int32).copy()
-        for k in range(1, CPW):
-            words |= arr[..., k].astype(np.int32) << (3 * k)
-    packed = np.ascontiguousarray(words.transpose(0, 3, 1, 2))
-    packed = packed.reshape(B, J // CPW, G, 8, 128)
+        cls = np.frombuffer(
+            raw.tobytes().translate(tables.class_map.tobytes()),
+            dtype=np.uint8)
+        padded = np.zeros(W + Cp * K, dtype=np.uint8)
+        padded[W:W + n] = cls
+        win = sliding_window_view(padded, J)[::K][:Cp]   # [Cp, J] view
+
+        # pack CPW BITS-bit classes/word; chunk c = ((b*G+g)*TILE+t)
+        arr = np.ascontiguousarray(win).reshape(B, G, TILE,
+                                                J // CPW, CPW)
+        if tables.bits == 4:
+            nib = (arr[..., 0::2] | (arr[..., 1::2] << 4))
+            words = np.ascontiguousarray(nib).view("<u4")[..., 0] \
+                .astype(np.int32)
+        else:
+            words = arr[..., 0].astype(np.int32).copy()
+            for k in range(1, CPW):
+                words |= arr[..., k].astype(np.int32) << (3 * k)
+        packed = np.ascontiguousarray(words.transpose(0, 3, 1, 2))
+        packed = packed.reshape(B, J // CPW, G, 8, 128)
     # commit to the device here so repeated scans skip the upload
     dev = jnp.asarray(packed)
     dev.block_until_ready()
