@@ -22,13 +22,20 @@ REF_CLI = "/tmp/refbuild/sregex-cli"
 LITERALS = "abcx "
 CLASS_ESCAPES = [r"\d", r"\w", r"\s", r"\h", r"\v", r"\N"]
 ASSERTS = ["^", "$", r"\b", r"\B", r"\A", r"\z"]
+# lexer-exercising atoms: escapes, odd classes, literal braces
+EXOTIC = [r"\x61", r"\x{62}", r"\o{143}", r"\141", r"\cA",
+          r"\t", r"\n", r"\e", r"\.", r"\*", r"\{", "[]a]",
+          "[a-]", "[-a]", "[\\d-x]", "[\\x61-\\x63]", "[^\\w]",
+          "[\\b]", "{", "a{,2}", "x{99"]
 
 
 def gen_atom(rng, depth):
     r = rng.random()
-    if depth > 3 or r < 0.35:
+    if depth > 3 or r < 0.30:
         c = rng.choice(LITERALS)
         return c if c != " " else r"\ "
+    if r < 0.38:
+        return rng.choice(EXOTIC)
     if r < 0.45:
         return rng.choice(CLASS_ESCAPES)
     if r < 0.52:
