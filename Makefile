@@ -31,4 +31,5 @@ clean:
 asan:
 	g++ -O1 -g -fsanitize=address -shared -fPIC -o csrc/libsrepike_asan.so csrc/sre_pike.cpp
 	g++ -O1 -g -fsanitize=address -shared -fPIC -o csrc/libsrehost_asan.so csrc/sre_host.cpp
-	LD_PRELOAD=$$(gcc -print-file-name=libasan.so) $(PY) tests/asan_stress.py
+	LD_PRELOAD=$$(gcc -print-file-name=libasan.so) \
+	LSAN_OPTIONS=suppressions=lsan.suppress $(PY) tests/asan_stress.py

@@ -73,6 +73,8 @@ struct Thread {
     uint8_t seen_word;
 };
 
+struct AddItem { int32_t pc; Capture* cap; };
+
 struct Ctx {
     Prog* prog;
     uint32_t tag;
@@ -82,6 +84,7 @@ struct Ctx {
     Capture* free_caps;
     int64_t last_matched_pos;
     std::vector<Thread> clist, nlist, tmp;
+    std::vector<AddItem> stack;     // closure worklist (reused)
     std::vector<int32_t> initial_states;
     size_t initial_states_count;
     int64_t* ovector;       // user buffer
@@ -135,8 +138,6 @@ struct Ctx {
     }
 };
 
-struct AddItem { int32_t pc; Capture* cap; };
-
 // epsilon-closure insertion (sre_vm_pike_add_thread,
 // sre_vm_pike.c:756-942); returns RC_OK or RC_DONE (*pcap set)
 static int add_thread(Ctx* ctx, std::vector<Thread>& lst, int32_t pc0,
@@ -145,63 +146,64 @@ static int add_thread(Ctx* ctx, std::vector<Thread>& lst, int32_t pc0,
     Prog* prog = ctx->prog;
     Inst* insts = prog->insts.data();
     const uint32_t tag = ctx->tag;
-    static thread_local std::vector<AddItem> stack;
+    std::vector<AddItem>& stack = ctx->stack;
     stack.clear();
-    stack.push_back({pc0, cap0});
+    int32_t pc = pc0;
+    Capture* cap = cap0;
 
-    // reference discipline: every stack item and every thread owns
-    // exactly one capture reference; the caller's reference to cap0 is
-    // transferred to the initial item
-    while (!stack.empty()) {
-        AddItem it = stack.back();
-        stack.pop_back();
-        Inst& ins = insts[it.pc];
+    // reference discipline: every pending stack item, the in-register
+    // (pc, cap), and every emitted thread own exactly one capture
+    // reference; the caller's reference to cap0 is transferred in.
+    // Single-successor chains (JMP/SAVE/SPLIT-x/entry asserts) are
+    // followed in registers; only SPLIT-y branches touch the stack,
+    // preserving the exact DFS (x-first) priority order.
+    for (;;) {
+        Inst& ins = insts[pc];
         if (ins.tag == tag) {
             // split-y retry quirk (sre_vm_pike.c:770-787)
             if (ins.opcode == OP_SPLIT
                 && insts[ins.y].tag != tag) {
-                if (it.pc == 0) ctx->seen_start_state = true;
-                stack.push_back({ins.y, it.cap});
-            } else {
-                ctx->cap_decr(it.cap);
+                if (pc == 0) ctx->seen_start_state = true;
+                pc = ins.y;
+                continue;
             }
-            continue;
+            ctx->cap_decr(cap);
+            goto next_item;
         }
         ins.tag = tag;
         switch (ins.opcode) {
         case OP_JMP:
-            stack.push_back({ins.x, it.cap});
+            pc = ins.x;
             continue;
         case OP_SPLIT:
-            if (it.pc == 0) ctx->seen_start_state = true;
-            it.cap->ref++;          // two items now share it
-            stack.push_back({ins.y, it.cap});
-            stack.push_back({ins.x, it.cap});
+            if (pc == 0) ctx->seen_start_state = true;
+            cap->ref++;             // two branches now share it
+            stack.push_back({ins.y, cap});
+            pc = ins.x;
             continue;
-        case OP_SAVE: {
-            Capture* c = ctx->cap_update(it.cap, ins.val,
-                                         ctx->processed_bytes + pos);
-            stack.push_back({it.pc + 1, c});
+        case OP_SAVE:
+            cap = ctx->cap_update(cap, ins.val,
+                                  ctx->processed_bytes + pos);
+            pc++;
             continue;
-        }
         case OP_ASSERT: {
             uint8_t seen_word = 0;
             switch (ins.val) {
             case A_BIG_A:
                 if (pos || ctx->processed_bytes) {
-                    ctx->cap_decr(it.cap);
-                    continue;
+                    ctx->cap_decr(cap);
+                    goto next_item;
                 }
-                stack.push_back({it.pc + 1, it.cap});
+                pc++;
                 continue;
             case A_CARET:
                 if ((pos == 0)
                         ? (ctx->processed_bytes && !ctx->seen_newline)
                         : (ctx->buffer[pos - 1] != '\n')) {
-                    ctx->cap_decr(it.cap);
-                    continue;
+                    ctx->cap_decr(cap);
+                    goto next_item;
                 }
-                stack.push_back({it.pc + 1, it.cap});
+                pc++;
                 continue;
             case A_SMALL_B:
             case A_BIG_B:
@@ -211,14 +213,14 @@ static int add_thread(Ctx* ctx, std::vector<Thread>& lst, int32_t pc0,
             default:
                 break;  // postpone lookahead assertions ($, \z)
             }
-            lst.push_back({it.pc, it.cap, seen_word});
-            continue;
+            lst.push_back({pc, cap, seen_word});
+            goto next_item;
         }
         case OP_MATCH:
-            ctx->last_matched_pos = it.cap->vector[1];
-            it.cap->regex_id = ins.val;
+            ctx->last_matched_pos = cap->vector[1];
+            cap->regex_id = ins.val;
             if (want_pcap) {
-                *pcap = it.cap;     // ownership out
+                *pcap = cap;        // ownership out
                 // abandoned branches die with their references
                 while (!stack.empty()) {
                     ctx->cap_decr(stack.back().cap);
@@ -226,14 +228,18 @@ static int add_thread(Ctx* ctx, std::vector<Thread>& lst, int32_t pc0,
                 }
                 return RC_DONE;
             }
-            lst.push_back({it.pc, it.cap, 0});
-            continue;
+            lst.push_back({pc, cap, 0});
+            goto next_item;
         default:
-            lst.push_back({it.pc, it.cap, 0});
-            continue;
+            lst.push_back({pc, cap, 0});
+            goto next_item;
         }
+next_item:
+        if (stack.empty()) return RC_OK;
+        pc = stack.back().pc;
+        cap = stack.back().cap;
+        stack.pop_back();
     }
-    return RC_OK;
 }
 
 static void clear_list(Ctx* ctx, std::vector<Thread>& lst) {
@@ -350,9 +356,11 @@ void* sre_pike_ctx_create(void* prog_, int64_t* ovector,
     ctx->initial_states_count = 0;
     ctx->ovector = ovector;
     ctx->user_ovecsize = ovecsize;
-    ctx->clist.reserve(64);
-    ctx->nlist.reserve(64);
+    size_t n = ctx->prog->insts.size() + 8;
+    ctx->clist.reserve(n);
+    ctx->nlist.reserve(n);
     ctx->tmp.reserve(16);
+    ctx->stack.reserve(2 * n);
     ctx->first_buf = true;
     ctx->seen_start_state = false;
     ctx->eof = false;
