@@ -296,11 +296,17 @@ def main(argv=None, stdin=None, stdout=None, stderr=None, use_dfa=True):
     prog = compile_regex(ast)
     o.out(dump_program(prog))
 
+    # The table engine behind the "jitted thompson" lines is the LAZY
+    # DFA: states materialize per observed byte, so a pathological
+    # pattern costs nothing up front (eager build_dfa could stall for
+    # seconds before the first output line) and no pattern is ever
+    # "disabled" — matching the reference JIT's universality
+    # (sre_vm_thompson_jit.c:39 compiles every program).
     dfa = None
     if use_dfa:
         try:
-            from .dfa import build_dfa
-            dfa = build_dfa(prog)
+            from .dfa import LazyDfa
+            dfa = LazyDfa(prog)
         except Exception:
             dfa = None
 

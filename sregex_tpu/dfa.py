@@ -256,6 +256,130 @@ def build_dfa(prog, max_states=8192):
                class_map)
 
 
+class LazyDfa:
+    """On-demand subset construction: DFA states and transition-row
+    entries materialize only as input bytes demand them (the classic
+    production lazy-DFA approach).  Where eager build_dfa() would blow
+    the state budget (DfaTooLarge) or the latency budget (the CLI must
+    answer fast on pathological patterns), the lazy machine pays only
+    for states the input actually visits — bounded by the input length.
+
+    Covers the same universality contract as the reference's JIT, which
+    compiles *every* program (sre_vm_thompson_jit.c:39): no pattern is
+    ever rejected here.
+
+    Streaming carry: the state id alone (assertion context is folded
+    into states exactly as in build_dfa)."""
+
+    def __init__(self, prog):
+        self.program = prog
+        (self.class_map, self.nclasses, self._class_word,
+         self._class_nl, self._accept) = _byte_classes(prog)
+        start_key = ((0,), _CTX_BOS)
+        self._ids = {start_key: 0}
+        self._keys = [start_key]
+        self._trans = {}      # (sid, cls) -> (next_sid, match_bool)
+        self._eof = {}        # sid -> match_eof bool
+        self._closure_cache = {}
+
+    @property
+    def nstates(self):
+        return len(self._keys)
+
+    def _step(self, sid, c):
+        key = (sid, c)
+        hit = self._trans.get(key)
+        if hit is not None:
+            return hit
+        pending, prev_ctx = self._keys[sid]
+        insts = self.program.insts
+        cw = bool(self._class_word[c])
+        cn = bool(self._class_nl[c])
+        ck = (pending, prev_ctx, cw, cn)
+        res = self._closure_cache.get(ck)
+        if res is None:
+            res = _closure(insts, pending, prev_ctx, cw, cn, False)
+            self._closure_cache[ck] = res
+        consuming, matched = res
+        accept = self._accept
+        nxt = tuple(sorted({pc + 1 for pc in consuming if accept[pc][c]}))
+        nctx = _CTX_WORD if cw else (_CTX_NL if cn else _CTX_OTHER)
+        nkey = (nxt, nctx) if nxt else ((), _CTX_OTHER)
+        nsid = self._ids.get(nkey)
+        if nsid is None:
+            nsid = len(self._keys)
+            self._ids[nkey] = nsid
+            self._keys.append(nkey)
+        hit = (nsid, matched)
+        self._trans[key] = hit
+        return hit
+
+    def match_eof(self, sid):
+        m = self._eof.get(sid)
+        if m is None:
+            pending, prev_ctx = self._keys[sid]
+            _, m = _closure(self.program.insts, pending, prev_ctx,
+                            False, False, True)
+            self._eof[sid] = m
+        return m
+
+    def scan_first(self, data, state=0):
+        """(first match boundary or -1, state after data); boundaries
+        0..n-1 — EOF acceptance is match_eof(state), the caller's."""
+        cmap = self.class_map
+        step = self._step
+        s = state
+        if not isinstance(data, (bytes, bytearray)):
+            data = bytes(data)
+        arr = cmap[np.frombuffer(data, dtype=np.uint8)]
+        for i, c in enumerate(arr):
+            nxt, m = step(s, int(c))
+            if m:
+                return i, s
+            s = nxt
+        return -1, s
+
+    def count(self, data, state=0):
+        """(number of match-ending boundaries in 0..n-1, state after)."""
+        cmap = self.class_map
+        step = self._step
+        s = state
+        if not isinstance(data, (bytes, bytearray)):
+            data = bytes(data)
+        arr = cmap[np.frombuffer(data, dtype=np.uint8)]
+        cnt = 0
+        for c in arr:
+            nxt, m = step(s, int(c))
+            cnt += m
+            s = nxt
+        return cnt, s
+
+    def create_ctx(self):
+        return LazyDfaCtx(self)
+
+
+class LazyDfaCtx:
+    """Streaming ctx over a LazyDfa; same exec protocol as DfaCtx."""
+
+    def __init__(self, lazy):
+        self.lazy = lazy
+        self.state = 0
+
+    def exec(self, input_, eof):
+        if input_ is None:
+            input_ = b""
+        if len(input_):
+            first, s = self.lazy.scan_first(input_, self.state)
+            if first >= 0:
+                return SRE_OK
+            self.state = s
+        if eof:
+            if self.lazy.match_eof(self.state):
+                return SRE_OK
+            return SRE_DECLINED
+        return SRE_AGAIN
+
+
 class DfaCtx:
     """Streaming DFA execution context: the resumable carry is just
     (state, matched_flag) — the dense-table analogue of the Thompson

@@ -310,15 +310,14 @@ def _summarize(phi, fm, swarm, state0, C, bad_tail, COUNT):
 def _spec_scan_wide(data, state0, j0, fused_rows, C, bad_tail, *, J,
                     W, CPW, BITS, R, COUNT=False):
     """Wide-table counterpart of _spec_scan; fused_rows [R, 8, 128].
-    packed uint8 states only hold 8 bits — wide states may exceed 255,
-    so packed planes carry (value & 0xFF) | plane3 high bits: here we
-    use int16-split (lo in plane 0 is phi low byte...).  To keep the
-    repair path exact for wide automata the packed planes carry
-    phi/swarm SPLIT across planes: [phi_lo, fm_lo, swarm_lo, fm_hi]
-    plus [phi_hi, swarm_hi] folded into spare bits of fm planes is
-    overly clever — instead wide mode returns full int32 arrays (the
-    repair path is rare and wide automata are not the benchmark
-    path)."""
+
+    Packed format difference: the narrow kernel packs its repair-path
+    arrays as 4 uint8 planes [phi, count_lo, swarm, count_hi], which
+    assumes states fit 8 bits.  Wide automata have premultiplied states
+    up to 1023, so wide mode instead returns THREE full int32 planes
+    [phi, count, swarm] (stacked on axis 0).  The repair path is rare
+    and wide automata are off the benchmark path, so the 3x readback
+    does not matter; _unpack() dispatches on the plane count."""
     B = data.shape[0]
     G = GROUPS
     Jw = J // CPW
@@ -425,6 +424,9 @@ def _prepare(tables, data_np, chunk_len):
     CPW = tables.cpw
     quantum = CPW * WORDS_PER_ITER
     K = max(quantum, int(chunk_len) // quantum * quantum)
+    if K >= 1 << 16:
+        # per-chunk match counts ride 16 bits in the packed planes
+        raise ValueError("chunk_len must be < 65536 (got %d)" % K)
     W = tables.warmup
     G = GROUPS
     C = max(1, -(-n // K))
@@ -578,8 +580,14 @@ def spec_count_bytes(tables, data_np, chunk_len=DEFAULT_K,
     summ = np.asarray(summary).astype(np.int64)
     if bool(summ[0]):
         # every chunk validated: in COUNT mode fb saturates past C, so
-        # the prefix sum covers the whole corpus
-        return int(summ[6]) // ncls, int(summ[7])
+        # the prefix sum covers the whole corpus.  The device summary
+        # accumulates in int32; past 2**31-1 possible boundaries the
+        # exact total is re-summed on host in int64 from the per-chunk
+        # counts (a ~4*C-byte readback, only for >2 GiB corpora).
+        if n < 2 ** 31:
+            return int(summ[6]) // ncls, int(summ[7])
+        _, cnt, _ = _unpack(packed, C)
+        return int(summ[6]) // ncls, int(np.sum(cnt, dtype=np.int64))
 
     # repair from the first speculation miss (or ragged tail)
     raw = np.frombuffer(data_np, dtype=np.uint8) \

@@ -34,7 +34,12 @@ from jax import lax
 
 _MATCH_SHIFT = 20
 _STATE_MASK = (1 << _MATCH_SHIFT) - 1
-_NO_MATCH = np.int32(2 ** 30)  # +inf sentinel for first-match offsets
+_NO_MATCH = np.int32(2 ** 30)      # +inf sentinel, chunk-RELATIVE offsets
+_NO_MATCH_ABS = np.int64(2 ** 62)  # +inf sentinel, block-ABSOLUTE offsets
+# Chunk-relative first-match offsets are bounded by chunk_len and stay
+# int32; the moment offsets become block-absolute (reduce_summaries,
+# sharded composition) they are widened to int64 so corpora past 2 GiB
+# (and sharded aggregates past any int32 bound) keep exact offsets.
 
 
 def dfa_device_tables(dfa):
@@ -106,8 +111,8 @@ def chunk_transfer(fused_bm, data, valid_len, *, chunk_len):
 
 def compose(a, b):
     """Associative composition of transfer summaries applied a-then-b.
-    Each summary is (phi [.., S], fm [.., S]) with fm in ABSOLUTE
-    offsets (use _NO_MATCH sentinel)."""
+    Each summary is (phi [.., S], fm [.., S]) with fm int64 in ABSOLUTE
+    offsets (use _NO_MATCH_ABS sentinel)."""
     phi_a, fm_a = a
     phi_b, fm_b = b
     phi = jnp.take_along_axis(phi_b, phi_a, axis=-1)
@@ -115,18 +120,26 @@ def compose(a, b):
     return phi, fm
 
 
-@jax.jit
 def reduce_summaries(phi, fm, valid_len):
     """Log-depth composition of per-chunk transfer summaries into one
-    block summary (phi [S], fm [S]; fm in block-absolute offsets).
+    block summary (phi [S], fm [S]; fm int64 in block-absolute offsets).
 
     Kept as a separate dispatch from chunk_transfer: fusing the long
     fori_loop and the reduction tree into one XLA computation has
     pathological compile behavior on TPU, and the reduction is light.
+    Runs under enable_x64 so absolute offsets are genuine int64 (a >2
+    GiB buffer otherwise loses matches past the int32 sentinel).
     """
+    with jax.enable_x64():
+        return _reduce_summaries(phi, fm, valid_len)
+
+
+@jax.jit
+def _reduce_summaries(phi, fm, valid_len):
     C, S = phi.shape
-    base = (jnp.cumsum(valid_len) - valid_len).astype(jnp.int32)
-    fm = jnp.where(fm >= _NO_MATCH, _NO_MATCH, fm + base[:, None])
+    base = jnp.cumsum(valid_len.astype(jnp.int64)) - valid_len
+    fm = jnp.where(fm >= _NO_MATCH, _NO_MATCH_ABS,
+                   fm.astype(jnp.int64) + base[:, None])
     # pad chunk count to a power of two with identity summaries
     n = 1
     while n < C:
@@ -134,7 +147,7 @@ def reduce_summaries(phi, fm, valid_len):
     if n != C:
         ident_phi = jnp.broadcast_to(
             lax.broadcasted_iota(jnp.int32, (n - C, S), 1), (n - C, S))
-        ident_fm = jnp.full((n - C, S), _NO_MATCH, jnp.int32)
+        ident_fm = jnp.full((n - C, S), _NO_MATCH_ABS, jnp.int64)
         phi = jnp.concatenate([phi, ident_phi], axis=0)
         fm = jnp.concatenate([fm, ident_fm], axis=0)
     while n > 1:
@@ -180,4 +193,4 @@ def scan_bytes(tables, data_np, chunk_len=2048, entry_state=0):
     fm = np.asarray(fm)
     final_state = int(phi[entry_state])
     first = int(fm[entry_state])
-    return final_state, (first if first < int(_NO_MATCH) else -1)
+    return final_state, (first if first < int(_NO_MATCH_ABS) else -1)

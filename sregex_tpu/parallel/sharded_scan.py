@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.scan import (chunk_transfer, compose, _NO_MATCH)
+from ..ops.scan import (chunk_transfer, compose, _NO_MATCH, _NO_MATCH_ABS)
 
 
 def make_mesh(devices=None, axis="data"):
@@ -37,8 +37,11 @@ def _sharded_scan(fused_bm, data, valid_len, *, chunk_len, mesh, axis):
         # local chunk transfer + local tree reduction
         phi, fm = chunk_transfer(fused_bm, data, valid_len,
                                  chunk_len=chunk_len)
-        base = (jnp.cumsum(valid_len) - valid_len).astype(jnp.int32)
-        fm = jnp.where(fm >= _NO_MATCH, _NO_MATCH, fm + base[:, None])
+        # widen to int64 the moment offsets become absolute: the
+        # aggregate corpus across shards crosses any int32 bound first
+        base = jnp.cumsum(valid_len.astype(jnp.int64)) - valid_len
+        fm = jnp.where(fm >= _NO_MATCH, _NO_MATCH_ABS,
+                       fm.astype(jnp.int64) + base[:, None])
         n = phi.shape[0]
         while n > 1:
             half = n // 2
@@ -51,12 +54,12 @@ def _sharded_scan(fused_bm, data, valid_len, *, chunk_len, mesh, axis):
             n = phi.shape[0]
         # local summary -> global: gather all shard summaries (tiny)
         # and compose in shard order on every chip
-        local_bytes = jnp.sum(valid_len).astype(jnp.int32)
+        local_bytes = jnp.sum(valid_len.astype(jnp.int64))
         phi_all = jax.lax.all_gather(phi[0], axis)      # [D, S]
-        fm_all = jax.lax.all_gather(fm[0], axis)        # [D, S]
+        fm_all = jax.lax.all_gather(fm[0], axis)        # [D, S] int64
         nb_all = jax.lax.all_gather(local_bytes, axis)  # [D]
         base_all = jnp.cumsum(nb_all) - nb_all
-        fm_all = jnp.where(fm_all >= _NO_MATCH, _NO_MATCH,
+        fm_all = jnp.where(fm_all >= _NO_MATCH_ABS, _NO_MATCH_ABS,
                            fm_all + base_all[:, None])
         D = phi_all.shape[0]
         acc_phi, acc_fm = phi_all[0], fm_all[0]
@@ -97,7 +100,7 @@ def sharded_scan_bytes(tables, data_np, mesh=None, chunk_len=8192,
     valid[:full] = K
     if full < C and n - full * K > 0:
         valid[full] = n - full * K
-    with mesh:
+    with mesh, jax.enable_x64():
         phi, fm = _sharded_scan(tables["fused_bm"],
                                 jnp.asarray(padded.reshape(C, K)),
                                 jnp.asarray(valid),
@@ -106,4 +109,4 @@ def sharded_scan_bytes(tables, data_np, mesh=None, chunk_len=8192,
     fm = np.asarray(fm)
     final_state = int(phi[entry_state])
     first = int(fm[entry_state])
-    return final_state, (first if first < int(_NO_MATCH) else -1)
+    return final_state, (first if first < int(_NO_MATCH_ABS) else -1)

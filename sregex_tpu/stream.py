@@ -62,6 +62,10 @@ class StreamScanner:
         rc = SRE_OK (match; match_end_abs = absolute stream offset of
         the earliest match end), SRE_AGAIN (feed more), SRE_DECLINED
         (stream ended, no match), SRE_ERROR (stream already finished).
+
+        After SRE_OK or SRE_DECLINED the stream is finished: further
+        exec() calls return SRE_ERROR (the reference's misuse contract,
+        sre_vm_pike.c:165-168).
         """
         if self.eof:
             return SRE_ERROR, -1
@@ -75,19 +79,16 @@ class StreamScanner:
                 from .ops.pallas_scan import spec_scan_bytes
                 state, first = spec_scan_bytes(tables, chunk,
                                                entry_state=self.state)
-                if first >= 0:
-                    end = self.processed_bytes + first
-                    self.processed_bytes += len(chunk)
-                    return SRE_OK, end
-                self.state = state
             else:
                 first, state = self._native.scan_first(chunk, self.state)
-                if first >= 0:
-                    end = self.processed_bytes + first
-                    self.state = state
-                    self.processed_bytes += len(chunk)
-                    return SRE_OK, end
-                self.state = state
+            if first >= 0:
+                # post-match contract: the scanner is FINISHED.  Like a
+                # stream whose ctx already returned a final result,
+                # further exec() calls are misuse and return SRE_ERROR
+                # (sre_vm_pike.c:165-168).  Identical on both backends.
+                self.eof = True
+                return SRE_OK, self.processed_bytes + first
+            self.state = state
             self.processed_bytes += len(chunk)
 
         if eof:
@@ -169,7 +170,13 @@ class Scanner:
     def count(self, data):
         """Number of match-ending boundaries (including EOF)."""
         if self.dfa is None:
-            raise NotImplementedError("pattern too large for DFA")
+            # patterns past the eager-DFA budget fall back to the lazy
+            # machine (universality: no public API raises on size)
+            lazy = self._lazy_dfa()
+            c, state = lazy.count(data, 0)
+            if lazy.match_eof(state):
+                c += 1
+            return c
         if self._spec is not None and len(data) >= self.DEVICE_THRESHOLD:
             from .ops.pallas_scan import spec_count_bytes
             state, c = spec_count_bytes(self._spec, data)
@@ -178,6 +185,12 @@ class Scanner:
         if self.dfa.match_eof[state]:
             c += 1
         return c
+
+    def _lazy_dfa(self):
+        if getattr(self, "_lazy", None) is None:
+            from .dfa import LazyDfa
+            self._lazy = LazyDfa(self.program)
+        return self._lazy
 
     def _rev_dfa(self):
         if self._rev is False:
