@@ -4,6 +4,13 @@ stdout/stderr byte-for-byte.  Stronger than the SRegex.pm assertions
 (includes AST/bytecode dumps and per-chunk temp captures everywhere).
 
 Usage: python tests/diff_suite.py [glob ...] [--mask-jit] [-v]
+
+SREGEX_FORCE_MULTI=1 rewrites every single-regex block as the
+two-pattern multi-regex ['^章亦春$', re] (an unmatchable first pattern),
+forcing the whole corpus through the multi-regex path with id
+remapping — the analog of TEST_SREGEX_FORCE_MULTI_REGEXES
+(t/SRegex.pm:20,45-47).  Outputs must still be byte-identical between
+the two CLIs under the knob.
 """
 
 import io
@@ -20,6 +27,8 @@ from sregex_tpu.cli import main as cli_main
 
 REF_CLI = "/tmp/refbuild/sregex-cli"
 _JIT_RE = re.compile(rb"^(splitted )?jitted thompson .*$", re.M)
+FORCE_MULTI = os.environ.get("SREGEX_FORCE_MULTI") == "1"
+_UNMATCHABLE = "^章亦春$".encode("utf-8")
 
 
 def build_invocation(block, oracle):
@@ -31,6 +40,14 @@ def build_invocation(block, oracle):
         return None
     if isinstance(s_val, tuple):
         return None
+    forced = FORCE_MULTI and not isinstance(re_val, list)
+    if forced:
+        re_val = [_UNMATCHABLE, re_val]
+        # per-regex flags are space-separated (sre_cli.c:681-711); a
+        # leading space assigns empty flags to the unmatchable pattern
+        # and the block's flags to the real one
+        if flags:
+            flags = b" " + flags
     opts = []
     if flags:
         opts += [b"--flags", flags]

@@ -105,6 +105,10 @@ def run_our_cli(argv_tail, stdin):
     return out.getvalue(), err.getvalue(), rc
 
 
+FORCE_MULTI = os.environ.get("SREGEX_FORCE_MULTI") == "1"
+_UNMATCHABLE = "^章亦春$".encode("utf-8")
+
+
 def check_block(block, oracle):
     s = resolve_section(block, "s", oracle)
     re_val = resolve_section(block, "re", oracle)
@@ -112,15 +116,27 @@ def check_block(block, oracle):
 
     flags = resolve_section(block, "flags", oracle)
     is_multi = isinstance(re_val, list)
+    # SREGEX_FORCE_MULTI=1: push every single-regex block through the
+    # multi-regex machinery by prepending an unmatchable pattern — the
+    # analog of TEST_SREGEX_FORCE_MULTI_REGEXES (t/SRegex.pm:20,45-47).
+    # The Perl oracle still sees the original scalar regex; ids,
+    # captures and error text must be invariant (error text modulo the
+    # "regex N:" attribution prefix, stripped like SRegex.pm:92-94).
+    forced = FORCE_MULTI and not is_multi
 
     opts = []
     prefix = b""
     if flags:
         prefix = b"(?" + flags + b")"
-        opts += [b"--flags", flags]
+        # leading space under forcing: empty flags for the unmatchable
+        # pattern, the block's flags for the real regex (sre_cli.c:681)
+        opts += [b"--flags", (b" " + flags) if forced else flags]
     if is_multi:
         opts += [b"-n", str(len(re_val)).encode()]
         regexes = list(re_val)
+    elif forced:
+        opts += [b"-n", b"2"]
+        regexes = [_UNMATCHABLE, re_val]
     else:
         regexes = [re_val]
 
@@ -133,12 +149,16 @@ def check_block(block, oracle):
     if err_exp is not None:
         m = pyre.search(rb"\[error\] .*\n", stderr)
         got = m.group(0) if m else None
+        if forced and got is not None:
+            got = pyre.sub(rb"regex \d+: ", b"", got)
         assert got == err_exp, \
             "%s: err %r != expected %r" % (name, got, err_exp)
         return
     if err_like is not None:
         m = pyre.search(rb"\[error\] .*\n", stderr)
         got = m.group(0) if m else b""
+        if forced:
+            got = pyre.sub(rb"regex \d+: ", b"", got)
         pat = err_like if isinstance(err_like, bytes) else err_like[1]
         assert oracle.like(pat.rstrip(b"\n"), got), \
             "%s: err %r !~ %r" % (name, got, pat)
