@@ -1,0 +1,499 @@
+"""Device TDFA scan: capture registers and match banks updated by
+vectorized select inside the Pallas kernel — the north-star "capture
+slots update via vectorized select" path.
+
+The host TDFA (sregex_tpu/tdfa.py) proves that one Pike step
+determinizes to, per (state, byte class):
+
+  - a next state,
+  - a register rebuild: new_reg[k] = one of {old reg j, UNSET,
+    CURRENT position, NEXT position},
+  - at most one commit: bank[t] = resolved source per tag, plus the
+    regex id.
+
+Those source codes are packed into per-(state,class) nibble tables; the
+kernel advances thousands of streams with 4 lane-gathers per byte and
+resolves every register/bank slot with a short select chain.  This
+subsumes the reference's capture machinery (sre_vm_pike.c:814-837 SAVE
+closure, sre_capture.c:59-85 COW update) as branch-free dataflow.
+
+Chunk speculation (same discipline as ops/pallas_scan.py): the state
+converges through the warmup window; REGISTERS are not speculated —
+they start each chunk as BAD sentinels, and any value that survives
+from before the window start stays BAD.  A bank whose positions are all
+real (>= 0) was therefore committed entirely from bytes the chunk
+actually saw and is exact once the state chain validates.  Anything
+else (speculation miss, ragged tail, BAD positions, i.e. a match
+longer than the chunk+warmup window) returns None and the caller falls
+back to the exact multi-pass path — exactness is unconditional,
+speed is for the common case.
+
+Constraints (narrow kernel): S * nclasses <= 128, registers <= 8,
+tracked tags <= 8, regex ids <= 127.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..tdfa import Tdfa, TdfaTooLarge, SRC_UNSET, SRC_CUR, SRC_NEXT, \
+    CTX_BOS
+from .pallas_scan import GROUPS, TILE, WORDS_PER_ITER, _prepare
+
+_BAD = np.int32(-(2 ** 30))
+
+# nibble source codes
+_C_UNSET = 13
+_C_CUR = 14
+_C_NEXT = 15
+R_MAX = 8
+T_MAX = 8
+
+
+class TdfaSpecTables:
+    """Host-side compilation of a (lazy) Tdfa into dense nibble tables
+    for the device kernel.  Materializes every reachable state by BFS
+    over byte classes; raises TdfaTooLarge when the automaton exceeds
+    the narrow-kernel budgets."""
+
+    def __init__(self, prog, tags=None, chunk_len=2048):
+        if tags is None:
+            if prog.ovecsize <= T_MAX:
+                tags = tuple(range(prog.ovecsize))
+            else:
+                tags = []
+                ofs = 0
+                for i in range(prog.nregexes):
+                    tags += [ofs, ofs + 1]
+                    ofs += 2 * (prog.multi_ncaps[i] + 1)
+                tags = tuple(tags)
+        if len(tags) > T_MAX:
+            raise TdfaTooLarge("too many tracked tags (%d)" % len(tags))
+        if prog.nregexes > 127:
+            raise TdfaTooLarge("too many regexes (%d)" % prog.nregexes)
+        t = Tdfa(prog, tags=tags, max_states=256, max_regs=R_MAX)
+        self.tdfa = t
+        self.tags = tags
+        self.ncls = t.nclasses
+
+        # materialize (transitions build states lazily)
+        frontier = list(range(t.nstates))
+        seen = set(frontier)
+        i = 0
+        while i < len(frontier):
+            sid = frontier[i]
+            i += 1
+            for c in range(t.nclasses):
+                nsid, _, _ = t.step(sid, c)
+                if t.nstates * t.nclasses > 128:
+                    raise TdfaTooLarge(
+                        "TDFA too large for the narrow kernel "
+                        "(S*ncls=%d)" % (t.nstates * t.nclasses))
+                if nsid not in seen:
+                    seen.add(nsid)
+                    frontier.append(nsid)
+        S = t.nstates
+        if S * t.nclasses > 128:
+            raise TdfaTooLarge("S*ncls=%d" % (S * t.nclasses))
+
+        self.nstates = S
+        self.nregs = max(t.nregs(s) for s in range(S))
+        self.ntags = len(tags)
+        ncls = t.nclasses
+
+        dead = -1
+        for s in range(S):
+            if t.is_dead(s):
+                dead = s * ncls
+        self.dead_premult = dead
+        self.seed_premult = t.seed_state(CTX_BOS) * ncls
+        self.seed_nregs = t.nregs(t.seed_state(CTX_BOS))
+
+        def code(src):
+            if src == SRC_UNSET:
+                return _C_UNSET
+            if src == SRC_CUR:
+                return _C_CUR
+            if src == SRC_NEXT:
+                return _C_NEXT
+            return src          # old register id
+
+        t_next = np.zeros(128, dtype=np.int32)
+        # nibble-packed planes overflow int32 (8 x code 13..15); build
+        # as uint32 and reinterpret — the kernel masks (&15) after the
+        # arithmetic shifts, so sign extension is harmless
+        t_regsrc = np.zeros(128, dtype=np.uint32)
+        t_csrc = np.zeros(128, dtype=np.uint32)
+        t_cmeta = np.zeros(128, dtype=np.int32)
+        for s in range(S):
+            for c in range(ncls):
+                nsid, ops, commit = t.step(s, c)
+                idx = s * ncls + c
+                t_next[idx] = nsid * ncls
+                rs = 0
+                filled = 0
+                for d, src in ops:
+                    rs |= code(src) << (4 * d)
+                    filled |= 1 << d
+                for k in range(R_MAX):
+                    if not (filled >> k) & 1:
+                        rs |= _C_UNSET << (4 * k)
+                t_regsrc[idx] = rs
+                if commit is not None:
+                    srcs, rid = commit
+                    cs = 0
+                    for ti, src in enumerate(srcs):
+                        cs |= code(src) << (4 * ti)
+                    t_csrc[idx] = cs
+                    t_cmeta[idx] = 1 | (rid << 1)
+
+        def bc(v):
+            return jnp.asarray(np.broadcast_to(v, (8, 128)).copy())
+
+        self.t_next = bc(t_next)
+        self.t_regsrc = bc(t_regsrc.view(np.int32))
+        self.t_csrc = bc(t_csrc.view(np.int32))
+        self.t_cmeta = bc(t_cmeta)
+
+        # reuse the boolean kernel's data prep (same packing/layout)
+        self.bits = 4
+        self.cpw = 8
+        self.warmup = 4 * self.cpw
+        self.class_map = t.class_map.astype(np.uint8)
+
+
+def _resolve(code, regs, j_cur, j_next):
+    """Select-chain resolution of a nibble source code."""
+    v = jnp.full(code.shape, _BAD, jnp.int32)
+    for k in range(len(regs)):
+        v = jnp.where(code == k, regs[k], v)
+    v = jnp.where(code == _C_UNSET, jnp.int32(-1), v)
+    v = jnp.where(code == _C_CUR, jnp.int32(j_cur), v)
+    v = jnp.where(code == _C_NEXT, jnp.int32(j_next), v)
+    return v
+
+
+def _tdfa_kernel(data_ref, state0_ref, j0_ref,
+                 next_ref, regsrc_ref, csrc_ref, cmeta_ref,
+                 phi_ref, swarm_ref, bank_ref, regs_ref, *,
+                 J, W, CPW, R, T):
+    """One grid step = one [G*TILE]-stream block.  data block
+    [1, J//CPW, G, 8, 128] packed 4-bit classes."""
+    G = GROUPS
+    tnext = next_ref[:]
+    tregsrc = regsrc_ref[:]
+    tcsrc = csrc_ref[:]
+    tcmeta = cmeta_ref[:]
+
+    def gath(tab, idx):
+        return jnp.take_along_axis(tab, idx & 127, axis=1)
+
+    def one_byte(j, g, state, regs, bank, live):
+        """live: traced bool — False freezes (warmup of the true-entry
+        stream).  j is a traced scalar (window position)."""
+        wi = j // CPW
+        b = j % CPW
+        word = data_ref[0, wi, g]
+        cls = (word >> (4 * b)) & 15
+        idx = state + cls
+        e = gath(tnext, idx)
+        rs = gath(tregsrc, idx)
+        cs = gath(tcsrc, idx)
+        cm = gath(tcmeta, idx)
+        newregs = tuple(
+            _resolve((rs >> (4 * k)) & 15, regs, j, j + 1)
+            for k in range(R))
+        has = (cm & 1) == 1
+        newbank = tuple(
+            jnp.where(has, _resolve((cs >> (4 * t)) & 15, regs, j, j + 1),
+                      bank[t])
+            for t in range(T))
+        newrid = jnp.where(has, cm >> 1, bank[T])
+        newbank = newbank + (newrid,)
+        take = live
+        state = jnp.where(take, e, state)
+        regs = tuple(jnp.where(take, newregs[k], regs[k])
+                     for k in range(R))
+        bank = tuple(jnp.where(take, newbank[t], bank[t])
+                     for t in range(T + 1))
+        return state, regs, bank
+
+    def stream_init(g):
+        state = state0_ref[0, g]
+        j0 = j0_ref[0, g]
+        # true-entry stream (j0 > 0): registers = seed position (= j0);
+        # speculative streams: BAD
+        regs = tuple(jnp.where(j0 > 0, j0, _BAD) for _ in range(R))
+        bank = tuple(jnp.full((8, 128), _BAD, jnp.int32)
+                     for _ in range(T))
+        bank = bank + (jnp.full((8, 128), -1, jnp.int32),)
+        return state, regs, bank
+
+    carries = [stream_init(g) for g in range(G)]
+
+    # warmup: j in [0, W) with per-stream freeze below j0
+    def warm_step(j, carry):
+        out = []
+        for g in range(G):
+            state, regs, bank = carry[g]
+            live = j >= j0_ref[0, g]
+            out.append(one_byte(j, g, state, regs, bank, live))
+        return tuple(out)
+
+    carries = lax.fori_loop(0, W, warm_step, tuple(carries))
+    for g in range(G):
+        swarm_ref[0, g] = carries[g][0]
+
+    def step(j, carry):
+        out = []
+        for g in range(G):
+            state, regs, bank = carry[g]
+            out.append(one_byte(j, g, state, regs, bank,
+                                jnp.bool_(True)))
+        return tuple(out)
+
+    carries = lax.fori_loop(W, J, step, carries)
+    for g in range(G):
+        state, regs, bank = carries[g]
+        phi_ref[0, g] = state
+        for t in range(T + 1):
+            bank_ref[t, 0, g] = bank[t]
+        for k in range(R):
+            regs_ref[k, 0, g] = regs[k]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("J", "W", "CPW", "R", "T"))
+def _tdfa_scan(data, state0, j0, t_next, t_regsrc, t_csrc, t_cmeta,
+               C, dead_val, *, J, W, CPW, R, T):
+    """Returns (summary int32 [10 + T+1 + R], bank planes, regs planes).
+
+    Device-side validation and result extraction:
+      [0] all_ok (chain valid through the covered chunks)
+      [1] fb — first broken chunk (C if none)
+      [2] dead_chunk — first chunk (in the valid prefix) whose exit
+          state is dead (C if none)
+      [3] lc — last chunk <= dead_chunk with a committed bank (-1 none)
+      [4] phi @ end of the covered region      [5] entries@fb
+      [6] swarm@fb  [7] phi@fb  [8] C  [9] reserved
+      [10 .. 10+T] bank values + rid @ lc
+      [10+T+1 ..]  exit registers @ the last covered chunk
+    """
+    B = data.shape[0]
+    G = GROUPS
+    Jw = J // CPW
+    kernel = functools.partial(_tdfa_kernel, J=J, W=W, CPW=CPW, R=R,
+                               T=T)
+    interpret = jax.default_backend() == "cpu"
+    small = pl.BlockSpec((1, G, 8, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    planeT = pl.BlockSpec((T + 1, 1, G, 8, 128),
+                          lambda i: (0, i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    planeR = pl.BlockSpec((R, 1, G, 8, 128),
+                          lambda i: (0, i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    tab = pl.BlockSpec((8, 128), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM)
+    phi, swarm, bank, regs = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Jw, G, 8, 128), lambda i: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            small, small, tab, tab, tab, tab,
+        ],
+        out_specs=[small, small, planeT, planeR],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((T + 1, B, G, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((R, B, G, 8, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(data, state0, j0, t_next, t_regsrc, t_csrc, t_cmeta)
+
+    Cp = phi.size
+    phi_f = phi.reshape(Cp)
+    swarm_f = swarm.reshape(Cp)
+    bank_f = bank.reshape(T + 1, Cp)
+    regs_f = regs.reshape(R, Cp)
+    e0 = state0.reshape(Cp)[0]
+    entries = jnp.concatenate([e0[None], phi_f[:-1]])
+    idx = jnp.arange(Cp, dtype=jnp.int32)
+    okv = (swarm_f == entries) | (idx >= C)
+    all_ok = jnp.all(okv)
+    fb = jnp.where(all_ok, C,
+                   jnp.argmin(okv.astype(jnp.int32)).astype(jnp.int32))
+    # the scan ENDS at the first dead exit; chunks after it never
+    # converge to dead (speculation wanders live states), so the chain
+    # only needs to validate up to and including the death chunk
+    deadv = (phi_f == dead_val) & (idx < C)
+    any_dead = jnp.any(deadv)
+    first_dead = jnp.where(
+        any_dead, jnp.argmax(deadv.astype(jnp.int32)).astype(jnp.int32),
+        C)
+    ended = first_dead < fb
+    ok = all_ok | ended
+    scan_end = jnp.where(ended, first_dead + 1, C)
+    hasc = (bank_f[T] >= 0) & (idx < scan_end)
+    lc = jnp.max(jnp.where(hasc, idx, -1)).astype(jnp.int32)
+    lce = jnp.maximum(lc, 0)
+    last_cov = jnp.maximum(scan_end - 1, 0)
+    summary = jnp.concatenate([
+        jnp.stack([ok.astype(jnp.int32), fb, first_dead, lc,
+                   phi_f[last_cov], entries[jnp.minimum(fb, Cp - 1)],
+                   swarm_f[jnp.minimum(fb, Cp - 1)],
+                   phi_f[jnp.minimum(fb, Cp - 1)], C,
+                   jnp.int32(0)]),
+        bank_f[:, lce],
+        regs_f[:, last_cov],
+    ])
+    return summary
+
+
+def _host_walk(tables, sid, regs, bank, rid, data_np, pos, n):
+    """Sequential table walk over data_np[pos:n] + the EOF boundary,
+    continuing from (sid, regs, bank, rid).  regs entries may be None
+    (BAD: value predates the known window) — touching one forces a
+    fallback.  Returns (rid, bank) | None | "fallback"."""
+    t = tables.tdfa
+    if pos < n:
+        cmap = t.class_map
+        raw = np.frombuffer(data_np, dtype=np.uint8) \
+            if not isinstance(data_np, np.ndarray) else data_np
+        arr = cmap[raw[pos:n]]
+        for i_ in range(n - pos):
+            nsid, ops, commit = t.step(sid, int(arr[i_]))
+            cur = pos + i_
+            nxt = cur + 1
+
+            def res(s):
+                if s == SRC_UNSET:
+                    return -1
+                if s == SRC_CUR:
+                    return cur
+                if s == SRC_NEXT:
+                    return nxt
+                return regs[s]
+            if commit is not None:
+                bank = [res(s) for s in commit[0]]
+                rid = commit[1]
+            if ops:
+                regs = [res(s) for _d, s in ops]
+            else:
+                regs = []
+            sid = nsid
+            if t.is_dead(sid):
+                break
+    if t.is_dead(sid):
+        if bank is None:
+            return None
+        if any(b is None for b in bank):
+            return "fallback"
+        return rid, bank
+
+    commit = t.eof_step(sid)
+    if commit is not None:
+        def res_eof(s):
+            if s == SRC_UNSET:
+                return -1
+            if s == SRC_CUR or s == SRC_NEXT:
+                return n
+            return regs[s]
+        bank = [res_eof(s) for s in commit[0]]
+        rid = commit[1]
+    if bank is None:
+        return None
+    if any(b is None for b in bank):
+        return "fallback"
+    return rid, bank
+
+
+def tdfa_spec_find(tables, data_np, chunk_len=2048, prepared=None):
+    """First final match over the whole buffer: (regex_id, bank) with
+    bank the tracked-tag vector in absolute corpus positions, None for
+    no-match, or the string "fallback" when the device result cannot
+    be certified exact (speculation miss, or a match span exceeding
+    the chunk window).  Callers treat "fallback" by running the exact
+    host/multi-pass path."""
+    t = tables.tdfa
+    n = len(data_np)
+    W = tables.warmup
+
+    def seed_entry():
+        sid = t.seed_state(CTX_BOS)
+        return sid, [0] * t.nregs(sid)
+
+    if n == 0:
+        sid, regs = seed_entry()
+        return _host_walk(tables, sid, regs, None, -1, data_np, 0, 0)
+    if prepared is None:
+        prepared = _prepare(tables, data_np, chunk_len)
+    data, C, K, J, B = prepared
+    # ragged tail: the device covers only full chunks; the tail is
+    # finished on host from the last covered exit state/registers
+    full_C = C if C * K <= n else C - 1
+    if full_C == 0:
+        sid, regs = seed_entry()
+        return _host_walk(tables, sid, regs, None, -1, data_np, 0, n)
+
+    G = GROUPS
+    R, T = tables.nregs, tables.ntags
+    state0 = np.zeros((B, G * TILE), dtype=np.int32)
+    j0 = np.zeros((B, G * TILE), dtype=np.int32)
+    state0[:] = tables.seed_premult
+    j0[0, 0] = W
+
+    summary = _tdfa_scan(
+        data if isinstance(data, jax.Array) else jnp.asarray(data),
+        jnp.asarray(state0.reshape(B, G, 8, 128)),
+        jnp.asarray(j0.reshape(B, G, 8, 128)),
+        tables.t_next, tables.t_regsrc, tables.t_csrc, tables.t_cmeta,
+        jnp.int32(full_C), jnp.int32(tables.dead_premult),
+        J=J, W=W, CPW=tables.cpw, R=R, T=T)
+    summ = np.asarray(summary).astype(np.int64)
+    if not bool(summ[0]):
+        return "fallback"
+    dead_chunk, lc = int(summ[2]), int(summ[3])
+    bank_vals = summ[10:10 + T + 1]
+    exit_regs = summ[10 + T + 1:10 + T + 1 + R]
+    ncls = tables.ncls
+
+    def to_corpus(v, c):
+        v = int(v)
+        if v == -1:
+            return -1
+        if v < 0:
+            return None          # BAD: span exceeded the window
+        return v + c * K - W
+
+    bank = None
+    rid = -1
+    if lc >= 0:
+        rid = int(bank_vals[T])
+        bank = [to_corpus(v, lc) for v in bank_vals[:T]]
+
+    if dead_chunk < full_C:
+        # the scan ended inside the covered region
+        if bank is None:
+            return None
+        if any(b is None for b in bank):
+            return "fallback"
+        return rid, bank
+
+    # no death in the covered region: host finishes the ragged tail
+    # and the EOF boundary from the last covered exit state/registers
+    sid = int(summ[4]) // ncls
+    base = (full_C - 1) * K - W
+    regs = []
+    for k in range(min(t.nregs(sid), R)):
+        v = int(exit_regs[k])
+        regs.append(v + base if v >= 0 else (-1 if v == -1 else None))
+    return _host_walk(tables, sid, regs, bank, rid, data_np,
+                      full_C * K, n)

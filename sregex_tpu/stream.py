@@ -121,6 +121,7 @@ class Scanner:
         self._native = None
         self._tables = None
         self._spec = None
+        self._tdfa_spec = None
         if self.dfa is not None:
             from .native import NativeDfa
             self._native = NativeDfa(self.dfa)
@@ -132,6 +133,12 @@ class Scanner:
                         break
                     except ValueError:
                         self._spec = None   # automaton too large
+                from .dfa import DfaTooLarge as _TooLarge
+                try:
+                    from .ops.tdfa_scan import TdfaSpecTables
+                    self._tdfa_spec = TdfaSpecTables(prog)
+                except _TooLarge:
+                    self._tdfa_spec = None
         # reverse automaton (lazy): locates match STARTS by scanning
         # backwards, so find() only simulates the match region
         self._rev = False
@@ -217,6 +224,52 @@ class Scanner:
                     self._rev = None
         return self._rev
 
+    def _tdfa_find(self, data):
+        """Device tagged-DFA find: one kernel pass yields the span,
+        regex id, and tracked capture slots (ops/tdfa_scan.py).
+
+        Returns (rid, ovector) for a certified match, (-1, None) for a
+        certified no-match, or None when the device result cannot be
+        certified exact (speculation miss / window-exceeding span) —
+        the caller then runs the exact multi-pass path.
+        """
+        from .ops.tdfa_scan import tdfa_spec_find
+        tables = self._tdfa_spec
+        r = tdfa_spec_find(tables, data)
+        if r == "fallback":
+            return None
+        if r is None:
+            return -1, None
+        rid, bank = r
+        prog = self.program
+        t = tables.tdfa
+        ofs = t.slice_ofs[rid]
+        nslots = 2 * (prog.multi_ncaps[rid] + 1)
+        if tables.tags == tuple(range(prog.ovecsize)):
+            # every slot tracked: the bank IS the capture vector; lay
+            # out the user ovector like prepare_matched_captures
+            # (matched regex's slice first, -1 fill the rest)
+            ov = [int(v) for v in bank[ofs:ofs + nslots]]
+            ov += [-1] * (prog.ovecsize - len(ov))
+            return rid, ov
+        # partial tracking ($0 pairs only): the device pinned the
+        # winner's start; Pike resolves inner groups over the match
+        # region alone (same discipline as the reverse-scan path)
+        ti = tables.tags.index(ofs)
+        start = int(bank[ti])
+        if nslots == 2:
+            ov = [start, int(bank[ti + 1])]
+            ov += [-1] * (prog.ovecsize - 2)
+            return rid, ov
+        ctx = self._pike_ctx()
+        if start > 0:
+            prev = data[start - 1]
+            ctx.set_carry(start, prev == 10, sre_isword(prev))
+        rc, _ = ctx.exec(data[start:], True)
+        if rc < 0:
+            return None
+        return rc, [int(v) for v in ctx.ovector]
+
     def find(self, data):
         """Leftmost-first match with captures (Pike semantics).
 
@@ -228,6 +281,15 @@ class Scanner:
         carry — only the match region is thread-simulated.
         """
         n = len(data)
+        if self._tdfa_spec is not None and n >= self.DEVICE_THRESHOLD:
+            # one-pass device path: the tagged-DFA kernel returns the
+            # match span, regex id, and tracked capture slots directly
+            # from device registers (ops/tdfa_scan.py); anything it
+            # cannot certify exact falls through to the multi-pass path
+            r = self._tdfa_find(data)
+            if r is not None:
+                rc, ov = r
+                return (rc, ov) if rc >= 0 else None
         if self.dfa is not None:
             # DFA prefilter: no match end anywhere => no match at all
             first, state = self._scan_first(data)

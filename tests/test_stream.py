@@ -151,6 +151,9 @@ def test_find_device_reverse_path():
     ast, _ = parse(rb"(\w)@(\w)")
     sc = Scanner(compile_regex(ast), use_device=True, ast=ast)
     sc.DEVICE_THRESHOLD = 0
+    sc._tdfa_spec = None   # force the reverse-scan path (the one-pass
+    # tagged-DFA kernel would otherwise answer first; it has its own
+    # tests in test_tdfa_device.py)
     data = b"hay " * 800 + b"u@h" + b" more" * 10
     got = sc.find(data)
     assert got is not None

@@ -1,0 +1,113 @@
+"""Device tagged-DFA kernel (ops/tdfa_scan.py) vs the Pike oracle.
+
+Runs in Pallas interpret mode on the CPU mesh; the same kernel compiles
+to Mosaic on TPU.  Exactness is the contract: every certified result
+must byte-equal Scanner's Pike-resolved answer (VERDICT.md next-round
+item 1 — "capture vectors from device registers byte-equal to Pike").
+"""
+
+import numpy as np
+import pytest
+
+from sregex_tpu.stream import Scanner, compile_pattern
+from sregex_tpu.pike_vm import PikeCtx
+from sregex_tpu.tdfa import TdfaTooLarge
+from sregex_tpu.ops.tdfa_scan import TdfaSpecTables, tdfa_spec_find
+
+
+def _oracle(prog, data):
+    ctx = PikeCtx(prog)
+    rc, _ = ctx.exec(data, True)
+    if rc < 0:
+        return None
+    return rc, [int(v) for v in ctx.ovector]
+
+
+def _device(sc, data):
+    r = sc._tdfa_find(data)
+    if r is None:
+        return "fallback"
+    rc, ov = r
+    return None if rc < 0 else (rc, ov)
+
+
+N = 65536
+
+CASES = [
+    ("ab+c", lambda n: (b"xyab" * (n // 4))[: n - 7] + b"abbbczz"),
+    ("(a+)(b+)c?", lambda n: (b"qqqq" * (n // 4))[: n - 6] + b"aabbcz"),
+    (["foo", "ba(r+)"], lambda n: (b"zzzz" * (n // 4))[: n - 5] + b"obarr"),
+    ("^x", lambda n: b"x" + b"y" * (n - 1)),
+    ("q\\b", lambda n: (b"mmmm" * (n // 4))[: n - 3] + b"q, "),
+    ("z$", lambda n: (b"aaaa" * (n // 4))[: n - 1] + b"z"),
+]
+
+
+@pytest.mark.parametrize("pat,mk", CASES,
+                         ids=[repr(p) for p, _ in CASES])
+def test_tdfa_device_find_exact(pat, mk):
+    sc = compile_pattern(pat)
+    try:
+        sc._tdfa_spec = TdfaSpecTables(sc.program)
+    except TdfaTooLarge:
+        pytest.skip("automaton exceeds narrow-kernel budget")
+    data = mk(N)
+    got = _device(sc, data)
+    want = _oracle(sc.program, data)
+    # "fallback" is always allowed (exactness by refusal), but for
+    # these cases the kernel is expected to certify
+    assert got != "fallback", pat
+    assert got == want
+
+
+def test_tdfa_device_no_match_certified():
+    sc = compile_pattern("ab+c")
+    sc._tdfa_spec = TdfaSpecTables(sc.program)
+    data = b"xyxy" * (N // 4)
+    assert _device(sc, data) is None
+    assert _oracle(sc.program, data) is None
+
+
+def test_tdfa_device_window_exceeding_span_falls_back():
+    # a match longer than chunk+warmup cannot be certified: registers
+    # predate the window and come back BAD -> "fallback", never wrong
+    sc = compile_pattern("a+b")
+    sc._tdfa_spec = TdfaSpecTables(sc.program)
+    data = b"a" * (N - 1) + b"b"
+    got = _device(sc, data)
+    want = _oracle(sc.program, data)
+    assert got in ("fallback", want)
+    if got != "fallback":
+        assert got == want
+    # and the public API stays exact regardless
+    old = Scanner.DEVICE_THRESHOLD
+    try:
+        Scanner.DEVICE_THRESHOLD = 1024
+        assert sc.find(data) == want
+    finally:
+        Scanner.DEVICE_THRESHOLD = old
+
+
+def test_tdfa_device_scanner_integration():
+    # Scanner.find routes through the device kernel when the buffer
+    # clears DEVICE_THRESHOLD; result must equal the host path
+    sc = compile_pattern("(a+)(b+)c?")
+    sc._tdfa_spec = TdfaSpecTables(sc.program)
+    data = (b"qqqq" * (N // 4))[: N - 6] + b"aabbcz"
+    want = _oracle(sc.program, data)
+    old = Scanner.DEVICE_THRESHOLD
+    try:
+        Scanner.DEVICE_THRESHOLD = 1024
+        assert sc.find(data) == want
+    finally:
+        Scanner.DEVICE_THRESHOLD = old
+
+
+def test_tdfa_device_tiny_and_empty_inputs():
+    sc = compile_pattern("(a+)(b+)")
+    sc._tdfa_spec = TdfaSpecTables(sc.program)
+    for data in (b"", b"ab", b"zzz", b"xaab"):
+        got = _device(sc, data)
+        want = _oracle(sc.program, data)
+        if got != "fallback":
+            assert got == want, data
