@@ -103,13 +103,20 @@ def _byte_classes(prog):
 
 def _closure(insts, pending, prev_ctx, cur_word, cur_nl, at_eof):
     """Epsilon+assertion closure of the pending set.  Returns
-    (consuming instruction indices in priority order, matched bool).
+    (consuming instruction indices in priority order, match_id).
+
+    match_id is the regex id of the FIRST ``match`` instruction reached
+    in priority (DFS) order, or -1 when no match ends here.  For
+    multi-regex programs the parse driver orders the top-level
+    alternation by regex id (sre_yyparser.y:1871-1986), so
+    first-in-priority is exactly the id the Pike VM reports when it
+    cuts lower-priority threads on match (sre_vm_pike.c:607-658).
 
     prev_ctx is one of _CTX_*; cur_word/cur_nl describe the byte about
     to be consumed (both False when at_eof)."""
     seen = set()
     out = []
-    matched = False
+    matched = -1
     prev_word = prev_ctx == _CTX_WORD
     prev_nl = prev_ctx == _CTX_NL
     at_bos = prev_ctx == _CTX_BOS
@@ -150,7 +157,8 @@ def _closure(insts, pending, prev_ctx, cur_word, cur_nl, at_eof):
                 if prev_word == bool(cur_word):
                     stack.append(pc + 1)
         elif op == OP_MATCH:
-            matched = True
+            if matched < 0:
+                matched = ins.regex_id
         else:
             out.append(pc)
     return out, matched
@@ -159,24 +167,31 @@ def _closure(insts, pending, prev_ctx, cur_word, cur_nl, at_eof):
 class Dfa:
     """Dense DFA tables.
 
-    trans:     int32 [nstates, nclasses] — next state
-    match:     bool  [nstates, nclasses] — a match ends at the current
-               boundary given this state and current byte class
-    match_eof: bool  [nstates] — a match ends at EOF
-    class_map: int32 [256]
+    trans:        int32 [nstates, nclasses] — next state
+    match_id:     int32 [nstates, nclasses] — regex id of the
+                  highest-priority match ending at the current boundary
+                  given this state and current byte class, or -1
+    match:        bool  [nstates, nclasses] — match_id >= 0
+    match_eof_id: int32 [nstates] — regex id of a match ending at EOF,
+                  or -1
+    match_eof:    bool  [nstates]
+    class_map:    int32 [256]
     start = 0; the dead state (if any) self-loops with no matches.
     """
 
-    def __init__(self, prog, trans, match, match_eof, class_map):
+    def __init__(self, prog, trans, match_id, match_eof_id, class_map):
         self.program = prog
         self.trans = trans
-        self.match = match
-        self.match_eof = match_eof
+        self.match_id = match_id
+        self.match = match_id >= 0
+        self.match_eof_id = match_eof_id
+        self.match_eof = match_eof_id >= 0
         self.class_map = class_map
         self.nstates = trans.shape[0]
         self.nclasses = trans.shape[1]
         self._trans_bytes = None
         self._match_bytes = None
+        self._match_id_bytes = None
 
     # expanded [nstates, 256] views for kernels
     @property
@@ -192,6 +207,18 @@ class Dfa:
             self._match_bytes = np.ascontiguousarray(
                 self.match[:, self.class_map])
         return self._match_bytes
+
+    @property
+    def match_id_bytes(self):
+        if self._match_id_bytes is None:
+            self._match_id_bytes = np.ascontiguousarray(
+                self.match_id[:, self.class_map])
+        return self._match_id_bytes
+
+    def id_at(self, state, byte):
+        """Regex id of the match ending at the boundary where the
+        scanner, in ``state``, is about to consume ``byte`` (-1 none)."""
+        return int(self.match_id[state, self.class_map[byte]])
 
     def create_ctx(self):
         return DfaCtx(self)
@@ -216,7 +243,7 @@ def build_dfa(prog, max_states=8192):
         pending, prev_ctx = keys[i]
         i += 1
         trow = np.zeros(nclasses, dtype=np.int32)
-        mrow = np.zeros(nclasses, dtype=bool)
+        mrow = np.full(nclasses, -1, dtype=np.int32)
 
         for c in range(nclasses):
             cw = bool(class_word[c])
@@ -252,8 +279,8 @@ def build_dfa(prog, max_states=8192):
 
     trans = np.stack(trans_rows)
     match = np.stack(match_rows)
-    return Dfa(prog, trans, match, np.array(match_eof, dtype=bool),
-               class_map)
+    return Dfa(prog, trans, match,
+               np.array(match_eof, dtype=np.int32), class_map)
 
 
 class LazyDfa:
@@ -287,6 +314,8 @@ class LazyDfa:
         return len(self._keys)
 
     def _step(self, sid, c):
+        """(next_sid, match_id) for one class step; match_id is the
+        regex id of a match ending at the boundary, or -1."""
         key = (sid, c)
         hit = self._trans.get(key)
         if hit is not None:
@@ -314,7 +343,8 @@ class LazyDfa:
         self._trans[key] = hit
         return hit
 
-    def match_eof(self, sid):
+    def match_eof_id(self, sid):
+        """Regex id of a match ending at EOF in this state, or -1."""
         m = self._eof.get(sid)
         if m is None:
             pending, prev_ctx = self._keys[sid]
@@ -323,9 +353,14 @@ class LazyDfa:
             self._eof[sid] = m
         return m
 
+    def match_eof(self, sid):
+        return self.match_eof_id(sid) >= 0
+
     def scan_first(self, data, state=0):
         """(first match boundary or -1, state after data); boundaries
-        0..n-1 — EOF acceptance is match_eof(state), the caller's."""
+        0..n-1 — EOF acceptance is match_eof(state), the caller's.
+        On a match the returned state is the state AT the boundary
+        (id_at-compatible: _step(state, cls)[1] is the regex id)."""
         cmap = self.class_map
         step = self._step
         s = state
@@ -334,10 +369,15 @@ class LazyDfa:
         arr = cmap[np.frombuffer(data, dtype=np.uint8)]
         for i, c in enumerate(arr):
             nxt, m = step(s, int(c))
-            if m:
+            if m >= 0:
                 return i, s
             s = nxt
         return -1, s
+
+    def id_at(self, state, byte):
+        """Regex id of the match ending at the boundary where the
+        scanner, in ``state``, is about to consume ``byte`` (-1 none)."""
+        return self._step(state, int(self.class_map[byte]))[1]
 
     def count(self, data, state=0):
         """(number of match-ending boundaries in 0..n-1, state after)."""
@@ -350,7 +390,7 @@ class LazyDfa:
         cnt = 0
         for c in arr:
             nxt, m = step(s, int(c))
-            cnt += m
+            cnt += m >= 0
             s = nxt
         return cnt, s
 

@@ -90,9 +90,25 @@ class NativeDfa:
         self.match_eof = dfa.match_eof
         self.lib = get_lib()
 
+    def scan_first_id(self, data, state=0):
+        """Like scan_first but also resolves WHICH regex matched:
+        returns (boundary or -1, regex_id or -1, state_after).  The id
+        is a single host table lookup at the boundary state — it never
+        rides the scan loop (sre_vm_pike.c:607-658 reports the id of
+        the first matching thread in priority order; the DFA's
+        match_id table encodes exactly that per (state, class))."""
+        buf = np.frombuffer(data, dtype=np.uint8) \
+            if not isinstance(data, np.ndarray) else data
+        r, s = self.scan_first(buf, state)
+        if r < 0:
+            return r, -1, s
+        return r, self.dfa.id_at(s, buf[r]), s
+
     def scan_first(self, data, state=0):
         """Returns (first_match_boundary or -1, state_after).  The EOF
-        boundary is not checked here (see match_eof)."""
+        boundary is not checked here (see match_eof).  On a match the
+        returned state is the state AT the boundary (the match id is
+        dfa.id_at(state, data[boundary]))."""
         buf = np.frombuffer(data, dtype=np.uint8) \
             if not isinstance(data, np.ndarray) else data
         if self.lib is not None:

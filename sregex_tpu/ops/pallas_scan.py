@@ -481,7 +481,9 @@ def spec_scan_bytes(tables, data_np, chunk_len=DEFAULT_K,
     or -1); boundaries 0..n-1 only, the EOF boundary is the caller's
     (tables.match_eof).  Exact: speculation misses and firing chunks
     are re-scanned with the native engine.  On a match the returned
-    state is the matching chunk's entry state.
+    state is the state AT the match boundary (so the regex id is
+    tables.dfa.id_at(state, data[boundary]) — ids never ride the
+    device hot loop).
 
     ``prepared`` may carry the result of a prior _prepare() to skip
     host preprocessing (benchmarks, repeated scans)."""
@@ -525,8 +527,9 @@ def spec_scan_bytes(tables, data_np, chunk_len=DEFAULT_K,
     hi = min(lo + K, n)
     if swarm_fb == entry_fb and hi - lo == K and many_fb:
         # validated chunk fired a match: one native re-scan pins it
-        f, _ = native.scan_first(raw[lo:hi].tobytes(), entry_fb // ncls)
-        return entry_fb // ncls, lo + f
+        f, st = native.scan_first(raw[lo:hi].tobytes(),
+                                  entry_fb // ncls)
+        return st, lo + f
 
     # general repair (speculation miss / ragged tail): pull the
     # per-chunk arrays and walk sequentially from the discrepancy
@@ -542,7 +545,7 @@ def spec_scan_bytes(tables, data_np, chunk_len=DEFAULT_K,
             continue
         f, st = native.scan_first(raw[lo:hi].tobytes(), e // ncls)
         if f >= 0:
-            return e // ncls, lo + f
+            return st, lo + f
         e = st * ncls
         c += 1
     return e // ncls, -1

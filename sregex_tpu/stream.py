@@ -39,6 +39,9 @@ class StreamScanner:
         self.state = 0
         self.processed_bytes = 0
         self.eof = False
+        # regex id of the match that produced SRE_OK (multi-regex
+        # programs; 0 for single-regex), -1 before any match
+        self.matched_regex = -1
         self.use_device = use_device
         self._tables = device_tables
         from .native import NativeDfa
@@ -62,6 +65,8 @@ class StreamScanner:
         rc = SRE_OK (match; match_end_abs = absolute stream offset of
         the earliest match end), SRE_AGAIN (feed more), SRE_DECLINED
         (stream ended, no match), SRE_ERROR (stream already finished).
+        On SRE_OK, ``self.matched_regex`` holds the id of the matched
+        regex (multi-regex programs; 0 for single-regex).
 
         After SRE_OK or SRE_DECLINED the stream is finished: further
         exec() calls return SRE_ERROR (the reference's misuse contract,
@@ -86,14 +91,19 @@ class StreamScanner:
                 # stream whose ctx already returned a final result,
                 # further exec() calls are misuse and return SRE_ERROR
                 # (sre_vm_pike.c:165-168).  Identical on both backends.
+                # Both backends return the state AT the boundary, so
+                # the matched regex id is one table lookup.
                 self.eof = True
+                self.matched_regex = self.dfa.id_at(state, chunk[first])
                 return SRE_OK, self.processed_bytes + first
             self.state = state
             self.processed_bytes += len(chunk)
 
         if eof:
             self.eof = True
-            if self.dfa.match_eof[self.state]:
+            rid = int(self.dfa.match_eof_id[self.state])
+            if rid >= 0:
+                self.matched_regex = rid
                 return SRE_OK, self.processed_bytes
             return SRE_DECLINED, -1
         return SRE_AGAIN, -1
@@ -173,6 +183,30 @@ class Scanner:
         if first >= 0:
             return True
         return bool(self.dfa.match_eof[state])
+
+    def scan(self, data):
+        """Earliest match END with the matched regex id (Thompson
+        semantics over the whole pattern set): returns
+        (regex_id, end_boundary) or None.  end_boundary == len(data)
+        means the match ends at EOF.
+
+        The id never rides the device hot loop: the kernels locate the
+        boundary, and the id is one match_id table lookup at the
+        boundary state (the DFA analogue of the Pike VM reporting the
+        first matching thread in priority order,
+        sre_vm_pike.c:607-658)."""
+        if self.dfa is None:
+            lazy = self._lazy_dfa()
+            first, state = lazy.scan_first(data, 0)
+            if first >= 0:
+                return lazy.id_at(state, data[first]), first
+            rid = lazy.match_eof_id(state)
+            return (rid, len(data)) if rid >= 0 else None
+        first, state = self._scan_first(data)
+        if first >= 0:
+            return self.dfa.id_at(state, data[first]), first
+        rid = int(self.dfa.match_eof_id[state])
+        return (rid, len(data)) if rid >= 0 else None
 
     def count(self, data):
         """Number of match-ending boundaries (including EOF)."""

@@ -66,7 +66,7 @@ def test_device_scan_matches_host(pattern):
             # plant a likely match
             data = data[: n // 2] + b"abcaaabbccab wordx 1.5" + data[n // 2:]
         rc_h, end_h = host_scan(dfa, data)
-        state, first = scan_bytes(tables, data, chunk_len=64)
+        state, first, _rid = scan_bytes(tables, data, chunk_len=64)
         if first >= 0:
             rc_d, end_d = SRE_OK, first
         elif len(data) == 0:
@@ -86,8 +86,39 @@ def test_multi_pattern_scan():
     prog = compile_regex(ast)
     dfa = build_dfa(prog)
     tables = dfa_device_tables(dfa)
-    _, first = scan_bytes(tables, b"zzabcdzz", chunk_len=4)
+    _, first, rid = scan_bytes(tables, b"zzabcdzz", chunk_len=4)
     # earliest match end: "bc" ends at boundary 6? abcd ends at 6 too;
     # host oracle decides
     rc_h, end_h = host_scan(dfa, b"zzabcdzz")
     assert rc_h == SRE_OK and first == end_h
+    # both end at 6; the lower id (priority winner) must be reported
+    assert rid == dfa.id_at(  # noqa: the host oracle for the id
+        _state_at(dfa, b"zzabcdzz", first), b"zzabcdzz"[first])
+
+
+def _state_at(dfa, data, boundary):
+    s = 0
+    for b in data[:boundary]:
+        s = dfa.trans[s, dfa.class_map[b]]
+    return int(s)
+
+
+def test_multi_pattern_scan_ids():
+    """Device fid plane vs the host match_id tables on random text."""
+    pats = [b"abcd", b"bc", b"zza", b"q+x"]
+    ast, _ = parse_multi(pats)
+    prog = compile_regex(ast)
+    dfa = build_dfa(prog)
+    tables = dfa_device_tables(dfa)
+    rng = random.Random(11)
+    for _ in range(6):
+        data = rand_text(rng, rng.choice([37, 64, 129, 400]),
+                         b"abcdqxz ")
+        _, first, rid = scan_bytes(tables, data, chunk_len=32)
+        rc_h, end_h = host_scan(dfa, data)
+        if end_h < 0 or end_h == len(data):
+            assert first == -1
+            continue
+        assert first == end_h
+        exp = dfa.id_at(_state_at(dfa, data, first), data[first])
+        assert rid == exp, (data, first, rid, exp)

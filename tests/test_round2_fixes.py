@@ -36,8 +36,11 @@ def test_reduce_summaries_past_1gib():
     # chunk 0 and 1 each "cover" ~800 MiB => chunk 2's match lands at
     # an absolute offset past 2**30
     valid = np.array([800 << 20, 800 << 20, 4096], dtype=np.int32)
-    gphi, gfm = reduce_summaries(jnp.asarray(phi), jnp.asarray(fm),
-                                 jnp.asarray(valid))
+    fid = np.where(fm == _NO_MATCH, -1, 0).astype(np.int32)
+    gphi, gfm, gfid = reduce_summaries(jnp.asarray(phi),
+                                       jnp.asarray(fm),
+                                       jnp.asarray(fid),
+                                       jnp.asarray(valid))
     gfm = np.asarray(gfm)
     want = 2 * (800 << 20) + 5
     assert want >= 2 ** 30
@@ -59,8 +62,12 @@ def test_compose_int64_offsets():
                                    dtype=np.int64))
         phi_b = jnp.asarray(np.array([0, 1], dtype=np.int32))
         fm_b = jnp.asarray(np.array([3 << 31, 7 << 31], dtype=np.int64))
-        phi, fm = compose((phi_a, fm_a), (phi_b, fm_b))
+        fid_a = jnp.asarray(np.full(S, -1, dtype=np.int32))
+        fid_b = jnp.asarray(np.zeros(S, dtype=np.int32))
+        phi, fm, fid = compose((phi_a, fm_a, fid_a),
+                               (phi_b, fm_b, fid_b))
         assert int(np.asarray(fm)[0]) == 7 << 31   # via phi_a[0] = 1
+        assert int(np.asarray(fid)[0]) == 0
 
 
 # ------------------------------------------------- StreamScanner misuse

@@ -30,7 +30,9 @@ def test_sharded_matches_single(pattern, data, mesh):
     prog = compile_regex(ast)
     dfa = build_dfa(prog)
     tables = dfa_device_tables(dfa)
-    s1, m1 = scan_bytes(tables, data, chunk_len=256)
-    s8, m8 = sharded_scan_bytes(tables, data, mesh=mesh, chunk_len=256)
-    assert (s1, m1) == (s8, m8), \
-        "%r: single %r sharded %r" % (pattern, (s1, m1), (s8, m8))
+    s1, m1, r1 = scan_bytes(tables, data, chunk_len=256)
+    s8, m8, r8 = sharded_scan_bytes(tables, data, mesh=mesh,
+                                    chunk_len=256)
+    assert (s1, m1, r1) == (s8, m8, r8), \
+        "%r: single %r sharded %r" % (pattern, (s1, m1, r1),
+                                      (s8, m8, r8))
