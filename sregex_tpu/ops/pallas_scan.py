@@ -352,6 +352,48 @@ def _spec_scan_wide(data, state0, j0, fused_rows, C, bad_tail, *, J,
 
 
 @functools.partial(jax.jit,
+                   static_argnames=("J", "W", "CPW", "BITS", "COUNT",
+                                    "R", "kernel_fn"))
+def _spec_scan_big_call(data, state0, j0, fused_rows, C, bad_tail, *,
+                        J, W, CPW, BITS, R, COUNT=False,
+                        kernel_fn=None):
+    """Shared driver for kernels whose table is [R, 8, 128]
+    row-broadcast tiles (the big tier, ops/pallas_big.py).  Same
+    contract and 3-int32-plane packed format as _spec_scan_wide."""
+    B = data.shape[0]
+    G = GROUPS
+    Jw = J // CPW
+    kernel = functools.partial(kernel_fn, J=J, W=W, CPW=CPW,
+                               BITS=BITS, R=R, COUNT=COUNT)
+    interpret = jax.default_backend() == "cpu"
+    small = pl.BlockSpec((1, G, 8, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    phi, fm, swarm = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Jw, G, 8, 128),
+                         lambda i: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            small, small,
+            pl.BlockSpec((R, 8, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[small, small, small],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(data, state0, j0, fused_rows)
+    summary, _packed8 = _summarize(phi, fm, swarm, state0, C,
+                                   bad_tail, COUNT)
+    packed = jnp.stack([phi, fm, swarm])
+    return summary, packed
+
+
+@functools.partial(jax.jit,
                    static_argnames=("J", "W", "CPW", "BITS", "COUNT"))
 def _spec_scan(data, state0, j0, fused_vec, C, bad_tail, *, J, W, CPW,
                BITS, COUNT=False):
@@ -464,9 +506,11 @@ def _prepare(tables, data_np, chunk_len):
             words = np.ascontiguousarray(nib).view("<u4")[..., 0] \
                 .astype(np.int32)
         else:
+            # 3-bit (10/word) or 8-bit (4/word, ncls > 16) packing
             words = arr[..., 0].astype(np.int32).copy()
             for k in range(1, CPW):
-                words |= arr[..., k].astype(np.int32) << (3 * k)
+                words |= arr[..., k].astype(np.int32) \
+                    << (tables.bits * k)
         packed = np.ascontiguousarray(words.transpose(0, 3, 1, 2))
         packed = packed.reshape(B, J // CPW, G, 8, 128)
     # commit to the device here so repeated scans skip the upload

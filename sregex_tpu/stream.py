@@ -50,7 +50,8 @@ class StreamScanner:
     def _device_tables(self):
         if self._tables is None:
             from .ops.pallas_scan import SpecTables, SpecTablesWide
-            for cls in (SpecTables, SpecTablesWide):
+            from .ops.pallas_big import SpecTablesBig
+            for cls in (SpecTables, SpecTablesWide, SpecTablesBig):
                 try:
                     self._tables = cls(self.dfa)
                     break
@@ -137,7 +138,8 @@ class Scanner:
             self._native = NativeDfa(self.dfa)
             if use_device:
                 from .ops.pallas_scan import SpecTables, SpecTablesWide
-                for cls in (SpecTables, SpecTablesWide):
+                from .ops.pallas_big import SpecTablesBig
+                for cls in (SpecTables, SpecTablesWide, SpecTablesBig):
                     try:
                         self._spec = cls(self.dfa)
                         break
@@ -248,7 +250,9 @@ class Scanner:
                     if self.use_device:
                         from .ops.pallas_scan import (SpecTables,
                                                       SpecTablesWide)
-                        for cls in (SpecTables, SpecTablesWide):
+                        from .ops.pallas_big import SpecTablesBig
+                        for cls in (SpecTables, SpecTablesWide,
+                                    SpecTablesBig):
                             try:
                                 self._rev_spec = cls(rdfa)
                                 break
