@@ -91,11 +91,12 @@ class SpecTablesBig:
         self.class_map = dfa.class_map.astype(np.uint8)
         self.match_eof = dfa.match_eof
 
-    def _scan(self, data, state0, j0, C, bad_tail, J, W, COUNT=False):
+    def _scan(self, data, state0, j0, C, bad_tail, J, W, COUNT=False,
+              mesh=None, axis=None):
         return _spec_scan_big_call(
             data, state0, j0, self.fused_rows, C, bad_tail, J=J, W=W,
             CPW=self.cpw, BITS=self.bits, COUNT=COUNT, R=self.rows,
-            kernel_fn=_kernel_big)
+            kernel_fn=_kernel_big, mesh=mesh, axis=axis)
 
 
 def _lookup_rows(fused_ref, idx, R):

@@ -88,10 +88,12 @@ class SpecTables:
         self.class_map = dfa.class_map.astype(np.uint8)
         self.match_eof = dfa.match_eof
 
-    def _scan(self, data, state0, j0, C, bad_tail, J, W, COUNT=False):
+    def _scan(self, data, state0, j0, C, bad_tail, J, W, COUNT=False,
+              mesh=None, axis=None):
         return _spec_scan(data, state0, j0, self.fused_vec, C,
                           bad_tail, J=J, W=W, CPW=self.cpw,
-                          BITS=self.bits, COUNT=COUNT)
+                          BITS=self.bits, COUNT=COUNT, mesh=mesh,
+                          axis=axis)
 
 
 class SpecTablesWide:
@@ -128,11 +130,12 @@ class SpecTablesWide:
         self.class_map = dfa.class_map.astype(np.uint8)
         self.match_eof = dfa.match_eof
 
-    def _scan(self, data, state0, j0, C, bad_tail, J, W, COUNT=False):
+    def _scan(self, data, state0, j0, C, bad_tail, J, W, COUNT=False,
+              mesh=None, axis=None):
         return _spec_scan_wide(data, state0, j0, self.fused_rows, C,
                                bad_tail, J=J, W=W, CPW=self.cpw,
                                BITS=self.bits, COUNT=COUNT,
-                               R=self.rows)
+                               R=self.rows, mesh=mesh, axis=axis)
 
 
 def _kernel(data_ref, state0_ref, j0_ref, fused_ref,
@@ -304,11 +307,64 @@ def _summarize(phi, fm, swarm, state0, C, bad_tail, COUNT):
     return summary, packed
 
 
+
+def _dispatch_kernel(kernel, data, state0, j0, fused, fused_spec,
+                     mesh, axis):
+    """Run the scan kernel single-chip or shard_mapped over a mesh.
+
+    mesh=None: one pallas_call over the whole batch.  With a mesh the
+    batch (chunk-block) dim is data-parallel across devices: each chip
+    scans its contiguous block range with the SAME speculative kernel
+    (tables replicated via P()), and the cross-chip stitch is the
+    existing swarm==entries validation chain — the per-chunk planes
+    come back in global chunk order, so _summarize needs no
+    mesh-awareness at all.  This is the fast multi-chip path (the
+    enumerative sharded_scan.py predates it and remains as the
+    any-size fallback)."""
+    interpret = jax.default_backend() == "cpu"
+    G = GROUPS
+    small = pl.BlockSpec((1, G, 8, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    def run(d, s0, j0_, f):
+        B = d.shape[0]
+        Jw = d.shape[1]
+        return pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, Jw, G, 8, 128),
+                             lambda i: (i, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                small, small, fused_spec,
+            ],
+            out_specs=[small, small, small],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
+                jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
+                jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
+            ],
+            interpret=interpret,
+        )(d, s0, j0_, f)
+
+    if mesh is None:
+        return run(data, state0, j0, fused)
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    return shard_map(
+        run, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )(data, state0, j0, fused)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("J", "W", "CPW", "BITS", "COUNT",
-                                    "R"))
+                                    "R", "mesh", "axis"))
 def _spec_scan_wide(data, state0, j0, fused_rows, C, bad_tail, *, J,
-                    W, CPW, BITS, R, COUNT=False):
+                    W, CPW, BITS, R, COUNT=False, mesh=None,
+                    axis=None):
     """Wide-table counterpart of _spec_scan; fused_rows [R, 8, 128].
 
     Packed format difference: the narrow kernel packs its repair-path
@@ -318,33 +374,13 @@ def _spec_scan_wide(data, state0, j0, fused_rows, C, bad_tail, *, J,
     [phi, count, swarm] (stacked on axis 0).  The repair path is rare
     and wide automata are off the benchmark path, so the 3x readback
     does not matter; _unpack() dispatches on the plane count."""
-    B = data.shape[0]
-    G = GROUPS
-    Jw = J // CPW
     kernel = functools.partial(_kernel_wide, J=J, W=W, CPW=CPW,
                                BITS=BITS, R=R, COUNT=COUNT)
-    interpret = jax.default_backend() == "cpu"
-    small = pl.BlockSpec((1, G, 8, 128), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM)
-    phi, fm, swarm = pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, Jw, G, 8, 128),
-                         lambda i: (i, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            small, small,
-            pl.BlockSpec((R, 8, 128), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[small, small, small],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
-            jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
-            jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
-        ],
-        interpret=interpret,
-    )(data, state0, j0, fused_rows)
+    fused_spec = pl.BlockSpec((R, 8, 128), lambda i: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    phi, fm, swarm = _dispatch_kernel(kernel, data, state0, j0,
+                                      fused_rows, fused_spec, mesh,
+                                      axis)
     summary, _packed8 = _summarize(phi, fm, swarm, state0, C,
                                    bad_tail, COUNT)
     packed = jnp.stack([phi, fm, swarm])   # int32; wide states > 255
@@ -353,40 +389,20 @@ def _spec_scan_wide(data, state0, j0, fused_rows, C, bad_tail, *, J,
 
 @functools.partial(jax.jit,
                    static_argnames=("J", "W", "CPW", "BITS", "COUNT",
-                                    "R", "kernel_fn"))
+                                    "R", "kernel_fn", "mesh", "axis"))
 def _spec_scan_big_call(data, state0, j0, fused_rows, C, bad_tail, *,
                         J, W, CPW, BITS, R, COUNT=False,
-                        kernel_fn=None):
+                        kernel_fn=None, mesh=None, axis=None):
     """Shared driver for kernels whose table is [R, 8, 128]
     row-broadcast tiles (the big tier, ops/pallas_big.py).  Same
     contract and 3-int32-plane packed format as _spec_scan_wide."""
-    B = data.shape[0]
-    G = GROUPS
-    Jw = J // CPW
     kernel = functools.partial(kernel_fn, J=J, W=W, CPW=CPW,
                                BITS=BITS, R=R, COUNT=COUNT)
-    interpret = jax.default_backend() == "cpu"
-    small = pl.BlockSpec((1, G, 8, 128), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM)
-    phi, fm, swarm = pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, Jw, G, 8, 128),
-                         lambda i: (i, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            small, small,
-            pl.BlockSpec((R, 8, 128), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[small, small, small],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
-            jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
-            jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
-        ],
-        interpret=interpret,
-    )(data, state0, j0, fused_rows)
+    fused_spec = pl.BlockSpec((R, 8, 128), lambda i: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    phi, fm, swarm = _dispatch_kernel(kernel, data, state0, j0,
+                                      fused_rows, fused_spec, mesh,
+                                      axis)
     summary, _packed8 = _summarize(phi, fm, swarm, state0, C,
                                    bad_tail, COUNT)
     packed = jnp.stack([phi, fm, swarm])
@@ -394,9 +410,10 @@ def _spec_scan_big_call(data, state0, j0, fused_rows, C, bad_tail, *,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("J", "W", "CPW", "BITS", "COUNT"))
+                   static_argnames=("J", "W", "CPW", "BITS", "COUNT",
+                                    "mesh", "axis"))
 def _spec_scan(data, state0, j0, fused_vec, C, bad_tail, *, J, W, CPW,
-               BITS, COUNT=False):
+               BITS, COUNT=False, mesh=None, axis=None):
     """data: int32 [B, J//CPW, G, 8, 128] packed; state0/j0:
     [B, G, 8, 128]; C = live chunk count (traced scalar); bad_tail =
     index of a ragged tail chunk or -1.
@@ -411,34 +428,13 @@ def _spec_scan(data, state0, j0, fused_vec, C, bad_tail, *, J, W, CPW,
       [9] entry @ that chunk
     The packed array is the full per-chunk data for the (rare) repair
     path: (phi, fm-lo, swarm, fm-hi)."""
-    B = data.shape[0]
-    G = GROUPS
-    Jw = J // CPW
     kernel = functools.partial(_kernel, J=J, W=W, CPW=CPW, BITS=BITS,
                                COUNT=COUNT)
-    interpret = jax.default_backend() == "cpu"
-    small = pl.BlockSpec((1, G, 8, 128), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM)
-    phi, fm, swarm = pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, Jw, G, 8, 128),
-                         lambda i: (i, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            small, small,
-            pl.BlockSpec((8, 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[small, small, small],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
-            jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
-            jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
-        ],
-        interpret=interpret,
-    )(data, state0, j0, fused_vec)
-
+    fused_spec = pl.BlockSpec((8, 128), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+    phi, fm, swarm = _dispatch_kernel(kernel, data, state0, j0,
+                                      fused_vec, fused_spec, mesh,
+                                      axis)
     return _summarize(phi, fm, swarm, state0, C, bad_tail, COUNT)
 
 
@@ -457,9 +453,10 @@ def _unpack(outs, C):
     return phi, fmcnt, swarm
 
 
-def _prepare(tables, data_np, chunk_len):
+def _prepare(tables, data_np, chunk_len, b_multiple=1):
     """Host prep: class-map, overlapping windows, 4-per-word packing,
-    tiling into [B, J//4, G, 8, 128].  Vectorized."""
+    tiling into [B, J//4, G, 8, 128].  Vectorized.  b_multiple pads
+    the block count so it shards evenly over a mesh."""
     from numpy.lib.stride_tricks import sliding_window_view
 
     n = len(data_np)
@@ -473,6 +470,7 @@ def _prepare(tables, data_np, chunk_len):
     G = GROUPS
     C = max(1, -(-n // K))
     B = -(-C // (G * TILE))
+    B = -(-B // b_multiple) * b_multiple
     Cp = B * G * TILE
     J = W + K
 
@@ -520,7 +518,8 @@ def _prepare(tables, data_np, chunk_len):
 
 
 def spec_scan_bytes(tables, data_np, chunk_len=DEFAULT_K,
-                    entry_state=0, prepared=None):
+                    entry_state=0, prepared=None, mesh=None,
+                    axis="data"):
     """Whole-buffer scan.  Returns (final_state, first_match_boundary
     or -1); boundaries 0..n-1 only, the EOF boundary is the caller's
     (tables.match_eof).  Exact: speculation misses and firing chunks
@@ -538,7 +537,9 @@ def spec_scan_bytes(tables, data_np, chunk_len=DEFAULT_K,
         return entry_state, -1
     W = tables.warmup
     if prepared is None:
-        prepared = _prepare(tables, data_np, chunk_len)
+        prepared = _prepare(tables, data_np, chunk_len,
+                            b_multiple=(mesh.devices.size
+                                        if mesh is not None else 1))
     data, C, K, J, B = prepared
     ncls = tables.ncls
     G = GROUPS
@@ -554,7 +555,8 @@ def spec_scan_bytes(tables, data_np, chunk_len=DEFAULT_K,
         data if isinstance(data, jax.Array) else jnp.asarray(data),
         jnp.asarray(state0.reshape(B, G, 8, 128)),
         jnp.asarray(j0.reshape(B, G, 8, 128)),
-        jnp.int32(C), jnp.int32(bad_tail), J, W)
+        jnp.int32(C), jnp.int32(bad_tail), J, W, mesh=mesh,
+        axis=axis if mesh is not None else None)
     # common case: ~32-byte readback; the per-chunk arrays stay on
     # device and are pulled only for the repair path
     summ = np.asarray(summary).astype(np.int64)
@@ -596,7 +598,8 @@ def spec_scan_bytes(tables, data_np, chunk_len=DEFAULT_K,
 
 
 def spec_count_bytes(tables, data_np, chunk_len=DEFAULT_K,
-                     entry_state=0, prepared=None):
+                     entry_state=0, prepared=None, mesh=None,
+                     axis="data"):
     """Count every boundary (0..n-1) at which a match ends.  Returns
     (final_state, count); the EOF boundary is the caller's
     (tables.match_eof).  Exact: chunks whose speculation missed are
@@ -608,7 +611,9 @@ def spec_count_bytes(tables, data_np, chunk_len=DEFAULT_K,
         return entry_state, 0
     W = tables.warmup
     if prepared is None:
-        prepared = _prepare(tables, data_np, chunk_len)
+        prepared = _prepare(tables, data_np, chunk_len,
+                            b_multiple=(mesh.devices.size
+                                        if mesh is not None else 1))
     data, C, K, J, B = prepared
     ncls = tables.ncls
     G = GROUPS
@@ -623,7 +628,8 @@ def spec_count_bytes(tables, data_np, chunk_len=DEFAULT_K,
         data if isinstance(data, jax.Array) else jnp.asarray(data),
         jnp.asarray(state0.reshape(B, G, 8, 128)),
         jnp.asarray(j0.reshape(B, G, 8, 128)),
-        jnp.int32(C), jnp.int32(bad_tail), J, W, COUNT=True)
+        jnp.int32(C), jnp.int32(bad_tail), J, W, COUNT=True,
+        mesh=mesh, axis=axis if mesh is not None else None)
     summ = np.asarray(summary).astype(np.int64)
     if bool(summ[0]):
         # every chunk validated: in COUNT mode fb saturates past C, so
@@ -660,7 +666,8 @@ def spec_count_bytes(tables, data_np, chunk_len=DEFAULT_K,
 
 
 def spec_scan_last_bytes(tables, data_np, chunk_len=DEFAULT_K,
-                         entry_state=0, prepared=None):
+                         entry_state=0, prepared=None, mesh=None,
+                         axis="data"):
     """Find the LAST boundary (0..n-1) at which a match ends (used by
     the reverse-scan start locator).  Returns (final_state,
     last_boundary or -1).  Exact via the same speculation validation."""
@@ -671,7 +678,9 @@ def spec_scan_last_bytes(tables, data_np, chunk_len=DEFAULT_K,
         return entry_state, -1
     W = tables.warmup
     if prepared is None:
-        prepared = _prepare(tables, data_np, chunk_len)
+        prepared = _prepare(tables, data_np, chunk_len,
+                            b_multiple=(mesh.devices.size
+                                        if mesh is not None else 1))
     data, C, K, J, B = prepared
     ncls = tables.ncls
     G = GROUPS
@@ -686,7 +695,8 @@ def spec_scan_last_bytes(tables, data_np, chunk_len=DEFAULT_K,
         data if isinstance(data, jax.Array) else jnp.asarray(data),
         jnp.asarray(state0.reshape(B, G, 8, 128)),
         jnp.asarray(j0.reshape(B, G, 8, 128)),
-        jnp.int32(C), jnp.int32(bad_tail), J, W, COUNT=True)
+        jnp.int32(C), jnp.int32(bad_tail), J, W, COUNT=True,
+        mesh=mesh, axis=axis if mesh is not None else None)
     summ = np.asarray(summary).astype(np.int64)
     raw = np.frombuffer(data_np, dtype=np.uint8) \
         if not isinstance(data_np, np.ndarray) else data_np
