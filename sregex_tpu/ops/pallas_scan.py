@@ -537,9 +537,10 @@ def spec_scan_bytes(tables, data_np, chunk_len=DEFAULT_K,
         return entry_state, -1
     W = tables.warmup
     if prepared is None:
-        prepared = _prepare(tables, data_np, chunk_len,
-                            b_multiple=(mesh.devices.size
-                                        if mesh is not None else 1))
+        from .prep import prepare_auto
+        prepared = prepare_auto(tables, data_np, chunk_len,
+                                b_multiple=(mesh.devices.size
+                                            if mesh is not None else 1))
     data, C, K, J, B = prepared
     ncls = tables.ncls
     G = GROUPS
@@ -611,9 +612,10 @@ def spec_count_bytes(tables, data_np, chunk_len=DEFAULT_K,
         return entry_state, 0
     W = tables.warmup
     if prepared is None:
-        prepared = _prepare(tables, data_np, chunk_len,
-                            b_multiple=(mesh.devices.size
-                                        if mesh is not None else 1))
+        from .prep import prepare_auto
+        prepared = prepare_auto(tables, data_np, chunk_len,
+                                b_multiple=(mesh.devices.size
+                                            if mesh is not None else 1))
     data, C, K, J, B = prepared
     ncls = tables.ncls
     G = GROUPS
@@ -678,9 +680,10 @@ def spec_scan_last_bytes(tables, data_np, chunk_len=DEFAULT_K,
         return entry_state, -1
     W = tables.warmup
     if prepared is None:
-        prepared = _prepare(tables, data_np, chunk_len,
-                            b_multiple=(mesh.devices.size
-                                        if mesh is not None else 1))
+        from .prep import prepare_auto
+        prepared = prepare_auto(tables, data_np, chunk_len,
+                                b_multiple=(mesh.devices.size
+                                            if mesh is not None else 1))
     data, C, K, J, B = prepared
     ncls = tables.ncls
     G = GROUPS

@@ -1,0 +1,127 @@
+"""Device-side corpus preprocessing: raw uint8 shards go straight to
+HBM; class-mapping, warmup windowing, sub-byte packing, and the
+stream tiling all run as ONE fused XLA program on device.
+
+Replaces the host prep (_prepare in pallas_scan.py: translate +
+sliding windows + nibble pack + transpose), which costs seconds per
+GiB of host CPU and uploads the packed array anyway.  Cold-data
+end-to-end throughput is dominated by that host pass (VERDICT.md
+round 1: 18.8 s for 1.9 GiB); here the host does nothing but the
+byte upload.
+
+TPU design notes:
+  - byte -> class is NOT a table gather (XLA gathers scalarize on
+    TPU): class maps are piecewise-constant over a handful of byte
+    ranges (13-26 runs for typical patterns), so the map is a
+    run-delta select chain — cls(b) = v0 + sum_r [b >= s_r] * d_r —
+    pure elementwise VPU work that XLA fuses into one HBM pass;
+  - warmup windows never gather either: window c = [last W bytes of
+    chunk c-1, chunk c], i.e. a reshape column slice + concat;
+  - packing is a weighted sum over the CPW minor axis (non-overlapping
+    bit fields: int32 wraparound on the top field is bit-exact);
+  - the [Cp, Jw] -> [B, Jw, G, 8, 128] stream tiling is a plain
+    transpose (one relayout pass).
+
+The output is bit-identical to the host _prepare (pinned by
+tests/test_device_prep.py), so the scan kernels cannot tell which
+path produced their input.
+"""
+
+import functools
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .pallas_scan import GROUPS, TILE, WORDS_PER_ITER, _prepare
+
+# corpora at least this large use the device pipeline (host prep wins
+# below it: one dispatch round-trip costs ~26 ms through the relay)
+DEVICE_PREP_MIN = 16 << 20
+
+
+def _class_runs(class_map):
+    """Run-delta encoding of the 256-entry class map: (starts, deltas)
+    with cls(b) = deltas[0] + sum_{r>=1} [b >= starts[r]] * deltas[r].
+    """
+    cm = class_map.astype(np.int32)
+    starts = [0]
+    deltas = [int(cm[0])]
+    for b in range(1, 256):
+        if cm[b] != cm[b - 1]:
+            starts.append(b)
+            deltas.append(int(cm[b]) - int(cm[b - 1]))
+    return (np.asarray(starts, dtype=np.int32),
+            np.asarray(deltas, dtype=np.int32))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n", "K", "W", "B", "CPW", "BITS",
+                                    "nruns"))
+def _device_pack(raw, starts, deltas, *, n, K, W, B, CPW, BITS, nruns):
+    """raw: uint8 [n] on device.  Returns int32
+    [B, (W+K)//CPW, G, 8, 128] packed exactly like the host prep."""
+    G = GROUPS
+    Cp = B * G * TILE
+    J = W + K
+    x = raw.astype(jnp.int32)
+    # byte -> class: run-delta select chain (elementwise, fuses)
+    cls = jnp.full(x.shape, int(0), jnp.int32) + deltas[0]
+    for r in range(1, nruns):
+        cls = cls + jnp.where(x >= starts[r], deltas[r], 0)
+    # pad: W front bytes + zero fill to Cp*K behind, as literal class
+    # id 0 — identical to the host prep's zero padding (chunk 0's
+    # warmup is frozen via j0; chunks past C are masked in the fold)
+    cls = jnp.pad(cls, (W, Cp * K - n))
+    chunks = cls[W:].reshape(Cp, K)
+    warm = cls[:Cp * K].reshape(Cp, K)[:, :W]
+    win = jnp.concatenate([warm, chunks], axis=1)      # [Cp, J]
+    # pack CPW BITS-bit classes per int32 word (bit fields never
+    # overlap, so int32 wraparound on the top field is bit-exact)
+    w = win.reshape(Cp, J // CPW, CPW)
+    weights = (1 << (BITS * jnp.arange(CPW, dtype=jnp.int32)))
+    words = jnp.sum(w * weights, axis=-1, dtype=jnp.int32)  # [Cp, Jw]
+    # stream tiling: chunk c = ((b*G + g)*TILE + t)
+    words = words.reshape(B, G, TILE, J // CPW)
+    words = jnp.transpose(words, (0, 3, 1, 2))
+    return words.reshape(B, J // CPW, G, 8, 128)
+
+
+def prepare_on_device(tables, data_np, chunk_len, b_multiple=1):
+    """Device-side analogue of _prepare: same (dev, C, K, J, B) tuple,
+    bit-identical packed array, but the host only uploads raw bytes."""
+    n = len(data_np)
+    CPW = tables.cpw
+    quantum = CPW * WORDS_PER_ITER
+    K = max(quantum, int(chunk_len) // quantum * quantum)
+    if K >= 1 << 16:
+        raise ValueError("chunk_len must be < 65536 (got %d)" % K)
+    W = tables.warmup
+    G = GROUPS
+    C = max(1, -(-n // K))
+    B = -(-C // (G * TILE))
+    B = -(-B // b_multiple) * b_multiple
+
+    raw = np.frombuffer(data_np, dtype=np.uint8) \
+        if not isinstance(data_np, np.ndarray) else data_np
+    starts, deltas = _class_runs(tables.class_map)
+    dev = _device_pack(jnp.asarray(raw), jnp.asarray(starts),
+                       jnp.asarray(deltas), n=n, K=K, W=W, B=B,
+                       CPW=CPW, BITS=tables.bits, nruns=len(starts))
+    dev.block_until_ready()
+    return dev, C, K, W + K, B
+
+
+def prepare_auto(tables, data_np, chunk_len, b_multiple=1):
+    """Pick the prep path: device pipeline for large corpora (the
+    upload is the only host work), host prep for small ones (one
+    dispatch round-trip costs more than the host pass).  Env override:
+    SREGEX_DEVICE_PREP=1 forces device, =0 forces host."""
+    knob = os.environ.get("SREGEX_DEVICE_PREP")
+    use_dev = (len(data_np) >= DEVICE_PREP_MIN if knob is None
+               else knob == "1")
+    if use_dev:
+        return prepare_on_device(tables, data_np, chunk_len,
+                                 b_multiple=b_multiple)
+    return _prepare(tables, data_np, chunk_len, b_multiple=b_multiple)

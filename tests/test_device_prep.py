@@ -1,0 +1,75 @@
+"""Device-side preprocessing (ops/prep.py) must be BIT-IDENTICAL to
+the host prep — the scan kernels cannot tell which path packed their
+input."""
+
+import os
+import random
+
+import numpy as np
+import pytest
+
+from sregex_tpu import parse, compile_regex
+from sregex_tpu.dfa import build_dfa
+from sregex_tpu.ops.pallas_scan import (SpecTables, SpecTablesWide,
+                                        _prepare, spec_scan_bytes)
+from sregex_tpu.ops.pallas_big import SpecTablesBig
+from sregex_tpu.ops.prep import prepare_on_device, _class_runs
+
+PATTERNS = [
+    ("(?:a|b)aa(?:aa|bb)cc(?:a|b)", SpecTables),          # bits=4
+    (r"\bw\d+\b", SpecTables),                            # word/nl ctx
+    ("(x|y|z[QW]){1,5}(longish|loquatious)", SpecTablesBig),  # bits=8
+]
+
+
+def test_class_runs_roundtrip():
+    ast, _ = parse("(?:a|b)aa(?:aa|bb)cc(?:a|b)")
+    dfa = build_dfa(compile_regex(ast))
+    starts, deltas = _class_runs(dfa.class_map)
+    got = np.zeros(256, dtype=np.int32) + deltas[0]
+    for r in range(1, len(starts)):
+        got[starts[r]:] += deltas[r]
+    assert np.array_equal(got, dfa.class_map.astype(np.int32))
+
+
+@pytest.mark.parametrize("pattern,cls", PATTERNS)
+def test_device_prep_bit_identical(pattern, cls):
+    ast, _ = parse(pattern)
+    dfa = build_dfa(compile_regex(ast), max_states=65536)
+    tables = cls(dfa)
+    rng = random.Random(hash(pattern) & 0xFFFF)
+    for n in (1, 255, 4096, 70000):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        host = _prepare(tables, data, 256)
+        dev = prepare_on_device(tables, data, 256)
+        assert host[1:] == dev[1:], (host[1:], dev[1:])
+        assert np.array_equal(np.asarray(host[0]), np.asarray(dev[0]))
+
+
+def test_device_prep_b_multiple():
+    ast, _ = parse("abc")
+    dfa = build_dfa(compile_regex(ast))
+    tables = SpecTables(dfa)
+    data = bytes(100000)
+    host = _prepare(tables, data, 256, b_multiple=8)
+    dev = prepare_on_device(tables, data, 256, b_multiple=8)
+    assert host[4] % 8 == 0 and host[1:] == dev[1:]
+    assert np.array_equal(np.asarray(host[0]), np.asarray(dev[0]))
+
+
+def test_scan_via_device_prep_matches_native():
+    from sregex_tpu.native import NativeDfa
+    os.environ["SREGEX_DEVICE_PREP"] = "1"
+    try:
+        ast, _ = parse("(?:a|b)aa(?:aa|bb)cc(?:a|b)")
+        dfa = build_dfa(compile_regex(ast))
+        tables = SpecTables(dfa)
+        native = NativeDfa(dfa)
+        rng = random.Random(4)
+        data = bytes(rng.choice(b"abc") for _ in range(30000))
+        exp_first, exp_state = native.scan_first(data, 0)
+        got_state, got_first = spec_scan_bytes(tables, data,
+                                               chunk_len=256)
+        assert (got_first, got_state) == (exp_first, exp_state)
+    finally:
+        del os.environ["SREGEX_DEVICE_PREP"]
