@@ -87,6 +87,13 @@ struct Ctx {
     std::vector<AddItem> stack;     // closure worklist (reused)
     std::vector<int32_t> initial_states;
     size_t initial_states_count;
+    // exact mode: compare the FULL thread list against the start
+    // closure before the prefilter re-seed.  The reference compares
+    // only the first count-1 pcs, which can misidentify surviving
+    // match continuations as the start state and discard them
+    // (skipping the leftmost match); default false keeps the quirk
+    // for byte-exact conformance, the Scanner API sets true.
+    bool exact;
     int64_t* ovector;       // user buffer
     int32_t user_ovecsize;
     int64_t pending_ovector[2];
@@ -354,6 +361,7 @@ void* sre_pike_ctx_create(void* prog_, int64_t* ovector,
     ctx->free_caps = nullptr;
     ctx->last_matched_pos = -1;
     ctx->initial_states_count = 0;
+    ctx->exact = false;
     ctx->ovector = ovector;
     ctx->user_ovecsize = ovecsize;
     size_t n = ctx->prog->insts.size() + 8;
@@ -432,8 +440,12 @@ int64_t sre_pike_exec(void* ctx_, const uint8_t* input, int64_t size,
         add_thread(ctx, ctx->clist, 0, cap, spi, false, nullptr);
         ctx->initial_states_count = ctx->clist.size();
         ctx->initial_states.clear();
-        for (size_t i = 0; i + 1 < ctx->clist.size(); i++)
-            ctx->initial_states.push_back(ctx->clist[i].pc);
+        {
+            size_t lim = ctx->clist.size();
+            if (!ctx->exact && lim > 0) lim--;  // ref quirk: skip loop
+            for (size_t i = 0; i < lim; i++)
+                ctx->initial_states.push_back(ctx->clist[i].pc);
+        }
     } else {
         ctx->tag = prog->tag;
     }
@@ -631,3 +643,7 @@ step_done:
 }
 
 }  // extern "C"
+
+extern "C" void sre_pike_ctx_set_exact(void* h, int32_t on) {
+    static_cast<Ctx*>(h)->exact = (on != 0);
+}

@@ -57,6 +57,9 @@ def get_lib():
                                             ctypes.c_int32]
         lib.sre_pike_ctx_destroy.restype = None
         lib.sre_pike_ctx_destroy.argtypes = [ctypes.c_void_p]
+        lib.sre_pike_ctx_set_exact.restype = None
+        lib.sre_pike_ctx_set_exact.argtypes = [ctypes.c_void_p,
+                                               ctypes.c_int32]
         lib.sre_pike_ctx_set_carry.restype = None
         lib.sre_pike_ctx_set_carry.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
@@ -158,7 +161,8 @@ class NativePikeCtx:
     def available():
         return get_lib() is not None
 
-    def __init__(self, nprog, ovector=None, ovecsize=None):
+    def __init__(self, nprog, ovector=None, ovecsize=None,
+                 exact=False):
         if isinstance(nprog, NativeProgram):
             self.nprog = nprog
         else:
@@ -175,6 +179,8 @@ class NativePikeCtx:
             self.nprog.handle,
             self._ovec.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             ovecsize)
+        if exact:
+            self.nprog.lib.sre_pike_ctx_set_exact(self.handle, 1)
 
     def set_carry(self, processed_bytes, seen_newline, seen_word):
         """Enter a stream mid-corpus: absolute position plus the

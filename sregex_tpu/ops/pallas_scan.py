@@ -667,6 +667,78 @@ def spec_count_bytes(tables, data_np, chunk_len=DEFAULT_K,
     return e // ncls, total
 
 
+def spec_chunk_map(tables, data_np, chunk_len=DEFAULT_K,
+                   entry_state=0, prepared=None, mesh=None,
+                   axis="data"):
+    """Validated per-chunk scan map: (entries [C], counts [C],
+    final_state), all exact.
+
+    entries[c] = the DFA state entering chunk c (plain ids), counts[c]
+    = the number of match-ending boundaries inside chunk c.  One
+    COUNT-mode device pass; chunks whose speculation missed (or the
+    ragged tail) are re-counted natively.  This is the building block
+    for device-rate finditer: the per-chunk fire map says which chunks
+    can contain match boundaries at all, and the entries let the
+    caller re-scan any single chunk natively for exact positions.
+    """
+    from ..native import NativeDfa
+
+    n = len(data_np)
+    if n == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                entry_state)
+    W = tables.warmup
+    if prepared is None:
+        from .prep import prepare_auto
+        prepared = prepare_auto(tables, data_np, chunk_len,
+                                b_multiple=(mesh.devices.size
+                                            if mesh is not None else 1))
+    data, C, K, J, B = prepared
+    ncls = tables.ncls
+    G = GROUPS
+
+    state0 = np.zeros((B, G * TILE), dtype=np.int32)
+    j0 = np.zeros((B, G * TILE), dtype=np.int32)
+    state0[0, 0] = entry_state * ncls
+    j0[0, 0] = W
+
+    bad_tail = (C - 1) if C * K > n and (n - (C - 1) * K) != K else -1
+    summary, packed = tables._scan(
+        data if isinstance(data, jax.Array) else jnp.asarray(data),
+        jnp.asarray(state0.reshape(B, G, 8, 128)),
+        jnp.asarray(j0.reshape(B, G, 8, 128)),
+        jnp.int32(C), jnp.int32(bad_tail), J, W, COUNT=True,
+        mesh=mesh, axis=axis if mesh is not None else None)
+    summ = np.asarray(summary).astype(np.int64)
+    raw = np.frombuffer(data_np, dtype=np.uint8) \
+        if not isinstance(data_np, np.ndarray) else data_np
+    phi, cnt, swarm = _unpack(packed, C)
+    entries = np.zeros(C, dtype=np.int64)
+    counts = cnt.astype(np.int64).copy()
+    native = None
+    fb = C if bool(summ[0]) else int(summ[1])
+    # validated prefix: the chain is exact as-is
+    e = entry_state * ncls
+    for c in range(min(fb, C)):
+        entries[c] = e
+        e = int(phi[c])
+    c = fb
+    while c < C:
+        lo = c * K
+        hi = min(lo + K, n)
+        entries[c] = e
+        if swarm[c] == e and hi - lo == K:
+            e = int(phi[c])
+        else:
+            if native is None:
+                native = NativeDfa(tables.dfa)
+            k, st = native.count(raw[lo:hi].tobytes(), e // ncls)
+            counts[c] = k
+            e = st * ncls
+        c += 1
+    return entries // ncls, counts, e // ncls
+
+
 def spec_scan_last_bytes(tables, data_np, chunk_len=DEFAULT_K,
                          entry_state=0, prepared=None, mesh=None,
                          axis="data"):

@@ -95,8 +95,13 @@ def _in_ranges(ranges, c):
 class PikeCtx:
     """Streaming Pike VM context (sre_vm_pike_ctx_s, sre_vm_pike.c:46-76)."""
 
-    def __init__(self, prog, ovector=None, ovecsize=None):
+    def __init__(self, prog, ovector=None, ovecsize=None,
+                 exact=False):
         self.program = prog
+        # exact=True disables the reference's lossy prefilter re-seed
+        # (see exec); used by the high-level Scanner API for true
+        # leftmost-first semantics
+        self.exact = exact
         if ovector is None:
             ovecsize = prog.ovecsize if ovecsize is None else ovecsize
             ovector = [-1] * ovecsize
@@ -325,8 +330,20 @@ class PikeCtx:
                 prog.tag = self.tag
                 return SRE_ERROR, None
             self.initial_states_count = len(clist)
-            # skip the last thread: it is always the ".*?" loop
-            self.initial_states = [t.pc for t in clist][:-1]
+            if self.exact:
+                # exact mode: the prefilter re-seed only fires when
+                # the thread list IS the fresh start closure (full pc
+                # comparison) — where it is a sound fast-forward.  The
+                # reference compares only the first count-1 pcs, which
+                # can misidentify surviving match continuations as the
+                # start state and discard them, skipping the leftmost
+                # match (observe: full-buffer pike vs splitted pike on
+                # "(a+)(b+)?" over "xa ybb yaabb yy"); the default
+                # keeps that quirk for byte-exact CLI conformance.
+                self.initial_states = [t.pc for t in clist]
+            else:
+                # skip the last thread: it is always the ".*?" loop
+                self.initial_states = [t.pc for t in clist][:-1]
         else:
             self.tag = prog.tag
 

@@ -164,10 +164,15 @@ class Scanner:
             self._pike_nprog = None
 
     def _pike_ctx(self):
+        """Capture-resolution ctx for the high-level API: EXACT mode,
+        i.e. true leftmost-first with the reference's lossy prefilter
+        re-seed disabled.  The full-buffer engines keep that quirk
+        only for byte-exact CLI conformance; the reference's own
+        streaming (splitted) mode agrees with exact mode."""
         if self._pike_nprog is not None:
             from .native_pike import NativePikeCtx
-            return NativePikeCtx(self._pike_nprog)
-        return PikeCtx(self.program)
+            return NativePikeCtx(self._pike_nprog, exact=True)
+        return PikeCtx(self.program, exact=True)
 
     DEVICE_THRESHOLD = 4 << 20   # below this the host engine wins
 
@@ -368,10 +373,36 @@ class Scanner:
     def finditer(self, data):
         """Iterate successive matches (the substitution-loop protocol:
         after each final match the engine re-arms and continues from
-        the match end, sre_vm_pike.c:624-635)."""
+        the match end, sre_vm_pike.c:624-635).
+
+        Device fast path (use_device + large corpus): one REVERSE
+        spec-kernel COUNT pass maps every chunk that contains a match
+        START; between matches the Pike ctx teleports across
+        start-free gaps instead of thread-simulating them.  The
+        teleport is exact: no completed-match starts in the gap means
+        no thread alive at the teleport point can ever reach MATCH,
+        so a fresh ctx with the boundary carry is indistinguishable.
+        Match resolution itself stays byte-exact Pike."""
+        n = len(data)
+        starts = None
+        if self.use_device and n >= self.DEVICE_THRESHOLD:
+            rev = self._rev_dfa()
+            if rev is not None and getattr(self, "_rev_spec", None) \
+                    is not None:
+                starts = _StartLocator(rev, self._rev_spec, data)
         ctx = self._pike_ctx()
         pos = 0
         while True:
+            if starts is not None and pos < n:
+                s_star = starts.next_start(pos)
+                if s_star is None:
+                    return
+                if s_star > pos:
+                    # teleport across the start-free gap
+                    ctx = self._pike_ctx()
+                    prev = data[s_star - 1]
+                    ctx.set_carry(s_star, prev == 10, sre_isword(prev))
+                    pos = s_star
             rc, _ = ctx.exec(data[pos:], True)
             if rc < 0:
                 return
@@ -381,6 +412,52 @@ class Scanner:
             if ov[1] >= len(data) and ov[0] == ov[1]:
                 return
             pos = ov[1]
+
+
+class _StartLocator:
+    """Locates the next completed-match START at or after a position,
+    from one reverse-automaton COUNT pass (ops/pallas_scan.py
+    spec_chunk_map over the reversed corpus).
+
+    Reverse boundary q fires  <=>  some match starts at n - q
+    (reverse.py; the same relation find() uses).  next_start walks the
+    per-chunk fire counts from the boundary n - pos downward —
+    monotone across calls, so the walk is amortized one pass."""
+
+    CHUNK = 2048
+
+    def __init__(self, rev_native, rev_spec, data):
+        from .ops.pallas_scan import spec_chunk_map
+        self.n = len(data)
+        self.rdata = data[::-1]
+        self.rev = rev_native
+        self.entries, self.counts, final = spec_chunk_map(
+            rev_spec, self.rdata, self.CHUNK)
+        self.start0 = bool(rev_native.match_eof[final])
+        self.C = len(self.counts)
+
+    def next_start(self, pos):
+        """Smallest s >= pos such that a completed match starts at s,
+        else None."""
+        n, K = self.n, self.CHUNK
+        if pos <= 0 and self.start0:
+            return 0
+        Q = n - max(pos, 1)          # max reverse boundary of interest
+        if Q < 0:
+            return None
+        c = min(Q // K, self.C - 1)
+        while c >= 0:
+            if self.counts[c]:
+                lo = c * K
+                hi_b = min(K - 1, Q - lo)
+                if hi_b >= 0:
+                    q_local, _ = self.rev.scan_last(
+                        self.rdata[lo:lo + hi_b + 1],
+                        int(self.entries[c]))
+                    if q_local >= 0:
+                        return n - (lo + q_local)
+            c -= 1
+        return None
 
 
 def compile_pattern(pattern, flags=0):
