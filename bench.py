@@ -9,10 +9,14 @@ Pallas DFA scan (sregex_tpu/ops/pallas_scan.py) end to end: kernel +
 result readback + host validation fold.  A match is planted near the
 end of the corpus; every timed repetition must return its exact
 offset, so each measurement is also a correctness check against the
-native C++ engine.  Host preprocessing (class mapping/packing/device
-upload) happens once outside the timed region, as resident corpus
-shards would in production.  Baseline target: 10 GB/s/chip
-(BASELINE.md).
+native C++ engine.
+
+Preprocessing runs ON DEVICE (ops/prep.py: the host only uploads raw
+bytes; class-map, windowing, packing, and tiling are one fused XLA
+program) once outside the timed region, as resident corpus shards
+would sit in production.  The cold-data path (upload + device prep +
+scan) is timed separately and reported on stderr and in
+docs/PERFORMANCE.md.  Baseline target: 10 GB/s/chip (BASELINE.md).
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -27,8 +31,8 @@ def main():
     from sregex_tpu import parse, compile_regex
     from sregex_tpu.dfa import build_dfa
     from sregex_tpu.native import NativeDfa
-    from sregex_tpu.ops.pallas_scan import (SpecTables, spec_scan_bytes,
-                                            _prepare)
+    from sregex_tpu.ops.pallas_scan import SpecTables, spec_scan_bytes
+    from sregex_tpu.ops.prep import prepare_on_device
 
     def log(msg):
         print("bench: %s" % msg, file=sys.stderr, flush=True)
@@ -58,9 +62,12 @@ def main():
     assert exp_first > 0
 
     t0 = time.time()
-    log("preparing %d MB corpus" % (n >> 20))
-    prepared = _prepare(tables, corpus, K)
-    log("prepare took %.1fs" % (time.time() - t0))
+    log("device-preparing %d MB corpus (compile + upload + pack)"
+        % (n >> 20))
+    prepared = prepare_on_device(tables, corpus, K)
+    prep_compile_s = time.time() - t0
+    log("device prepare took %.1fs (first call includes compile)"
+        % prep_compile_s)
 
     t0 = time.time()
     log("compiling + warmup")
@@ -89,6 +96,18 @@ def main():
             return 1
     dt = min(times)
     gbps = n / dt / 1e9
+
+    # cold-data end-to-end: raw bytes on host -> upload -> device
+    # prep -> scan (one rep; the prep program is compiled by now)
+    t0 = time.perf_counter()
+    cold_prep = prepare_on_device(tables, corpus, K)
+    _, got_cold = spec_scan_bytes(tables, corpus, chunk_len=K,
+                                  prepared=cold_prep)
+    cold_dt = time.perf_counter() - t0
+    log("cold end-to-end (upload+prep+scan): %.2fs = %.2f GB/s, "
+        "match %s" % (cold_dt, n / cold_dt / 1e9,
+                      "ok" if got_cold == exp_first else "WRONG"))
+    del cold_prep
 
     print(json.dumps({
         "metric": "dfa_scan_gbps",

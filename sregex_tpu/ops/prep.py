@@ -66,22 +66,27 @@ def _device_pack(raw, starts, deltas, *, n, K, W, B, CPW, BITS, nruns):
     Cp = B * G * TILE
     J = W + K
     x = raw.astype(jnp.int32)
-    # byte -> class: run-delta select chain (elementwise, fuses)
+    # byte -> class: run-delta select chain (elementwise, fuses);
+    # stored as uint8 so the big intermediates stay 1 byte/byte
+    # (class ids < 256 by construction)
     cls = jnp.full(x.shape, int(0), jnp.int32) + deltas[0]
     for r in range(1, nruns):
         cls = cls + jnp.where(x >= starts[r], deltas[r], 0)
+    cls = cls.astype(jnp.uint8)
     # pad: W front bytes + zero fill to Cp*K behind, as literal class
     # id 0 — identical to the host prep's zero padding (chunk 0's
     # warmup is frozen via j0; chunks past C are masked in the fold)
     cls = jnp.pad(cls, (W, Cp * K - n))
     chunks = cls[W:].reshape(Cp, K)
     warm = cls[:Cp * K].reshape(Cp, K)[:, :W]
-    win = jnp.concatenate([warm, chunks], axis=1)      # [Cp, J]
+    win = jnp.concatenate([warm, chunks], axis=1)      # [Cp, J] u8
     # pack CPW BITS-bit classes per int32 word (bit fields never
-    # overlap, so int32 wraparound on the top field is bit-exact)
+    # overlap, so int32 wraparound on the top field is bit-exact);
+    # the widening to int32 fuses into the reduce
     w = win.reshape(Cp, J // CPW, CPW)
     weights = (1 << (BITS * jnp.arange(CPW, dtype=jnp.int32)))
-    words = jnp.sum(w * weights, axis=-1, dtype=jnp.int32)  # [Cp, Jw]
+    words = jnp.sum(w.astype(jnp.int32) * weights, axis=-1,
+                    dtype=jnp.int32)                   # [Cp, Jw]
     # stream tiling: chunk c = ((b*G + g)*TILE + t)
     words = words.reshape(B, G, TILE, J // CPW)
     words = jnp.transpose(words, (0, 3, 1, 2))
