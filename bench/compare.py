@@ -67,6 +67,24 @@ def main():
     cre = pyre.compile(pattern.encode())
     report("python-re", timeit(lambda: cre.search(corpus)))
 
+    # external engines, as in the reference bench
+    # (/root/reference/bench/bench:6-13).  libpcre2-8 ships on this
+    # image; re1 and RE2 do not (documented in docs/PERFORMANCE.md).
+    def try_row(name, mk):
+        try:
+            fn = mk()
+            report(name, timeit(fn))
+        except Exception as e:
+            print("%-14s %10s   (%s)" % (name, "n/a", e))
+
+    from pcre2 import Pcre2
+    try_row("pcre2", lambda: (lambda p: lambda: p.match(corpus))(
+        Pcre2(pattern)))
+    try_row("pcre2-jit", lambda: (lambda p: lambda: p.match(corpus))(
+        Pcre2(pattern, jit=True)))
+    try_row("pcre2-dfa", lambda: (lambda p: lambda: p.dfa_match(
+        corpus))(Pcre2(pattern)))
+
     try:
         from sregex_tpu.native_pike import NativePikeCtx, NativeProgram
         nprog = NativeProgram(prog)
