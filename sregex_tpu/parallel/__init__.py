@@ -1,5 +1,6 @@
 """Multi-chip parallel layers for sregex-tpu."""
 
 from .sharded_scan import make_mesh, sharded_scan_bytes
+from . import distributed
 
-__all__ = ["make_mesh", "sharded_scan_bytes"]
+__all__ = ["make_mesh", "sharded_scan_bytes", "distributed"]
