@@ -33,3 +33,6 @@ asan:
 	g++ -O1 -g -fsanitize=address -shared -fPIC -o csrc/libsrehost_asan.so csrc/sre_host.cpp
 	LD_PRELOAD=$$(gcc -print-file-name=libasan.so) \
 	LSAN_OPTIONS=suppressions=lsan.suppress $(PY) tests/asan_stress.py
+
+releng:
+	$(PY) util/releng.py
