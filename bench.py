@@ -28,6 +28,20 @@ import time
 
 
 def main():
+    # persistent compilation cache: the remote relay compile of the
+    # scan kernel costs minutes; priming it here lets the driver's
+    # run (same trace) start hot
+    try:
+        import jax
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.expanduser("~/.cache/jax_sregex"))
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          5.0)
+    except Exception:
+        pass
+
     from sregex_tpu import parse, compile_regex
     from sregex_tpu.dfa import build_dfa
     from sregex_tpu.native import NativeDfa
@@ -97,17 +111,29 @@ def main():
     dt = min(times)
     gbps = n / dt / 1e9
 
-    # cold-data end-to-end: raw bytes on host -> upload -> device
-    # prep -> scan (one rep; the prep program is compiled by now)
+    # cold-data: (a) host->device upload of the raw bytes (relay
+    # bandwidth, no compute), (b) device prep + scan from
+    # device-resident raw (the production cold path: shards arrive in
+    # HBM raw, preprocessing and scan both on chip)
+    import numpy as _np
+    import jax.numpy as _jnp
+    del prepared
     t0 = time.perf_counter()
-    cold_prep = prepare_on_device(tables, corpus, K)
+    raw_dev = _jnp.asarray(_np.frombuffer(corpus, _np.uint8))
+    raw_dev.block_until_ready()
+    up_dt = time.perf_counter() - t0
+    log("raw upload: %.2fs = %.2f GB/s (relay host->HBM)"
+        % (up_dt, n / up_dt / 1e9))
+    t0 = time.perf_counter()
+    cold_prep = prepare_on_device(tables, raw_dev, K)
     _, got_cold = spec_scan_bytes(tables, corpus, chunk_len=K,
                                   prepared=cold_prep)
     cold_dt = time.perf_counter() - t0
-    log("cold end-to-end (upload+prep+scan): %.2fs = %.2f GB/s, "
-        "match %s" % (cold_dt, n / cold_dt / 1e9,
-                      "ok" if got_cold == exp_first else "WRONG"))
-    del cold_prep
+    log("cold device path (prep+scan from device-resident raw): "
+        "%.2fs = %.2f GB/s, match %s"
+        % (cold_dt, n / cold_dt / 1e9,
+           "ok" if got_cold == exp_first else "WRONG"))
+    del cold_prep, raw_dev
 
     print(json.dumps({
         "metric": "dfa_scan_gbps",
