@@ -370,26 +370,39 @@ class Scanner:
             return None
         return rc, [int(v) for v in ctx.ovector]
 
-    def finditer(self, data):
+    def make_index(self, data):
+        """Build the reusable corpus index for device finditer: one
+        REVERSE spec-kernel COUNT pass mapping every chunk that
+        contains a completed-match START.  Build it once and pass to
+        finditer(data, index=...) when iterating the same corpus more
+        than once (production serving: the index lives beside the
+        resident shard).  Returns None when no device reverse tables
+        exist for this pattern."""
+        rev = self._rev_dfa()
+        if rev is None or getattr(self, "_rev_spec", None) is None:
+            return None
+        return _StartLocator(rev, self._rev_spec, data)
+
+    def finditer(self, data, index=None):
         """Iterate successive matches (the substitution-loop protocol:
         after each final match the engine re-arms and continues from
         the match end, sre_vm_pike.c:624-635).
 
-        Device fast path (use_device + large corpus): one REVERSE
-        spec-kernel COUNT pass maps every chunk that contains a match
-        START; between matches the Pike ctx teleports across
-        start-free gaps instead of thread-simulating them.  The
-        teleport is exact: no completed-match starts in the gap means
-        no thread alive at the teleport point can ever reach MATCH,
-        so a fresh ctx with the boundary carry is indistinguishable.
-        Match resolution itself stays byte-exact Pike."""
+        Device fast path (use_device + large corpus, or an explicit
+        ``index``): the reverse fire map (make_index) locates every
+        completed-match START; between matches the Pike ctx teleports
+        across start-free gaps instead of thread-simulating them.
+        The teleport is exact: no completed-match starts in the gap
+        means no thread alive at the teleport point can ever reach
+        MATCH, so a fresh ctx with the boundary carry is
+        indistinguishable.  Match resolution itself stays byte-exact
+        Pike, fed in geometrically growing windows so the cost per
+        match tracks the match region, not the corpus tail."""
         n = len(data)
-        starts = None
-        if self.use_device and n >= self.DEVICE_THRESHOLD:
-            rev = self._rev_dfa()
-            if rev is not None and getattr(self, "_rev_spec", None) \
-                    is not None:
-                starts = _StartLocator(rev, self._rev_spec, data)
+        starts = index
+        if starts is None and self.use_device \
+                and n >= self.DEVICE_THRESHOLD:
+            starts = self.make_index(data)
         ctx = self._pike_ctx()
         pos = 0
         while True:
@@ -403,7 +416,10 @@ class Scanner:
                     prev = data[s_star - 1]
                     ctx.set_carry(s_star, prev == 10, sre_isword(prev))
                     pos = s_star
-            rc, _ = ctx.exec(data[pos:], True)
+            if starts is not None:
+                rc = self._pike_stream(ctx, data, pos)
+            else:
+                rc, _ = ctx.exec(data[pos:], True)
             if rc < 0:
                 return
             ov = [int(v) for v in ctx.ovector]
@@ -412,6 +428,22 @@ class Scanner:
             if ov[1] >= len(data) and ov[0] == ov[1]:
                 return
             pos = ov[1]
+
+    @staticmethod
+    def _pike_stream(ctx, data, pos, first=1 << 16):
+        """Drive the Pike ctx with geometrically growing chunks from
+        ``pos`` until it resolves (the engines are streaming-native;
+        matches usually commit within the first window, so the work
+        per match is O(match region), not O(corpus tail))."""
+        n = len(data)
+        win = first
+        while True:
+            hi = min(pos + win, n)
+            rc, _ = ctx.exec(data[pos:hi], hi >= n)
+            if rc != SRE_AGAIN:
+                return rc
+            pos = hi
+            win *= 4
 
 
 class _StartLocator:
