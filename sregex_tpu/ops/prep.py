@@ -95,7 +95,9 @@ def _device_pack(raw, starts, deltas, *, n, K, W, B, CPW, BITS, nruns):
 
 def prepare_on_device(tables, data_np, chunk_len, b_multiple=1):
     """Device-side analogue of _prepare: same (dev, C, K, J, B) tuple,
-    bit-identical packed array, but the host only uploads raw bytes."""
+    bit-identical packed array, but the host only uploads raw bytes.
+    data_np may already be a device-resident uint8 array (jax.Array),
+    in which case no host work or transfer happens at all."""
     n = len(data_np)
     CPW = tables.cpw
     quantum = CPW * WORDS_PER_ITER
@@ -108,8 +110,12 @@ def prepare_on_device(tables, data_np, chunk_len, b_multiple=1):
     B = -(-C // (G * TILE))
     B = -(-B // b_multiple) * b_multiple
 
-    raw = np.frombuffer(data_np, dtype=np.uint8) \
-        if not isinstance(data_np, np.ndarray) else data_np
+    if isinstance(data_np, jax.Array):
+        raw = data_np
+    elif isinstance(data_np, np.ndarray):
+        raw = data_np
+    else:
+        raw = np.frombuffer(data_np, dtype=np.uint8)
     starts, deltas = _class_runs(tables.class_map)
     dev = _device_pack(jnp.asarray(raw), jnp.asarray(starts),
                        jnp.asarray(deltas), n=n, K=K, W=W, B=B,
