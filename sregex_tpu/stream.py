@@ -429,6 +429,35 @@ class Scanner:
                 return
             pos = ov[1]
 
+    def sub(self, repl, data, count=0, index=None):
+        """Replace matches (the reference's production mode: the
+        streaming substitution loop of ngx_replace_filter over
+        sre_vm_pike re-arms, sre_vm_pike.c:624-635).  Returns
+        (new_bytes, n_replacements).
+
+        repl: bytes template — ``$0``..``$9`` / ``${nn}`` substitute
+        capture groups of the matched regex ($0 = whole match; unset
+        groups substitute empty), ``$$`` a literal dollar — or a
+        callable (regex_id, ovector, data) -> bytes.  count limits
+        replacements (0 = all).  Rides finditer, so large corpora get
+        the device fast path (pass a prebuilt ``index`` to reuse the
+        reverse fire map)."""
+        out = []
+        pos = 0
+        done = 0
+        for rid, ov in self.finditer(data, index=index):
+            if count and done >= count:
+                break
+            out.append(data[pos:ov[0]])
+            if callable(repl):
+                out.append(repl(rid, ov, data))
+            else:
+                out.append(_expand_template(repl, ov, data))
+            pos = ov[1]
+            done += 1
+        out.append(data[pos:])
+        return b"".join(out), done
+
     @staticmethod
     def _pike_stream(ctx, data, pos, first=1 << 16):
         """Drive the Pike ctx with geometrically growing chunks from
@@ -444,6 +473,48 @@ class Scanner:
                 return rc
             pos = hi
             win *= 4
+
+
+def _expand_template(repl, ov, data):
+    """Expand $0..$9 / ${nn} / $$ in a replacement template against
+    one match's ovector (the ngx_replace_filter template dialect)."""
+    out = []
+    i = 0
+    n = len(repl)
+    while i < n:
+        c = repl[i:i + 1]
+        if c != b"$" or i + 1 >= n:
+            out.append(c)
+            i += 1
+            continue
+        nxt = repl[i + 1:i + 2]
+        if nxt == b"$":
+            out.append(b"$")
+            i += 2
+        elif nxt == b"{":
+            j = repl.find(b"}", i + 2)
+            if j < 0 or not repl[i + 2:j].isdigit():
+                out.append(c)
+                i += 1
+                continue
+            g = int(repl[i + 2:j])
+            out.append(_group(ov, g, data))
+            i = j + 1
+        elif nxt.isdigit():
+            g = int(nxt)
+            out.append(_group(ov, g, data))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return b"".join(out)
+
+
+def _group(ov, g, data):
+    lo = 2 * g
+    if lo + 1 >= len(ov) or ov[lo] < 0:
+        return b""
+    return data[ov[lo]:ov[lo + 1]]
 
 
 class _StartLocator:
