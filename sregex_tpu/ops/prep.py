@@ -81,12 +81,15 @@ def _device_pack(raw, starts, deltas, *, n, K, W, B, CPW, BITS, nruns):
     warm = cls[:Cp * K].reshape(Cp, K)[:, :W]
     win = jnp.concatenate([warm, chunks], axis=1)      # [Cp, J] u8
     # pack CPW BITS-bit classes per int32 word (bit fields never
-    # overlap, so int32 wraparound on the top field is bit-exact);
-    # the widening to int32 fuses into the reduce
-    w = win.reshape(Cp, J // CPW, CPW)
-    weights = (1 << (BITS * jnp.arange(CPW, dtype=jnp.int32)))
-    words = jnp.sum(w.astype(jnp.int32) * weights, axis=-1,
-                    dtype=jnp.int32)                   # [Cp, Jw]
+    # overlap, so int32 wraparound on the top field is bit-exact).
+    # Accumulate over strided 2-D slices rather than reshape+reduce:
+    # a [Cp, Jw, CPW] operand pads its minor dim CPW -> 128 lanes on
+    # TPU (a 12-16x HBM blowup that OOMs GB-scale corpora); the
+    # strided slices stay tiled as plain [Cp, Jw] planes
+    words = win[:, 0::CPW].astype(jnp.int32)
+    for k in range(1, CPW):
+        words = words | (win[:, k::CPW].astype(jnp.int32)
+                         << jnp.int32(BITS * k))       # [Cp, Jw]
     # stream tiling: chunk c = ((b*G + g)*TILE + t)
     words = words.reshape(B, G, TILE, J // CPW)
     words = jnp.transpose(words, (0, 3, 1, 2))
