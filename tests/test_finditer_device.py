@@ -60,3 +60,8 @@ def test_device_finditer_sparse_teleports():
     data = b"h" * 50000 + b"needle" + b"h" * 100
     got = _matches(dev, data)
     assert got == [(0, [50000, 50006])]
+
+
+def test_fuzz_finditer_smoke():
+    from fuzz_finditer import run
+    assert run(25, seed=1234) >= 15
