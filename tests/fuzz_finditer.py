@@ -12,10 +12,14 @@ Run directly for a long session:  python tests/fuzz_finditer.py [N]
 A bounded smoke runs in pytest (test_fuzz_finditer_smoke).
 """
 
+import os
 import random
 import sys
 
-ATOMS = ["a", "b", "c", "x", "ab", "a+", "b*", "c?", "[ab]", "[^c]",
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+ATOMS =["a", "b", "c", "x", "ab", "a+", "b*", "c?", "[ab]", "[^c]",
          "(a)", "(ab+)", "a{2,4}", r"\bword", r"ing\b", "^li", r"ne$",
          "(?:ab|ba)", "a.c", "(a+)(b+)?"]
 
@@ -81,6 +85,12 @@ def run(iters, seed=0):
 
 
 if __name__ == "__main__":
+    # standalone runs use the virtual CPU mesh: per-pattern kernel
+    # shapes would otherwise hammer the remote TPU compiler
+    os.environ.setdefault("XLA_FLAGS",
+                          "--xla_force_host_platform_device_count=8")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     ran = run(iters, seed=random.randrange(1 << 30))
     print("fuzz_finditer: %d/%d cases ran, all equal" % (ran, iters))
