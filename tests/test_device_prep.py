@@ -73,3 +73,18 @@ def test_scan_via_device_prep_matches_native():
         assert (got_first, got_state) == (exp_first, exp_state)
     finally:
         del os.environ["SREGEX_DEVICE_PREP"]
+
+
+def test_device_prep_3bit_bit_identical(monkeypatch):
+    monkeypatch.setenv("SREGEX_PACK_BITS", "3")
+    ast, _ = parse("(?:a|b)aa(?:aa|bb)cc(?:a|b)")
+    dfa = build_dfa(compile_regex(ast))
+    tables = SpecTables(dfa)
+    assert tables.bits == 3 and tables.cpw == 10
+    rng = random.Random(33)
+    for n in (1, 4096, 70001):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        host = _prepare(tables, data, 300)
+        dev = prepare_on_device(tables, data, 300)
+        assert host[1:] == dev[1:]
+        assert np.array_equal(np.asarray(host[0]), np.asarray(dev[0]))
