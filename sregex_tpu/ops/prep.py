@@ -33,6 +33,7 @@ import os
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .pallas_scan import GROUPS, TILE, WORDS_PER_ITER, _prepare
 
@@ -57,11 +58,17 @@ def _class_runs(class_map):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n", "K", "W", "B", "CPW", "BITS",
+                   static_argnames=("K", "W", "B", "CPW", "BITS",
                                     "nruns"))
-def _device_pack(raw, starts, deltas, *, n, K, W, B, CPW, BITS, nruns):
-    """raw: uint8 [n] on device.  Returns int32
-    [B, (W+K)//CPW, G, 8, 128] packed exactly like the host prep."""
+def _device_pack(raw, n, starts, deltas, *, K, W, B, CPW, BITS,
+                 nruns):
+    """raw: uint8 [B*G*TILE*K] on device (padded to the block
+    bucket); n: traced valid-byte count.  Returns int32
+    [B, (W+K)//CPW, G, 8, 128] packed exactly like the host prep.
+
+    n is traced (not static) so every corpus length within the same
+    block bucket shares ONE compiled program — the scan kernel's
+    shapes are keyed by B alone, and the prep now matches."""
     G = GROUPS
     Cp = B * G * TILE
     J = W + K
@@ -72,11 +79,14 @@ def _device_pack(raw, starts, deltas, *, n, K, W, B, CPW, BITS, nruns):
     cls = jnp.full(x.shape, int(0), jnp.int32) + deltas[0]
     for r in range(1, nruns):
         cls = cls + jnp.where(x >= starts[r], deltas[r], 0)
+    # beyond n: literal class id 0 — identical to the host prep's
+    # zero padding (chunk 0's warmup is frozen via j0; chunks past C
+    # are masked in the fold; the ragged tail chunk is forced native
+    # via bad_tail)
+    cls = jnp.where(
+        lax.broadcasted_iota(jnp.int32, x.shape, 0) < n, cls, 0)
     cls = cls.astype(jnp.uint8)
-    # pad: W front bytes + zero fill to Cp*K behind, as literal class
-    # id 0 — identical to the host prep's zero padding (chunk 0's
-    # warmup is frozen via j0; chunks past C are masked in the fold)
-    cls = jnp.pad(cls, (W, Cp * K - n))
+    cls = jnp.pad(cls, (W, 0))
     chunks = cls[W:].reshape(Cp, K)
     warm = cls[:Cp * K].reshape(Cp, K)[:, :W]
     win = jnp.concatenate([warm, chunks], axis=1)      # [Cp, J] u8
@@ -113,16 +123,24 @@ def prepare_on_device(tables, data_np, chunk_len, b_multiple=1):
     B = -(-C // (G * TILE))
     B = -(-B // b_multiple) * b_multiple
 
+    L = B * G * TILE * K
+    if L >= 2 ** 31:
+        # the valid-byte iota mask is int32; beyond 2 GiB of padded
+        # corpus fall back to host prep (exact, just slower)
+        return _prepare(tables, data_np, chunk_len,
+                        b_multiple=b_multiple)
     if isinstance(data_np, jax.Array):
-        raw = data_np
-    elif isinstance(data_np, np.ndarray):
-        raw = data_np
+        raw = jnp.pad(data_np, (0, L - n))
     else:
-        raw = np.frombuffer(data_np, dtype=np.uint8)
+        if not isinstance(data_np, np.ndarray):
+            data_np = np.frombuffer(data_np, dtype=np.uint8)
+        raw = np.zeros(L, dtype=np.uint8)
+        raw[:n] = data_np
     starts, deltas = _class_runs(tables.class_map)
-    dev = _device_pack(jnp.asarray(raw), jnp.asarray(starts),
-                       jnp.asarray(deltas), n=n, K=K, W=W, B=B,
-                       CPW=CPW, BITS=tables.bits, nruns=len(starts))
+    dev = _device_pack(jnp.asarray(raw), jnp.int32(n),
+                       jnp.asarray(starts), jnp.asarray(deltas),
+                       K=K, W=W, B=B, CPW=CPW, BITS=tables.bits,
+                       nruns=len(starts))
     dev.block_until_ready()
     return dev, C, K, W + K, B
 
