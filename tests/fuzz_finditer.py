@@ -69,6 +69,10 @@ def one_case(rng, scanner_cls, parse, parse_multi, compile_regex):
     got = list(dev.finditer(data))
     assert got == exp, (ast, data[:80], len(exp), len(got),
                         exp[:3], got[:3])
+    # find (TDFA/spec device path vs host reverse-scan) and scan
+    # (device boundary + host id lookup vs native) ride along
+    assert dev.find(data) == host.find(data), (ast, data[:80])
+    assert dev.scan(data) == host.scan(data), (ast, data[:80])
     return True
 
 
