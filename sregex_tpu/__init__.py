@@ -30,6 +30,7 @@ from .thompson_vm import ThompsonCtx, thompson_create_ctx
 from .ast_nodes import dump_str as dump_ast
 from .bytecode import dump_program
 from .stream import compile_pattern, Scanner, StreamScanner
+from .serialize import save_compiled, load_compiled
 
 __version__ = "0.1.0"
 
@@ -40,4 +41,5 @@ __all__ = [
     "PikeCtx", "pike_create_ctx", "ThompsonCtx", "thompson_create_ctx",
     "dump_ast", "dump_program",
     "compile_pattern", "Scanner", "StreamScanner",
+    "save_compiled", "load_compiled",
 ]

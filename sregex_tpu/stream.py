@@ -121,13 +121,18 @@ class Scanner:
                         protocol, including empty-match handling)
     """
 
-    def __init__(self, prog, use_device=False, ast=None):
+    def __init__(self, prog, use_device=False, ast=None, dfa=None):
         self.program = prog
         self.ast = ast
-        try:
-            self.dfa = build_dfa(prog)
-        except DfaTooLarge:
-            self.dfa = None
+        if dfa is not None:
+            # prebuilt tables (serialize.load_compiled): skip subset
+            # construction entirely
+            self.dfa = dfa
+        else:
+            try:
+                self.dfa = build_dfa(prog)
+            except DfaTooLarge:
+                self.dfa = None
         self.use_device = use_device
         self._native = None
         self._tables = None

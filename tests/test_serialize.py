@@ -1,0 +1,59 @@
+"""Compiled-pattern serialization round-trip: the loaded Scanner must
+behave identically to the freshly compiled one (scan/count/find ids
+and captures), without re-running subset construction."""
+
+import io
+import random
+
+from sregex_tpu.parser import parse, parse_multi
+from sregex_tpu.compiler import compile_regex
+from sregex_tpu.stream import Scanner, compile_pattern
+from sregex_tpu.serialize import save_compiled, load_compiled
+
+
+def _roundtrip(sc):
+    buf = io.BytesIO()
+    save_compiled(buf, sc)
+    buf.seek(0)
+    return load_compiled(buf)
+
+
+def test_roundtrip_single():
+    sc = compile_pattern(rb"(\w+)@(\w+)")
+    lo = _roundtrip(sc)
+    data = b"mail me at a1@b2 thanks"
+    assert lo.scan(data) == sc.scan(data)
+    assert lo.count(data) == sc.count(data)
+    assert lo.find(data) == sc.find(data)
+    assert list(lo.finditer(data)) == list(sc.finditer(data))
+
+
+def test_roundtrip_multi_ids():
+    sc = compile_pattern([b"cat", b"dog(s)?", b"bird"])
+    lo = _roundtrip(sc)
+    rng = random.Random(3)
+    for _ in range(5):
+        data = bytes(rng.choice(b"catdogsbird x") for _ in range(300))
+        assert lo.scan(data) == sc.scan(data)
+        assert lo.find(data) == sc.find(data)
+
+
+def test_roundtrip_preserves_tables_bitwise():
+    import numpy as np
+    sc = compile_pattern(rb"\bword\b")
+    lo = _roundtrip(sc)
+    assert np.array_equal(lo.dfa.trans, sc.dfa.trans)
+    assert np.array_equal(lo.dfa.match_id, sc.dfa.match_id)
+    assert np.array_equal(lo.dfa.match_eof_id, sc.dfa.match_eof_id)
+    assert np.array_equal(lo.dfa.class_map, sc.dfa.class_map)
+
+
+def test_roundtrip_program_quirks():
+    # assertions, classes, counted reps, caseless
+    for pat, flags in [(rb"a{2,4}[b-d]+\z", 0),
+                       (rb"(?:AbC)+", 1)]:
+        ast, _ = parse(pat, flags)
+        sc = Scanner(compile_regex(ast), ast=ast)
+        lo = _roundtrip(sc)
+        for data in (b"aabbcc", b"AbCabcABC", b"aaacd"):
+            assert lo.find(data) == sc.find(data), (pat, data)
