@@ -57,3 +57,19 @@ def test_roundtrip_program_quirks():
         lo = _roundtrip(sc)
         for data in (b"aabbcc", b"AbCabcABC", b"aaacd"):
             assert lo.find(data) == sc.find(data), (pat, data)
+
+
+def test_roundtrip_past_eager_budget():
+    # a counted-repetition monster past the eager DFA budget: the
+    # program round-trips without tables and the lazy machine serves
+    import io as _io
+    from sregex_tpu.serialize import save_compiled, load_compiled
+    ast, _ = parse(b"word (?:[a-zA-Z0-9]+ ){0,300}otherword")
+    sc = Scanner(compile_regex(ast), ast=ast)
+    buf = _io.BytesIO()
+    save_compiled(buf, sc)
+    buf.seek(0)
+    lo = load_compiled(buf)
+    data = b"word ab c1 otherword"
+    assert lo.scan(data) == sc.scan(data)
+    assert lo.count(data) == sc.count(data)
