@@ -97,17 +97,21 @@ class SpecTables:
 
 
 class SpecTablesWide:
-    """Like SpecTables but for automata with 128 < S*ncls <= 1024: the
-    fused table spans R <= 8 lane rows and the kernel selects the row
-    by the index's high bits (R gathers + selects per byte).  Slower
-    per byte than the narrow kernel but still orders of magnitude
-    above the scalar XLA fallback."""
+    """Like SpecTables but for automata with 128 < S*ncls <= 4096: the
+    fused table spans R <= 32 lane rows and the kernel selects the row
+    by the index's high bits (R gathers + selects per byte, statically
+    unrolled).  Slower per byte than the narrow kernel, but for tables
+    this size the unrolled chain still beats the big tier's
+    dynamically bounded row loop (measured: the 2,136-entry pattern
+    runs 0.36 GB/s on the big tier)."""
+
+    MAX_ENTRIES = 4096
 
     def __init__(self, dfa):
         S, ncls = dfa.nstates, dfa.nclasses
         if ncls > 16:
             raise ValueError("more than 16 byte classes (%d)" % ncls)
-        if S * ncls > 1024:
+        if S * ncls > self.MAX_ENTRIES:
             raise ValueError("automaton too large for the wide fused "
                              "table (S*ncls = %d)" % (S * ncls))
         self.dfa = dfa
