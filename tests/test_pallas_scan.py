@@ -130,3 +130,25 @@ def test_wide_tables_match_native():
         exp_last, elst = native.scan_last(data, 0)
         lst, last = spec_scan_last_bytes(tables, data, chunk_len=240)
         assert last == exp_last and lst == elst
+
+
+def test_wide_tier_r17_matches_native():
+    """Extended wide tier (1024 < S*ncls <= 4096): statically unrolled
+    17-row select chain, interpret mode."""
+    from sregex_tpu.ops.pallas_scan import SpecTablesWide
+    ast, _ = parse("word (?:[a-zA-Z0-9]+ ){0,10}otherword")
+    dfa = build_dfa(compile_regex(ast), max_states=65536)
+    assert 1024 < dfa.nstates * dfa.nclasses <= 4096
+    tables = SpecTablesWide(dfa)
+    assert tables.rows > 8
+    native = NativeDfa(dfa)
+    rng = random.Random(17)
+    for trial in range(2):
+        n = 3000
+        data = bytes(rng.choice(b"word other ab1 ") for _ in range(n))
+        if trial == 0:
+            data = data[:1500] + b"word ab c1 otherword" + data[1500:]
+        exp_first, exp_state = native.scan_first(data, 0)
+        got_state, got_first = spec_scan_bytes(tables, data,
+                                               chunk_len=256)
+        assert (got_first, got_state) == (exp_first, exp_state)
