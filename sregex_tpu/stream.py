@@ -463,6 +463,23 @@ class Scanner:
         out.append(data[pos:])
         return b"".join(out), done
 
+    def split(self, data, maxsplit=0, index=None):
+        """Split ``data`` around matches (re.split analogue without
+        group interpolation): returns the list of between-match
+        segments.  maxsplit limits splits (0 = all).  Rides finditer,
+        so large corpora get the device fast path."""
+        out = []
+        pos = 0
+        done = 0
+        for _rid, ov in self.finditer(data, index=index):
+            if maxsplit and done >= maxsplit:
+                break
+            out.append(data[pos:ov[0]])
+            pos = ov[1]
+            done += 1
+        out.append(data[pos:])
+        return out
+
     @staticmethod
     def _pike_stream(ctx, data, pos, first=1 << 16):
         """Drive the Pike ctx with geometrically growing chunks from

@@ -68,3 +68,29 @@ def test_sub_empty_match_advance():
     sc = compile_pattern(b"x*")
     got, n = sc.sub(b"-", b"axa")
     assert got == re.sub(b"x*", b"-", b"axa"), got
+
+def test_split_vs_re_oracle():
+    import re as _re
+    for pat, datas in [
+        (rb"\s+", [b"a b  c", b"  x  ", b"nospaces", b""]),
+        (b",", [b"a,b,c", b",", b"abc"]),
+        (b"x*", [b"axa", b"xxa", b""]),
+    ]:
+        sc = compile_pattern(pat)
+        for data in datas:
+            assert sc.split(data) == _re.split(pat, data), (pat, data)
+
+
+def test_split_maxsplit():
+    sc = compile_pattern(b",")
+    assert sc.split(b"a,b,c", maxsplit=1) == [b"a", b"b,c"]
+
+
+def test_split_device_path_matches_host():
+    ast, _ = parse(rb"\s+")
+    prog = compile_regex(ast)
+    host = Scanner(prog, ast=ast)
+    dev = Scanner(prog, use_device=True, ast=ast)
+    dev.DEVICE_THRESHOLD = 1 << 10
+    data = (b"word " * 800) + b"tail"
+    assert dev.split(data) == host.split(data)
