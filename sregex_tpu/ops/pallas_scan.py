@@ -36,6 +36,7 @@ versus the JIT's per-thread native dispatch loop.
 """
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -49,7 +50,13 @@ _STATE_MASK = (1 << _MATCH_SHIFT) - 1
 _BIG = np.int32(2 ** 30)
 
 WORDS_PER_ITER = 2   # packed words consumed per loop iteration
-GROUPS = 4           # interleaved tiles per block (latency hiding)
+# Interleaved tiles per block (latency hiding: independent gather
+# chains pipeline against each other).  4 is the tuned default;
+# SREGEX_GROUPS is an experimental knob (the kernel is latency-bound
+# on the bench relay, so more chains may help — pick chunk_len so the
+# block stays inside the 16 MB scoped-VMEM double-buffer budget:
+# Jw*G*4096*4B*2 < 16 MB).
+GROUPS = int(os.environ.get("SREGEX_GROUPS", "4"))
 TILE = 1024          # streams per tile (8 sublanes x 128 lanes)
 DEFAULT_K = 2048     # nominal chunk length (rounded to the packing)
 
