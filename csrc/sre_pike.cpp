@@ -99,6 +99,14 @@ struct Ctx {
     int64_t pending_ovector[2];
     bool first_buf, seen_start_state, eof, empty_capture;
     bool seen_newline, seen_word;
+    // exact-mode cross-chunk carry: context of the byte
+    // immediately before the CURRENT buffer, refreshed every
+    // chunk.  The reference's seen_newline/seen_word refresh
+    // only when a match fires (sre_vm_pike.c:586-601); after a
+    // re-arm a chunk-start \b/^ test can consume a stale carry
+    // and drop a valid match (tests/test_carry_exact.py).
+    // Default mode keeps that quirk for byte-exact conformance.
+    bool prev_newline, prev_word;
 
     Capture* cap_create() {
         Capture* c = free_caps;
@@ -205,7 +213,9 @@ static int add_thread(Ctx* ctx, std::vector<Thread>& lst, int32_t pc0,
                 continue;
             case A_CARET:
                 if ((pos == 0)
-                        ? (ctx->processed_bytes && !ctx->seen_newline)
+                        ? (ctx->processed_bytes
+                           && !(ctx->exact ? ctx->prev_newline
+                                           : ctx->seen_newline))
                         : (ctx->buffer[pos - 1] != '\n')) {
                     ctx->cap_decr(cap);
                     goto next_item;
@@ -214,7 +224,8 @@ static int add_thread(Ctx* ctx, std::vector<Thread>& lst, int32_t pc0,
                 continue;
             case A_SMALL_B:
             case A_BIG_B:
-                seen_word = (pos == 0) ? 0
+                seen_word = (pos == 0)
+                    ? ((ctx->exact && ctx->prev_word) ? 1 : 0)
                     : (isword(ctx->buffer[pos - 1]) ? 1 : 0);
                 break;
             default:
@@ -375,6 +386,8 @@ void* sre_pike_ctx_create(void* prog_, int64_t* ovector,
     ctx->empty_capture = false;
     ctx->seen_newline = false;
     ctx->seen_word = false;
+    ctx->prev_newline = false;
+    ctx->prev_word = false;
     return ctx;
 }
 
@@ -387,6 +400,8 @@ void sre_pike_ctx_set_carry(void* ctx_, int64_t processed_bytes,
     ctx->processed_bytes = processed_bytes;
     ctx->seen_newline = seen_newline != 0;
     ctx->seen_word = seen_word != 0;
+    ctx->prev_newline = seen_newline != 0;
+    ctx->prev_word = seen_word != 0;
 }
 
 void sre_pike_ctx_destroy(void* ctx_) {
@@ -528,13 +543,18 @@ int64_t sre_pike_exec(void* ctx_, const uint8_t* input, int64_t size,
                     hold = (spi == size || cur == '\n');
                     break;
                 case A_BIG_B:
-                    seen_word = t.seen_word
-                        || (spi == 0 && ctx->seen_word);
+                    // exact mode: the thread's own latch is
+                    // always correct (prev_word at pos 0); the
+                    // reference's stale-ctx OR stays default-only
+                    seen_word = ctx->exact ? (t.seen_word != 0)
+                        : (t.seen_word
+                           || (spi == 0 && ctx->seen_word));
                     hold = (seen_word == cur_is_word);
                     break;
                 case A_SMALL_B:
-                    seen_word = t.seen_word
-                        || (spi == 0 && ctx->seen_word);
+                    seen_word = ctx->exact ? (t.seen_word != 0)
+                        : (t.seen_word
+                           || (spi == 0 && ctx->seen_word));
                     hold = (seen_word != cur_is_word);
                     break;
                 }
@@ -592,6 +612,15 @@ step_done:
     clist.erase(clist.begin(), clist.begin() + chead);
     chead = 0;
 
+    // exact-mode carry: the next chunk's predecessor byte is this
+    // chunk's last byte (overridden below on a re-arm)
+    bool entry_prev_nl = ctx->prev_newline;
+    bool entry_prev_w = ctx->prev_word;
+    if (size > 0) {
+        ctx->prev_newline = input[size - 1] == '\n';
+        ctx->prev_word = isword(input[size - 1]) != 0;
+    }
+
     if (ctx->last_matched_pos >= 0) {
         int64_t p = ctx->last_matched_pos - ctx->processed_bytes;
         if (p > 0) {
@@ -611,6 +640,20 @@ step_done:
             if (!ctx->clist.empty()) {
                 clear_list(ctx, ctx->clist);
                 ctx->eof = true;
+            }
+            // re-arm: the stream resumes at the match end; its
+            // predecessor byte is the one before it in THIS
+            // chunk (or unchanged at a chunk-start match end)
+            {
+                int64_t rel = ctx->ovector[1]
+                              - ctx->processed_bytes;
+                if (rel > 0) {
+                    ctx->prev_newline = input[rel - 1] == '\n';
+                    ctx->prev_word = isword(input[rel - 1]) != 0;
+                } else {
+                    ctx->prev_newline = entry_prev_nl;
+                    ctx->prev_word = entry_prev_w;
+                }
             }
             ctx->processed_bytes = ctx->ovector[1];
             ctx->empty_capture = ctx->ovector[0] == ctx->ovector[1];

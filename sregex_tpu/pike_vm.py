@@ -126,6 +126,15 @@ class PikeCtx:
         self.empty_capture = False
         self.seen_newline = False
         self.seen_word = False
+        # exact-mode cross-chunk carry: context of the byte
+        # immediately before the CURRENT buffer, refreshed every
+        # chunk.  The reference's seen_newline/seen_word only refresh
+        # when a match fires (sre_vm_pike.c:586-601), so after a
+        # re-arm a later chunk-start \b/^ test can consume a stale
+        # carry and drop a valid match (tests/test_carry_exact.py);
+        # default mode keeps that quirk for byte-exact conformance
+        self.prev_newline = False
+        self.prev_word = False
 
         self._prefilter_tbl = None  # lazy 256-byte translate table
 
@@ -136,6 +145,8 @@ class PikeCtx:
         self.processed_bytes = processed_bytes
         self.seen_newline = bool(seen_newline)
         self.seen_word = bool(seen_word)
+        self.prev_newline = bool(seen_newline)
+        self.prev_word = bool(seen_word)
 
     # -- add_thread (sre_vm_pike_add_thread, sre_vm_pike.c:756-942) ---
 
@@ -192,15 +203,21 @@ class PikeCtx:
                     continue
                 if a == SRE_REGEX_ASSERT_CARET:
                     if pos == 0:
-                        if self.processed_bytes and not self.seen_newline:
+                        nl = (self.prev_newline if self.exact
+                              else self.seen_newline)
+                        if self.processed_bytes and not nl:
                             continue
                     elif buffer[pos - 1] != 10:
                         continue
                     stack.append((pc + 1, cap))
                     continue
                 if a == SRE_REGEX_ASSERT_SMALL_B or a == SRE_REGEX_ASSERT_BIG_B:
-                    seen_word = (0 if pos == 0
-                                 else (1 if sre_isword(buffer[pos - 1]) else 0))
+                    if pos == 0:
+                        seen_word = (1 if self.exact and self.prev_word
+                                     else 0)
+                    else:
+                        seen_word = (1 if sre_isword(buffer[pos - 1])
+                                     else 0)
                     # falls through to add (tested in the exec loop)
                 # $ / \z: postpone as lookahead thread
 
@@ -422,13 +439,20 @@ class PikeCtx:
                     elif a == SRE_REGEX_ASSERT_DOLLAR:
                         hold = (spi == size or cur == 10)
                     elif a == SRE_REGEX_ASSERT_BIG_B:
-                        seen_word = (t.seen_word
-                                     or (spi == 0 and self.seen_word))
+                        # exact mode: the thread's own latch is always
+                        # correct (prev_word at pos 0); the reference's
+                        # stale-ctx OR stays default-only
+                        seen_word = (t.seen_word if self.exact
+                                     else (t.seen_word
+                                           or (spi == 0
+                                               and self.seen_word)))
                         cur_word = (spi != size and sre_isword(cur))
                         hold = not (bool(seen_word) ^ bool(cur_word))
                     elif a == SRE_REGEX_ASSERT_SMALL_B:
-                        seen_word = (t.seen_word
-                                     or (spi == 0 and self.seen_word))
+                        seen_word = (t.seen_word if self.exact
+                                     else (t.seen_word
+                                           or (spi == 0
+                                               and self.seen_word)))
                         cur_word = (spi != size and sre_isword(cur))
                         hold = bool(seen_word) ^ bool(cur_word)
                     if not hold:
@@ -478,6 +502,13 @@ class PikeCtx:
             spi += 1
             _ = goto_step_done  # (flow explicitness only)
 
+        # exact-mode carry: the next chunk's predecessor byte is this
+        # chunk's last byte (overridden below on a re-arm)
+        entry_prev = (self.prev_newline, self.prev_word)
+        if size > 0:
+            self.prev_newline = (input_[size - 1] == 10)
+            self.prev_word = bool(sre_isword(input_[size - 1]))
+
         # seen_newline/seen_word carry for ^/\b continuation
         # (sre_vm_pike.c:586-601)
         if self.last_matched_pos >= 0:
@@ -499,6 +530,16 @@ class PikeCtx:
                 if clist:
                     clist.clear()
                     self.eof = True
+                # re-arm: the stream resumes at the match end, so the
+                # predecessor byte is the one before it in THIS chunk
+                # (or unchanged when the match ended at the chunk
+                # start)
+                rel = self.ovector[1] - self.processed_bytes
+                if rel > 0:
+                    self.prev_newline = (input_[rel - 1] == 10)
+                    self.prev_word = bool(sre_isword(input_[rel - 1]))
+                else:
+                    self.prev_newline, self.prev_word = entry_prev
                 self.processed_bytes = self.ovector[1]
                 self.empty_capture = (self.ovector[0] == self.ovector[1])
                 self.matched = None

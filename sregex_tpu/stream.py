@@ -463,6 +463,12 @@ class Scanner:
         out.append(data[pos:])
         return b"".join(out), done
 
+    def editor(self, repl, count=0):
+        """Streaming substitution: returns a StreamEditor over this
+        pattern set (chunk-in/chunk-out replace filter; see
+        StreamEditor)."""
+        return StreamEditor(self, repl, count=count)
+
     def split(self, data, maxsplit=0, index=None):
         """Split ``data`` around matches (re.split analogue without
         group interpolation): returns the list of between-match
@@ -537,6 +543,123 @@ def _group(ov, g, data):
     if lo + 1 >= len(ov) or ov[lo] < 0:
         return b""
     return data[ov[lo]:ov[lo + 1]]
+
+
+class StreamEditor:
+    """Streaming substitution over an unbounded chunked stream — the
+    reference's flagship production use case (ngx_replace_filter over
+    the Pike re-arm loop, sre_vm_pike.c:624-635; buffering contract
+    from the pending/temp-capture outputs, README.markdown:558-563,
+    sre_vm_pike.c:640-658,692-735).
+
+    feed(chunk, eof=False) -> bytes: consume one input chunk, return
+    the next piece of edited output.  Output is emitted as early as
+    provably final: after every chunk the engine's temp captures (the
+    conservative $0 span over live threads) and the pending-match span
+    bound the bytes that could still belong to a match; everything
+    before that bound is flushed verbatim.  Total memory is
+    O(longest potential match), independent of stream length.
+
+    repl: bytes template ($0..$9 / ${nn} / $$, as Scanner.sub) or a
+    callable (regex_id, ovector, window) -> bytes where ``ovector``
+    indexes into ``window`` (the held byte window containing the
+    match).  count limits replacements (0 = all); once reached the
+    remainder of the stream passes through verbatim.
+
+    The concatenated output equals Scanner.sub(repl, whole_stream)
+    for every chunking (tests/test_editor.py fuzzes this).
+    """
+
+    def __init__(self, scanner, repl, count=0):
+        self.scanner = scanner
+        self.repl = repl
+        self.count = count
+        self.n_replacements = 0
+        self._ctx = scanner._pike_ctx()
+        self._held = bytearray()   # input bytes [held_base, total)
+        self._held_base = 0        # == absolute bytes emitted so far
+        self._total = 0            # absolute bytes received
+        self._passthrough = False  # count reached: verbatim tail
+        self._finished = False
+
+    @property
+    def finished(self):
+        return self._finished
+
+    def feed(self, chunk, eof=False):
+        """Feed one chunk (b"" allowed); eof=True on the last call.
+        Returns the output bytes that became final.  Feeding after
+        eof is misuse and raises (the reference's SRE_ERROR contract,
+        sre_vm_pike.c:165-168)."""
+        if self._finished:
+            raise RuntimeError("stream already finished")
+        chunk = bytes(chunk or b"")
+        self._total += len(chunk)
+        if self._passthrough:
+            if eof:
+                self._finished = True
+            self._held_base = self._total
+            return chunk
+        self._held += chunk
+        out = []
+        piece = chunk
+        while True:
+            rc, pending = self._ctx.exec(piece, eof, want_pending=True)
+            if rc >= 0:
+                ov = [int(v) for v in self._ctx.ovector]
+                a, b = ov[0], ov[1]
+                # every final match starts at/after the flush bound:
+                # a < held_base would mean we emitted match bytes
+                assert a >= self._held_base, (a, self._held_base)
+                out.append(bytes(self._held[:a - self._held_base]))
+                window = bytes(self._held)
+                rel = [v - self._held_base if v >= 0 else -1
+                       for v in ov]
+                if callable(self.repl):
+                    out.append(self.repl(rc, rel, window))
+                else:
+                    out.append(_expand_template(self.repl, rel, window))
+                del self._held[:b - self._held_base]
+                self._held_base = b
+                self.n_replacements += 1
+                if self.count and self.n_replacements >= self.count:
+                    out.append(bytes(self._held))
+                    self._held.clear()
+                    self._held_base = self._total
+                    self._passthrough = True
+                    if eof:
+                        self._finished = True
+                    return b"".join(out)
+                # the engine re-armed at b: re-feed the already-
+                # received tail (the reference caller's re-feed loop)
+                piece = bytes(self._held)
+                if not piece and not eof:
+                    break
+            elif rc == SRE_AGAIN:
+                bound = self._total
+                t0 = int(self._ctx.ovector[0])
+                if t0 >= 0:
+                    bound = min(bound, t0)
+                if pending is not None:
+                    bound = min(bound, int(pending[0]))
+                if bound > self._held_base:
+                    out.append(bytes(
+                        self._held[:bound - self._held_base]))
+                    del self._held[:bound - self._held_base]
+                    self._held_base = bound
+                break
+            elif rc == SRE_DECLINED:
+                out.append(bytes(self._held))
+                self._held.clear()
+                self._held_base = self._total
+                self._finished = True
+                break
+            else:
+                self._finished = True
+                raise RuntimeError("pike engine error (SRE_ERROR)")
+        if eof:
+            self._finished = True
+        return b"".join(out)
 
 
 class _StartLocator:
