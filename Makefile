@@ -31,6 +31,7 @@ clean:
 asan:
 	g++ -O1 -g -fsanitize=address -shared -fPIC -o csrc/libsrepike_asan.so csrc/sre_pike.cpp
 	g++ -O1 -g -fsanitize=address -shared -fPIC -o csrc/libsrehost_asan.so csrc/sre_host.cpp
+	g++ -O1 -g -fsanitize=address -shared -fPIC -o csrc/libsretdfa_asan.so csrc/sre_tdfa.cpp
 	LD_PRELOAD=$$(gcc -print-file-name=libasan.so) \
 	LSAN_OPTIONS=suppressions=lsan.suppress $(PY) tests/asan_stress.py
 

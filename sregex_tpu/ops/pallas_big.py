@@ -61,7 +61,11 @@ class SpecTablesBig:
     one select.
     """
 
-    def __init__(self, dfa):
+    def __init__(self, dfa, fast=None):
+        import os
+        if fast is None:
+            fast = os.environ.get("SREGEX_BIG_FAST", "0") == "1"
+        self.fast = bool(fast)
         S, ncls = dfa.nstates, dfa.nclasses
         if S * ncls > MAX_ENTRIES:
             raise ValueError("automaton too large for the big fused "
@@ -96,13 +100,24 @@ class SpecTablesBig:
         return _spec_scan_big_call(
             data, state0, j0, self.fused_rows, C, bad_tail, J=J, W=W,
             CPW=self.cpw, BITS=self.bits, COUNT=COUNT, R=self.rows,
-            kernel_fn=_kernel_big, mesh=mesh, axis=axis)
+            kernel_fn=functools.partial(_kernel_big, FAST=self.fast),
+            mesh=mesh, axis=axis)
 
 
-def _lookup_rows(fused_ref, idx, R):
+def _lookup_rows(fused_ref, idx, R, fast=True):
     """Arbitrary-size table lookup: min/max-bounded row select chain.
     idx: list of G [8,128] premultiplied indices.  Returns list of G
-    [8,128] fused entries."""
+    [8,128] fused entries.
+
+    fast=True swaps in a straight-line two-row path when the live
+    rows span at most 2 table rows (rhi - rlo <= 1), with a cond
+    fallback to the loop.  MEASURED NEGATIVE on the v5e relay
+    (bench/ab_big.py, 512 MB interleaved A/B on the S*ncls=21,276
+    monster: 0.44 GB/s fast vs 0.50 loop): Mosaic's scf.if costs as
+    much as a single-iteration dynamic loop, so the per-byte floor is
+    the dependent gather chain + the min/max reduces, not loop
+    overhead.  Default OFF; the knob (SREGEX_BIG_FAST=1) remains for
+    bare-metal re-tuning."""
     G = len(idx)
     lanes = [ix & 127 for ix in idx]
     his = [ix >> 7 for ix in idx]
@@ -123,13 +138,31 @@ def _lookup_rows(fused_ref, idx, R):
         return tuple(out)
 
     z = jnp.zeros((8, 128), jnp.int32)
-    es = tuple(z for _ in range(G))
-    return lax.fori_loop(rlo, rhi + 1, row_step, es)
+
+    def loop_path(_):
+        es = tuple(z for _ in range(G))
+        return lax.fori_loop(rlo, rhi + 1, row_step, es)
+
+    if not fast:
+        return loop_path(None)
+
+    def fast_path(_):
+        # every live row is rlo or rhi (spread <= 1)
+        t0 = fused_ref[rlo]
+        t1 = fused_ref[rhi]
+        out = []
+        for g in range(G):
+            v0 = jnp.take_along_axis(t0, lanes[g], axis=1)
+            v1 = jnp.take_along_axis(t1, lanes[g], axis=1)
+            out.append(jnp.where(his[g] == rlo, v0, v1))
+        return tuple(out)
+
+    return lax.cond(rhi - rlo <= 1, fast_path, loop_path, 0)
 
 
 def _kernel_big(data_ref, state0_ref, j0_ref, fused_ref,
                 phi_ref, fm_ref, swarm_ref, *, J, W, CPW, BITS, R,
-                COUNT=False):
+                COUNT=False, FAST=True):
     """Big-table variant: fused_ref [R, 8, 128] (row-broadcast); the
     row loop runs with dynamic bounds = the live rows' min/max."""
     G = GROUPS
@@ -143,7 +176,7 @@ def _kernel_big(data_ref, state0_ref, j0_ref, fused_ref,
                     for g in range(G)]
             es = _lookup_rows(fused_ref,
                               [states[g] + rows[g] for g in range(G)],
-                              R)
+                              R, fast=FAST)
             states = tuple(
                 jnp.where(j >= j0_ref[0, g], es[g] & _STATE_MASK,
                           states[g])
@@ -163,7 +196,7 @@ def _kernel_big(data_ref, state0_ref, j0_ref, fused_ref,
                     for g in range(G)]
             es = _lookup_rows(fused_ref,
                               [states[g] + rows[g] for g in range(G)],
-                              R)
+                              R, fast=FAST)
             if COUNT:
                 maccs = tuple(maccs[g] + (es[g] >> _MATCH_SHIFT)
                               for g in range(G))

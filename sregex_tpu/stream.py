@@ -156,6 +156,10 @@ class Scanner:
                     self._tdfa_spec = TdfaSpecTables(prog)
                 except _TooLarge:
                     self._tdfa_spec = None
+        # native TDFA walker (lazy): resolves finditer/sub matches
+        # from tagged-DFA registers at table-walk speed instead of
+        # Pike thread simulation (~100x on dense-match corpora)
+        self._walker = None
         # reverse automaton (lazy): locates match STARTS by scanning
         # backwards, so find() only simulates the match region
         self._rev = False
@@ -244,6 +248,22 @@ class Scanner:
             from .dfa import LazyDfa
             self._lazy = LazyDfa(self.program)
         return self._lazy
+
+    def _tdfa_walker(self):
+        """Native TDFA walker (native_tdfa.NativeTdfa) or None; built
+        on first use, False-cached when the automaton exceeds the
+        host budgets or the toolchain is unavailable."""
+        if self._walker is None:
+            import os
+            if os.environ.get("SREGEX_FINDITER") == "pike":
+                self._walker = False
+            else:
+                try:
+                    from .native_tdfa import NativeTdfa
+                    self._walker = NativeTdfa(self.program)
+                except Exception:
+                    self._walker = False
+        return self._walker or None
 
     def _rev_dfa(self):
         if self._rev is False:
@@ -408,6 +428,14 @@ class Scanner:
         if starts is None and self.use_device \
                 and n >= self.DEVICE_THRESHOLD:
             starts = self.make_index(data)
+        if starts is None:
+            # host path: the native TDFA walker emits every match's
+            # captures from tagged-DFA registers (exact-mode
+            # semantics; ~100x Pike on dense-match corpora)
+            walker = self._tdfa_walker()
+            if walker is not None:
+                yield from walker.iter_ovectors(data)
+                return
         ctx = self._pike_ctx()
         pos = 0
         while True:

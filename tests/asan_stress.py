@@ -6,10 +6,12 @@ import os, random, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sregex_tpu.native_pike as npk
 import sregex_tpu.native as nat
+import sregex_tpu.native_tdfa as ntd
 _here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if os.path.exists(os.path.join(_here, "csrc", "libsrepike_asan.so")):
     npk._SO = os.path.join(_here, "csrc", "libsrepike_asan.so")
     nat._SO = os.path.join(_here, "csrc", "libsrehost_asan.so")
+    ntd._SO = os.path.join(_here, "csrc", "libsretdfa_asan.so")
 
 from sregex_tpu import parse, parse_multi, compile_regex
 from sregex_tpu.pike_vm import PikeCtx
@@ -52,5 +54,27 @@ for data in (b"abcd", b"abce", b"xxxy", b"zzz"):
     prc, _ = p.exec(data, True)
     nrc, _ = n.exec(data, True)
     assert prc == nrc and list(p.ovector) == [int(v) for v in n.ovector]
+
+# TDFA walker (findall re-arm loop, batch resume, empty matches)
+from sregex_tpu.native_tdfa import NativeTdfa
+from sregex_tpu.tdfa import TdfaTooLarge
+for pat in ["a|(ab)", r"\b\w+\b", "(a)(b(c))?", "a*", "(?:ab|cd)+",
+            ["ab", r"(\d+)", "c"]]:
+    if isinstance(pat, list):
+        ast, _ = parse_multi([p.encode() if isinstance(p, str) else p
+                              for p in pat])
+    else:
+        ast, _ = parse(pat)
+    prog = compile_regex(ast)
+    try:
+        w = NativeTdfa(prog)
+    except TdfaTooLarge:
+        continue
+    for trial in range(6):
+        data = bytes(rng.choice(b"abcxy1. \n_") for _ in
+                     range(rng.choice([0, 3, 40, 300])))
+        rows = w.findall(data)
+        for b in w._batches(data, batch=1, max_batch=3):
+            pass
 
 print("ASAN differential stress OK")
