@@ -67,7 +67,26 @@ def _byte_classes(prog):
     Returns (class_map[256] int32, nclasses, class_word, class_nl,
     accept[ninsts x nclasses] bool)."""
     insts = prog.insts
-    sigs = [_WORD_MASK, _NL_MASK]
+    # context refinement only where the program can observe it: \b/\B
+    # read the word bit, ^/$ the newline bit.  Assertion-free programs
+    # then get strictly coarser classes (e.g. a literal needs only
+    # {its bytes, other}), which shrinks every downstream table
+    # (narrower kernel tiers, denser packing) without changing any
+    # observable result.
+    need_word = False
+    need_nl = False
+    for ins in insts:
+        if ins.opcode == OP_ASSERT:
+            a = ins.assertion
+            if a in (SRE_REGEX_ASSERT_SMALL_B, SRE_REGEX_ASSERT_BIG_B):
+                need_word = True
+            elif a in (SRE_REGEX_ASSERT_CARET, SRE_REGEX_ASSERT_DOLLAR):
+                need_nl = True
+    sigs = []
+    if need_word:
+        sigs.append(_WORD_MASK)
+    if need_nl:
+        sigs.append(_NL_MASK)
     accept_rows = {}
     for idx, ins in enumerate(insts):
         op = ins.opcode
@@ -87,6 +106,8 @@ def _byte_classes(prog):
         accept_rows[idx] = m
         sigs.append(m)
 
+    if not sigs:
+        sigs.append(np.zeros(256, dtype=bool))
     sig = np.stack(sigs, axis=1)  # [256, nsigs]
     _, class_map, = np.unique(sig, axis=0, return_inverse=True)
     class_map = class_map.astype(np.int32)
@@ -95,8 +116,12 @@ def _byte_classes(prog):
     rep = np.zeros(nclasses, dtype=np.int32)
     for b in range(255, -1, -1):
         rep[class_map[b]] = b
-    class_word = _WORD_MASK[rep]
-    class_nl = _NL_MASK[rep]
+    # unobservable context bits are pinned False so they never split
+    # states (the ctx is part of the state identity downstream)
+    class_word = _WORD_MASK[rep] if need_word \
+        else np.zeros(nclasses, dtype=bool)
+    class_nl = _NL_MASK[rep] if need_nl \
+        else np.zeros(nclasses, dtype=bool)
     accept = {idx: m[rep] for idx, m in accept_rows.items()}
     return class_map, nclasses, class_word, class_nl, accept
 

@@ -472,7 +472,8 @@ def _prepare(tables, data_np, chunk_len, b_multiple=1):
 
     n = len(data_np)
     CPW = tables.cpw
-    quantum = CPW * WORDS_PER_ITER
+    bpu = getattr(tables, "bpu", 1)    # bytes per kernel unit
+    quantum = CPW * WORDS_PER_ITER * bpu
     K = max(quantum, int(chunk_len) // quantum * quantum)
     if K >= 1 << 16:
         # per-chunk match counts ride 16 bits in the packed planes
@@ -487,6 +488,9 @@ def _prepare(tables, data_np, chunk_len, b_multiple=1):
 
     raw = np.frombuffer(data_np, dtype=np.uint8) \
         if not isinstance(data_np, np.ndarray) else data_np
+
+    if bpu == 2:
+        return _prepare_pair(tables, raw, n, K, W, G, C, B, Cp, J)
 
     from ..native import get_lib, _u8p, _i32p
     lib = get_lib()
@@ -528,6 +532,57 @@ def _prepare(tables, data_np, chunk_len, b_multiple=1):
     return dev, C, K, J, B
 
 
+def _prepare_pair(tables, raw, n, K, W, G, C, B, Cp, J):
+    """Pair-unit host prep (ops/pallas_pair.py tables): class-map the
+    whole stream, combine adjacent classes into pair ids (K and W are
+    even, so pairs never straddle a window), then window/pack in pair
+    units with the same layout as _prepare."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    CPW = tables.cpw
+    cb = tables.byte_ncls
+    cls = np.frombuffer(
+        raw.tobytes().translate(tables.class_map.tobytes()),
+        dtype=np.uint8)
+    padded = np.zeros(W + Cp * K, dtype=np.uint8)
+    padded[W:W + n] = cls
+    pairs = (padded[0::2].astype(np.int16) * cb
+             + padded[1::2]).astype(np.uint8)
+    K2, W2, J2 = K // 2, W // 2, J // 2
+    win = sliding_window_view(pairs, J2)[::K2][:Cp]
+
+    arr = np.ascontiguousarray(win).reshape(B, G, TILE,
+                                            J2 // CPW, CPW)
+    if tables.bits == 4:
+        nib = (arr[..., 0::2] | (arr[..., 1::2] << 4))
+        words = np.ascontiguousarray(nib).view("<u4")[..., 0] \
+            .astype(np.int32)
+    else:
+        words = arr[..., 0].astype(np.int32).copy()
+        for k in range(1, CPW):
+            words |= arr[..., k].astype(np.int32) << (tables.bits * k)
+    packed = np.ascontiguousarray(words.transpose(0, 3, 1, 2))
+    packed = packed.reshape(B, J2 // CPW, G, 8, 128)
+    dev = jnp.asarray(packed)
+    dev.block_until_ready()
+    return dev, C, K, J, B
+
+
+@functools.partial(jax.jit, static_argnames=("B",))
+def _entry_planes(entry_premult, w, *, B):
+    """Device-built state0/j0 planes: all streams speculate from the
+    premultiplied seed except stream 0, which starts at the true
+    entry with its warmup frozen (j0 = W).  Building these on device
+    replaces a 2 x B x 4096 x 4-byte host upload per scan (~8 MB at
+    2 GiB corpus — ~140 ms through the relay, pure overhead)."""
+    G = GROUPS
+    s0 = jnp.zeros((B, G, 8, 128), jnp.int32)
+    s0 = s0.at[0, 0, 0, 0].set(entry_premult)
+    j0 = jnp.zeros((B, G, 8, 128), jnp.int32)
+    j0 = j0.at[0, 0, 0, 0].set(w)
+    return s0, j0
+
+
 def spec_scan_bytes(tables, data_np, chunk_len=DEFAULT_K,
                     entry_state=0, prepared=None, mesh=None,
                     axis="data"):
@@ -556,17 +611,14 @@ def spec_scan_bytes(tables, data_np, chunk_len=DEFAULT_K,
     ncls = tables.ncls
     G = GROUPS
 
-    state0 = np.zeros((B, G * TILE), dtype=np.int32)
-    j0 = np.zeros((B, G * TILE), dtype=np.int32)
     # chunk 0: skip warmup entirely, start from the true entry state
-    state0[0, 0] = entry_state * ncls
-    j0[0, 0] = W
+    s0p, j0p = _entry_planes(jnp.int32(entry_state * ncls),
+                             jnp.int32(W), B=B)
 
     bad_tail = (C - 1) if C * K > n and (n - (C - 1) * K) != K else -1
     summary, packed = tables._scan(
         data if isinstance(data, jax.Array) else jnp.asarray(data),
-        jnp.asarray(state0.reshape(B, G, 8, 128)),
-        jnp.asarray(j0.reshape(B, G, 8, 128)),
+        s0p, j0p,
         jnp.int32(C), jnp.int32(bad_tail), J, W, mesh=mesh,
         axis=axis if mesh is not None else None)
     # common case: ~32-byte readback; the per-chunk arrays stay on
@@ -631,16 +683,13 @@ def spec_count_bytes(tables, data_np, chunk_len=DEFAULT_K,
     ncls = tables.ncls
     G = GROUPS
 
-    state0 = np.zeros((B, G * TILE), dtype=np.int32)
-    j0 = np.zeros((B, G * TILE), dtype=np.int32)
-    state0[0, 0] = entry_state * ncls
-    j0[0, 0] = W
+    s0p, j0p = _entry_planes(jnp.int32(entry_state * ncls),
+                             jnp.int32(W), B=B)
 
     bad_tail = (C - 1) if C * K > n and (n - (C - 1) * K) != K else -1
     summary, packed = tables._scan(
         data if isinstance(data, jax.Array) else jnp.asarray(data),
-        jnp.asarray(state0.reshape(B, G, 8, 128)),
-        jnp.asarray(j0.reshape(B, G, 8, 128)),
+        s0p, j0p,
         jnp.int32(C), jnp.int32(bad_tail), J, W, COUNT=True,
         mesh=mesh, axis=axis if mesh is not None else None)
     summ = np.asarray(summary).astype(np.int64)
@@ -708,16 +757,13 @@ def spec_chunk_map(tables, data_np, chunk_len=DEFAULT_K,
     ncls = tables.ncls
     G = GROUPS
 
-    state0 = np.zeros((B, G * TILE), dtype=np.int32)
-    j0 = np.zeros((B, G * TILE), dtype=np.int32)
-    state0[0, 0] = entry_state * ncls
-    j0[0, 0] = W
+    s0p, j0p = _entry_planes(jnp.int32(entry_state * ncls),
+                             jnp.int32(W), B=B)
 
     bad_tail = (C - 1) if C * K > n and (n - (C - 1) * K) != K else -1
     summary, packed = tables._scan(
         data if isinstance(data, jax.Array) else jnp.asarray(data),
-        jnp.asarray(state0.reshape(B, G, 8, 128)),
-        jnp.asarray(j0.reshape(B, G, 8, 128)),
+        s0p, j0p,
         jnp.int32(C), jnp.int32(bad_tail), J, W, COUNT=True,
         mesh=mesh, axis=axis if mesh is not None else None)
     summ = np.asarray(summary).astype(np.int64)
@@ -771,16 +817,13 @@ def spec_scan_last_bytes(tables, data_np, chunk_len=DEFAULT_K,
     ncls = tables.ncls
     G = GROUPS
 
-    state0 = np.zeros((B, G * TILE), dtype=np.int32)
-    j0 = np.zeros((B, G * TILE), dtype=np.int32)
-    state0[0, 0] = entry_state * ncls
-    j0[0, 0] = W
+    s0p, j0p = _entry_planes(jnp.int32(entry_state * ncls),
+                             jnp.int32(W), B=B)
 
     bad_tail = (C - 1) if C * K > n and (n - (C - 1) * K) != K else -1
     summary, packed = tables._scan(
         data if isinstance(data, jax.Array) else jnp.asarray(data),
-        jnp.asarray(state0.reshape(B, G, 8, 128)),
-        jnp.asarray(j0.reshape(B, G, 8, 128)),
+        s0p, j0p,
         jnp.int32(C), jnp.int32(bad_tail), J, W, COUNT=True,
         mesh=mesh, axis=axis if mesh is not None else None)
     summ = np.asarray(summary).astype(np.int64)

@@ -111,6 +111,11 @@ def prepare_on_device(tables, data_np, chunk_len, b_multiple=1):
     bit-identical packed array, but the host only uploads raw bytes.
     data_np may already be a device-resident uint8 array (jax.Array),
     in which case no host work or transfer happens at all."""
+    if getattr(tables, "bpu", 1) != 1:
+        # pair-unit tables: device prep not yet specialized; the host
+        # pair prep is exact (and the pair tier is opt-in/benchmarked)
+        return _prepare(tables, data_np, chunk_len,
+                        b_multiple=b_multiple)
     n = len(data_np)
     CPW = tables.cpw
     quantum = CPW * WORDS_PER_ITER

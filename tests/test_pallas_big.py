@@ -23,7 +23,9 @@ CASES = [
     # (pattern, alphabet, planted)
     (b"word (?:[a-zA-Z0-9]+ ){0,10}otherword",
      b"word other abc12 ", b"word abc de3 otherword"),
-    (b"a{20,45}b", b"aab", b"x" + b"a" * 30 + b"b"),
+    # (context-conditional byte classes shrank small counted reps
+    # below the narrow cap, so the chain must be longer to stay big)
+    (b"a{60,120}b", b"aab", b"x" + b"a" * 80 + b"b"),
     (b"(x|y|z[QW]){1,5}(longish|loquatious)",
      b"xyzQWlongishloquatious", b"zQxylongish"),
     (b"^.{9}abc.*\n", b"abc\nxyzw", b"123456789abczz\n"),
