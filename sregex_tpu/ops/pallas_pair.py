@@ -22,6 +22,17 @@ if row count matters).  Budgets: S*ncls^2 <= 128 rides the narrow
 1-gather kernel; <= 1024 the wide row-select kernel.  Packing: 4-bit
 when ncls^2 <= 16 (2 bits of HBM per input byte), else 8-bit (4
 bits/byte — the same traffic as the byte kernels).
+
+Measured on the v5e relay (bench/ab_pair.py, 512 MB interleaved
+A/Bs, value readback in the timed region):
+
+  - NARROW pair (S*ncls^2 <= 128, e.g. literal 'abc'): 15.7 GB/s vs
+    13.7 byte-narrow — the production default for eligible automata
+    (Scanner tries it first);
+  - WIDE pair (row-select chain): 4.1-4.2 vs 4.6-5.1 byte —
+    NEGATIVE; the extra selects cost more than the halved chain
+    saves, so wide automata stay on the byte kernels
+    (narrow_only=True gates the production path).
 """
 
 import numpy as np
@@ -37,12 +48,14 @@ class SpecTablesPair:
 
     MAX_ENTRIES = 1024
 
-    def __init__(self, dfa):
+    def __init__(self, dfa, narrow_only=False):
         S, cb = dfa.nstates, dfa.nclasses
         npair = cb * cb
-        if S * npair > self.MAX_ENTRIES:
+        limit = 128 if narrow_only else self.MAX_ENTRIES
+        if S * npair > limit:
             raise ValueError("automaton too large for the pair table "
-                             "(S*ncls^2 = %d)" % (S * npair))
+                             "(S*ncls^2 = %d > %d)" % (S * npair,
+                                                       limit))
         if npair > 256:
             raise ValueError("pair alphabet exceeds uint8 (%d)"
                              % npair)

@@ -59,6 +59,39 @@ def _class_runs(class_map):
 
 @functools.partial(jax.jit,
                    static_argnames=("K", "W", "B", "CPW", "BITS",
+                                    "nruns", "cb"))
+def _device_pack_pair(raw, n, starts, deltas, *, K, W, B, CPW, BITS,
+                      nruns, cb):
+    """Pair-unit device prep (ops/pallas_pair.py tables): class-map,
+    combine adjacent classes into pair ids (elementwise — K and W are
+    even so pairs never straddle windows), then window/pack in pair
+    units.  Bit-identical to the host _prepare_pair."""
+    G = GROUPS
+    Cp = B * G * TILE
+    x = raw.astype(jnp.int32)
+    cls = jnp.full(x.shape, int(0), jnp.int32) + deltas[0]
+    for r in range(1, nruns):
+        cls = cls + jnp.where(x >= starts[r], deltas[r], 0)
+    cls = jnp.where(
+        lax.broadcasted_iota(jnp.int32, x.shape, 0) < n, cls, 0)
+    pair = (cls[0::2] * cb + cls[1::2]).astype(jnp.uint8)
+    K2, W2 = K // 2, W // 2
+    J2 = W2 + K2
+    pair = jnp.pad(pair, (W2, 0))
+    chunks = pair[W2:].reshape(Cp, K2)
+    warm = pair[:Cp * K2].reshape(Cp, K2)[:, :W2]
+    win = jnp.concatenate([warm, chunks], axis=1)      # [Cp, J2] u8
+    words = win[:, 0::CPW].astype(jnp.int32)
+    for k in range(1, CPW):
+        words = words | (win[:, k::CPW].astype(jnp.int32)
+                         << jnp.int32(BITS * k))
+    words = words.reshape(B, G, TILE, J2 // CPW)
+    words = jnp.transpose(words, (0, 3, 1, 2))
+    return words.reshape(B, J2 // CPW, G, 8, 128)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("K", "W", "B", "CPW", "BITS",
                                     "nruns"))
 def _device_pack(raw, n, starts, deltas, *, K, W, B, CPW, BITS,
                  nruns):
@@ -111,14 +144,10 @@ def prepare_on_device(tables, data_np, chunk_len, b_multiple=1):
     bit-identical packed array, but the host only uploads raw bytes.
     data_np may already be a device-resident uint8 array (jax.Array),
     in which case no host work or transfer happens at all."""
-    if getattr(tables, "bpu", 1) != 1:
-        # pair-unit tables: device prep not yet specialized; the host
-        # pair prep is exact (and the pair tier is opt-in/benchmarked)
-        return _prepare(tables, data_np, chunk_len,
-                        b_multiple=b_multiple)
     n = len(data_np)
     CPW = tables.cpw
-    quantum = CPW * WORDS_PER_ITER
+    bpu = getattr(tables, "bpu", 1)
+    quantum = CPW * WORDS_PER_ITER * bpu
     K = max(quantum, int(chunk_len) // quantum * quantum)
     if K >= 1 << 16:
         raise ValueError("chunk_len must be < 65536 (got %d)" % K)
@@ -142,10 +171,18 @@ def prepare_on_device(tables, data_np, chunk_len, b_multiple=1):
         raw = np.zeros(L, dtype=np.uint8)
         raw[:n] = data_np
     starts, deltas = _class_runs(tables.class_map)
-    dev = _device_pack(jnp.asarray(raw), jnp.int32(n),
-                       jnp.asarray(starts), jnp.asarray(deltas),
-                       K=K, W=W, B=B, CPW=CPW, BITS=tables.bits,
-                       nruns=len(starts))
+    if bpu == 2:
+        dev = _device_pack_pair(jnp.asarray(raw), jnp.int32(n),
+                                jnp.asarray(starts),
+                                jnp.asarray(deltas),
+                                K=K, W=W, B=B, CPW=CPW,
+                                BITS=tables.bits, nruns=len(starts),
+                                cb=tables.byte_ncls)
+    else:
+        dev = _device_pack(jnp.asarray(raw), jnp.int32(n),
+                           jnp.asarray(starts), jnp.asarray(deltas),
+                           K=K, W=W, B=B, CPW=CPW, BITS=tables.bits,
+                           nruns=len(starts))
     dev.block_until_ready()
     return dev, C, K, W + K, B
 

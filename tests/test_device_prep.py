@@ -75,6 +75,25 @@ def test_scan_via_device_prep_matches_native():
         del os.environ["SREGEX_DEVICE_PREP"]
 
 
+def test_device_prep_pair_bit_identical():
+    from sregex_tpu.ops.pallas_pair import SpecTablesPair
+    # 4-bit pair packing (ncls^2 <= 16) and 8-bit (> 16)
+    cases = [("abc", 4), (r"a[bc]d?e", 8)]
+    for pattern, want_bits in cases:
+        ast, _ = parse(pattern)
+        dfa = build_dfa(compile_regex(ast))
+        tables = SpecTablesPair(dfa)
+        assert tables.bits == want_bits, (pattern, tables.bits)
+        rng = random.Random(hash(pattern) & 0xFFFF)
+        for n in (1, 255, 4096, 70001):
+            data = bytes(rng.randrange(256) for _ in range(n))
+            host = _prepare(tables, data, 256)
+            dev = prepare_on_device(tables, data, 256)
+            assert host[1:] == dev[1:], (pattern, n)
+            assert np.array_equal(np.asarray(host[0]),
+                                  np.asarray(dev[0])), (pattern, n)
+
+
 def test_device_prep_3bit_bit_identical(monkeypatch):
     monkeypatch.setenv("SREGEX_PACK_BITS", "3")
     ast, _ = parse("(?:a|b)aa(?:aa|bb)cc(?:a|b)")
