@@ -32,6 +32,8 @@ yes/no engines; the tagged (capture-carrying) construction lives on
 top of this module.
 """
 
+import os
+
 import numpy as np
 
 from .consts import (
@@ -249,8 +251,53 @@ class Dfa:
         return DfaCtx(self)
 
 
+def minimize_dfa(dfa):
+    """Moore minimization preserving every observable the engines and
+    kernels read: the full match_id row (so id_at answers identically),
+    match_eof_id, and transition behavior.  Subset construction keyed
+    on (pending set, prev ctx) routinely produces behaviorally
+    duplicate states (e.g. contexts the pattern never distinguishes);
+    merging them shrinks every downstream table — more patterns fit the
+    narrow kernel tiers (S*ncls <= 128 / 1024) and the wide/big tiers'
+    row-select chains get shorter (R = ceil(S*ncls/128) rows).
+
+    State 0 stays the start state; states are renumbered in first-seen
+    order so the result is deterministic."""
+    S = dfa.nstates
+    # initial partition: per-state observable signature
+    sig = np.concatenate(
+        [dfa.match_id, dfa.match_eof_id[:, None]], axis=1)
+    _, cls = np.unique(sig, axis=0, return_inverse=True)
+    while True:
+        key = np.concatenate([cls[:, None], cls[dfa.trans]], axis=1)
+        _, new = np.unique(key, axis=0, return_inverse=True)
+        if np.array_equal(new, cls):
+            break
+        cls = new
+    n = int(cls.max()) + 1
+    if n == S:
+        return dfa
+    # renumber classes in first-seen state order (start -> 0)
+    order = np.full(n, -1, dtype=np.int32)
+    reps = np.zeros(n, dtype=np.int64)
+    nxt = 0
+    for s in range(S):
+        c = cls[s]
+        if order[c] < 0:
+            order[c] = nxt
+            reps[nxt] = s
+            nxt += 1
+    newid = order[cls].astype(np.int32)
+    trans = np.ascontiguousarray(newid[dfa.trans[reps]])
+    match_id = np.ascontiguousarray(dfa.match_id[reps])
+    match_eof_id = np.ascontiguousarray(dfa.match_eof_id[reps])
+    return Dfa(dfa.program, trans, match_id, match_eof_id,
+               dfa.class_map)
+
+
 def build_dfa(prog, max_states=8192):
-    """Subset construction.  Raises DfaTooLarge beyond max_states."""
+    """Subset construction.  Raises DfaTooLarge beyond max_states.
+    The result is Moore-minimized (SREGEX_MINIMIZE=0 disables)."""
     insts = prog.insts
     class_map, nclasses, class_word, class_nl, accept = _byte_classes(prog)
 
@@ -304,8 +351,11 @@ def build_dfa(prog, max_states=8192):
 
     trans = np.stack(trans_rows)
     match = np.stack(match_rows)
-    return Dfa(prog, trans, match,
-               np.array(match_eof, dtype=np.int32), class_map)
+    dfa = Dfa(prog, trans, match,
+              np.array(match_eof, dtype=np.int32), class_map)
+    if os.environ.get("SREGEX_MINIMIZE") != "0":
+        dfa = minimize_dfa(dfa)
+    return dfa
 
 
 class LazyDfa:
