@@ -92,6 +92,20 @@ void sre_dfa_transfer(const int32_t* fused, int32_t nstates,
 
 // memchr-style prefilter: first offset >= 0 whose byte is accepted by
 // the 256-entry mask, or n.
+// Visit-count sampling for the adaptive hot-core kernel tier
+// (sregex_tpu/ops/pallas_core.py): walk the fused table over a data
+// sample, incrementing counts[s] for the state held BEFORE each byte.
+// Carries the state like the scan entry points.
+void sre_dfa_visits(const int32_t* fused, const uint8_t* data,
+                    int64_t n, int32_t* state_io, int64_t* counts) {
+    int32_t s = *state_io;
+    for (int64_t i = 0; i < n; i++) {
+        counts[s]++;
+        s = fused[(s << 8) | data[i]] & kStateMask;
+    }
+    *state_io = s;
+}
+
 int64_t sre_find_first_byte(const uint8_t* accept, const uint8_t* data,
                             int64_t n) {
     for (int64_t i = 0; i < n; i++) {

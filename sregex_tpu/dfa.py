@@ -295,6 +295,68 @@ def minimize_dfa(dfa):
                dfa.class_map)
 
 
+def build_core_dfa(dfa, hot_states):
+    """Synthesize the HOT-CORE machine for the adaptive core kernel
+    tier (ops/pallas_core.py): a small DFA over only the states a data
+    sample actually visits, plus one sticky ESC state.
+
+      - core ids 0..H-1 = ``hot_states`` in the given order (the
+        caller puts the entry state first); ESC = H;
+      - transitions leaving the hot set are redirected to ESC; every
+        ESC transition carries the match bit, so a chunk that escapes
+        can never validate silently (fm != 0 in scan mode, and the
+        sticky exit state phi == ESC fails the ESC check _summarize
+        applies in both modes);
+      - byte classes are re-merged over the hot rows only: classes the
+        core cannot distinguish collapse, shrinking S*ncls toward the
+        fast kernel tiers (the whole point — a 4,818-state automaton
+        whose scans visit 9 states becomes a 10-state narrow-tier
+        machine).
+
+    The core answers only "did a match end at this boundary" —
+    match_id is boolean-degraded to 0/-1 and WHICH regex matched is
+    always resolved on the full machine.  Returns
+    (core_dfa, hot2full int64 [H], full2core int32 [S_full] with ESC
+    for non-hot states).
+    """
+    S = dfa.nstates
+    hot2full = np.asarray(hot_states, dtype=np.int64)
+    H = len(hot2full)
+    if H == 0 or len(np.unique(hot2full)) != H:
+        raise ValueError("hot_states must be non-empty and unique")
+    full2core = np.full(S, H, dtype=np.int32)
+    full2core[hot2full] = np.arange(H, dtype=np.int32)
+
+    ct = full2core[dfa.trans[hot2full]]          # [H, ncls] core targets
+    m = dfa.match[hot2full]                      # [H, ncls] bool
+
+    # merge byte classes indistinguishable over the hot rows
+    sig = np.concatenate([ct, m.astype(np.int32)], axis=0).T  # [ncls, 2H]
+    uniq, first_idx, inv = np.unique(sig, axis=0, return_index=True,
+                                     return_inverse=True)
+    # deterministic first-seen ordering of the merged classes
+    order = np.argsort(first_idx, kind="stable")
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    remap = rank[inv].astype(np.int32)           # full class -> core class
+    nclsc = len(uniq)
+    reps = np.sort(first_idx)                    # representative full cls
+
+    trans_core = np.empty((H + 1, nclsc), dtype=np.int32)
+    trans_core[:H] = ct[:, reps]
+    trans_core[H] = H                            # ESC self-loops
+    match_id_core = np.where(m[:, reps], 0, -1).astype(np.int32)
+    match_id_core = np.concatenate(
+        [match_id_core, np.zeros((1, nclsc), dtype=np.int32)])  # ESC fires
+    eof_core = np.concatenate(
+        [np.where(dfa.match_eof[hot2full], 0, -1).astype(np.int32),
+         np.zeros(1, dtype=np.int32)])           # ESC eof never read
+    class_map_core = remap[dfa.class_map].astype(np.int32)
+    core = Dfa(dfa.program, trans_core, match_id_core, eof_core,
+               class_map_core)
+    return core, hot2full, full2core
+
+
 def build_dfa(prog, max_states=8192):
     """Subset construction.  Raises DfaTooLarge beyond max_states.
     The result is Moore-minimized (SREGEX_MINIMIZE=0 disables)."""

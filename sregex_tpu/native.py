@@ -59,6 +59,9 @@ def get_lib():
         lib.sre_dfa_transfer.restype = None
         lib.sre_dfa_transfer.argtypes = [i32p, ctypes.c_int32, u8p,
                                          ctypes.c_int64, i32p, i64p]
+        lib.sre_dfa_visits.restype = None
+        lib.sre_dfa_visits.argtypes = [i32p, u8p, ctypes.c_int64,
+                                       i32p, i64p]
         lib.sre_find_first_byte.restype = ctypes.c_int64
         lib.sre_find_first_byte.argtypes = [u8p, u8p, ctypes.c_int64]
         lib.sre_pack_prepare.restype = None
@@ -163,6 +166,27 @@ class NativeDfa:
             cnt += int(e >> 20)
             s = e & 0xFFFFF
         return cnt, s
+
+    def visits(self, data, state=0):
+        """Per-state visit counts over a walk of ``data`` (the state
+        BEFORE each byte is counted).  Returns (counts int64 [S],
+        state_after).  Used to pick the hot-core state set
+        (ops/pallas_core.py)."""
+        buf = np.frombuffer(data, dtype=np.uint8) \
+            if not isinstance(data, np.ndarray) else data
+        counts = np.zeros(self.dfa.nstates, dtype=np.int64)
+        if self.lib is not None:
+            st = np.array([state], dtype=np.int32)
+            self.lib.sre_dfa_visits(
+                _i32p(self.fused), _u8p(buf), len(buf), _i32p(st),
+                counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+            return counts, int(st[0])
+        s = state
+        fused = self.fused
+        for b in buf:
+            counts[s] += 1
+            s = fused[s, b] & 0xFFFFF
+        return counts, s
 
     def transfer(self, data):
         """Full transfer function of a chunk: (phi [S], fm [S])."""

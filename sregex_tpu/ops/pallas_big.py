@@ -96,12 +96,12 @@ class SpecTablesBig:
         self.match_eof = dfa.match_eof
 
     def _scan(self, data, state0, j0, C, bad_tail, J, W, COUNT=False,
-              mesh=None, axis=None):
+              mesh=None, axis=None, esc=None):
         return _spec_scan_big_call(
             data, state0, j0, self.fused_rows, C, bad_tail, J=J, W=W,
             CPW=self.cpw, BITS=self.bits, COUNT=COUNT, R=self.rows,
             kernel_fn=functools.partial(_kernel_big, FAST=self.fast),
-            mesh=mesh, axis=axis)
+            mesh=mesh, axis=axis, ESC=esc)
 
 
 def _lookup_rows(fused_ref, idx, R, fast=True):

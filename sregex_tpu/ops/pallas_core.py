@@ -1,0 +1,244 @@
+"""Adaptive hot-core kernel tier: big automata at narrow-kernel speed.
+
+The big-table tier (ops/pallas_big.py) pays O(live-row spread) selects
+per byte — 0.36-0.76 GB/s measured, ~20-40x below the narrow kernel.
+But DFA scans over real data visit a tiny, heavily skewed subset of
+the state space: a counted-repetition monster with 4,818 states
+typically cycles through a handful of them outside rare match
+regions.  The reference exploits the same skew with its leading-bytes
+memchr prefilter (sre_vm_pike.c:256-308); here the whole SCAN runs on
+the skew.
+
+Mechanics (everything reuses the speculative-scan machinery):
+
+  1. sample the corpus and count per-state visits with one native
+     table walk (csrc/sre_host.cpp sre_dfa_visits);
+  2. synthesize a CORE machine over the visited states + one sticky
+     ESC state (dfa.build_core_dfa): out-of-core transitions divert to
+     ESC, ESC transitions carry the match bit, and byte classes
+     re-merge over the hot rows (usually collapsing far below the full
+     machine's alphabet);
+  3. run the ordinary pair/narrow/wide kernels over the core tables.
+     A chunk that never escapes behaves exactly like the full machine;
+     a chunk that escapes exits in ESC and _summarize's ESC check
+     fails its validation, so the host repairs it with the FULL
+     machine (native C++ scan) — the same repair protocol that already
+     handles speculation misses.  Exactness is therefore unconditional
+     and does NOT depend on the sample being representative; a bad
+     sample only costs speed.
+
+The sticky-ESC argument that makes per-chunk trust sound: core
+transitions agree with the full machine while the trajectory stays in
+the hot set, and any departure lands in ESC, which only self-loops —
+so exit != ESC  <=>  the whole chunk ran inside the core  =>  the
+chunk's exit state and match bits are the full machine's.
+
+This tier replaces nothing: Scanner tries it only where the static
+tier chain bottoms out at SpecTablesBig (or no device tier at all),
+and any pattern/corpus where no small core covers the sampled mass
+stays on the big tier (CoreTables raises ValueError).
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..dfa import build_core_dfa
+from .pallas_scan import (SpecTables, SpecTablesWide, DEFAULT_K,
+                          _entry_planes, _unpack)
+
+# sampled visit mass allowed OUTSIDE the core (per byte): escapes cost
+# one native chunk re-scan (~7 us at K=2048) against ~0.15 us on the
+# narrow kernel, so the break-even escape rate is large; this keeps
+# the expected overhead under ~1%.
+MAX_ESCAPE_FRAC = 1e-5
+
+# candidate hot-set sizes tried (descending): the largest FAST-tier
+# (pair/narrow) fit wins, else the largest wide fit
+_CANDIDATE_MS = (4096, 2048, 1024, 512, 256, 128, 96, 64, 48, 32, 24,
+                 16, 12, 8, 6, 4, 3, 2, 1)
+
+
+def _inner_tables(core, narrow_only):
+    """Fast-first tier chain over the synthesized core machine.
+    narrow_only=True restricts to the 1-gather tiers (pair/narrow);
+    False also admits the row-select wide tier (<= 4096 entries)."""
+    import functools
+    chain = []
+    if os.environ.get("SREGEX_PAIR") != "0":
+        from .pallas_pair import SpecTablesPair
+        chain.append(functools.partial(SpecTablesPair,
+                                       narrow_only=True))
+    chain.append(SpecTables)
+    if not narrow_only:
+        chain.append(SpecTablesWide)
+    for cls in chain:
+        try:
+            return cls(core)
+        except ValueError:
+            continue
+    return None
+
+
+class CoreTables:
+    """Hot-core tables for one (full automaton, corpus sample) pair.
+
+    Raises ValueError when no worthwhile core exists: the sampled
+    visit mass cannot be covered (within MAX_ESCAPE_FRAC) by a state
+    subset small enough for the pair/narrow/wide kernels.
+    """
+
+    def __init__(self, dfa, sample, max_escape_frac=MAX_ESCAPE_FRAC):
+        from ..native import NativeDfa
+        self.dfa = dfa                      # the FULL machine
+        self.native = NativeDfa(dfa)
+        counts, _ = self.native.visits(sample, 0)
+        total = float(counts.sum())
+        if total <= 0:
+            raise ValueError("empty sample")
+        counts = counts.copy()
+        counts[0] += 1                      # entry state is always hot
+        visited = np.nonzero(counts)[0]
+        order = visited[np.argsort(-counts[visited], kind="stable")]
+        order = np.concatenate([[0], order[order != 0]])
+        V = len(order)
+        csum = np.cumsum(counts[order].astype(np.float64))
+        allowed = max_escape_frac * total
+        m_min = int(np.searchsorted(csum, total + 1 - allowed)) + 1
+        ms = sorted({m for m in (V,) + _CANDIDATE_MS
+                     if m_min <= m <= V}, reverse=True)
+
+        fast_fit = None                     # (inner, core, maps)
+        wide_fit = None
+        for m in ms:
+            core, hot2full, full2core = build_core_dfa(dfa, order[:m])
+            if fast_fit is None:
+                inner = _inner_tables(core, narrow_only=True)
+                if inner is not None:
+                    fast_fit = (inner, core, hot2full, full2core)
+                    break                   # largest fast fit wins
+            if wide_fit is None:
+                inner = _inner_tables(core, narrow_only=False)
+                if inner is not None:
+                    wide_fit = (inner, core, hot2full, full2core)
+        fit = fast_fit or wide_fit
+        if fit is None:
+            raise ValueError("no fast core tier fits the sampled "
+                             "hot set (visited %d states)" % V)
+        self.inner, self.core, self.hot2full, self.full2core = fit
+        self.H = len(self.hot2full)
+        # premultiplied sticky-escape id in the INNER alphabet (the
+        # pair tier premultiplies by ncls^2)
+        self.esc_premult = self.H * self.inner.ncls
+
+    # ---- core premult <-> full state id ----
+
+    def to_core_premult(self, full_state):
+        """Premultiplied core id of a full state, or -1 if not hot."""
+        c = int(self.full2core[full_state])
+        if c >= self.H:
+            return -1
+        return c * self.inner.ncls
+
+    def to_full(self, core_premult):
+        """Full state id of a (non-ESC) premultiplied core id."""
+        return int(self.hot2full[core_premult // self.inner.ncls])
+
+
+def _run(ct, data_np, chunk_len, entry_state, prepared, COUNT):
+    """Shared kernel dispatch: returns (summ int64[10], packed, raw,
+    C, K, n) with the ESC check applied on device."""
+    import jax
+    from .prep import prepare_auto
+    inner = ct.inner
+    n = len(data_np)
+    W = inner.warmup
+    if prepared is None:
+        prepared = prepare_auto(inner, data_np, chunk_len)
+    data, C, K, J, B = prepared
+    ep = ct.to_core_premult(entry_state)
+    assert ep >= 0, "entry state must be in the core (caller checks)"
+    s0p, j0p = _entry_planes(jnp.int32(ep), jnp.int32(W), B=B)
+    bad_tail = (C - 1) if C * K > n and (n - (C - 1) * K) != K else -1
+    summary, packed = inner._scan(
+        data if isinstance(data, jax.Array) else jnp.asarray(data),
+        s0p, j0p, jnp.int32(C), jnp.int32(bad_tail), J, W,
+        COUNT=COUNT, esc=ct.esc_premult)
+    summ = np.asarray(summary).astype(np.int64)
+    raw = np.frombuffer(data_np, dtype=np.uint8) \
+        if not isinstance(data_np, np.ndarray) else data_np
+    return summ, packed, raw, C, K, n
+
+
+def core_scan_bytes(ct, data_np, chunk_len=DEFAULT_K, entry_state=0,
+                    prepared=None):
+    """Whole-buffer first-match scan on the core tier.  Contract of
+    spec_scan_bytes: returns (final FULL state, first match boundary
+    or -1); on a match the state is the full state AT the boundary
+    (regex id = ct.dfa.id_at(state, data[boundary])).  Exact: escaped
+    or fired or speculation-missed chunks re-scan natively on the
+    FULL machine."""
+    n = len(data_np)
+    if n == 0:
+        return entry_state, -1
+    summ, packed, raw, C, K, n = _run(ct, data_np, chunk_len,
+                                      entry_state, prepared, False)
+    if bool(summ[0]):
+        # every chunk validated: no fires, no escapes, chain exact
+        return ct.to_full(int(summ[6])), -1
+    phi, many, swarm = _unpack(packed, C)
+    native = ct.native
+    e_full = ct.to_full(int(summ[2]))   # entries[fb]: validated, !ESC
+    c = int(summ[1])
+    while c < C:
+        lo = c * K
+        hi = min(lo + K, n)
+        cp = ct.to_core_premult(e_full)
+        if (cp >= 0 and swarm[c] == cp and hi - lo == K
+                and many[c] == 0 and phi[c] != ct.esc_premult):
+            e_full = ct.to_full(int(phi[c]))
+            c += 1
+            continue
+        f, st = native.scan_first(raw[lo:hi].tobytes(), e_full)
+        if f >= 0:
+            return st, lo + f
+        e_full = st
+        c += 1
+    return e_full, -1
+
+
+def core_count_bytes(ct, data_np, chunk_len=DEFAULT_K, entry_state=0,
+                     prepared=None):
+    """Count match-ending boundaries (0..n-1; EOF is the caller's) on
+    the core tier.  Contract of spec_count_bytes with FULL states."""
+    n = len(data_np)
+    if n == 0:
+        return entry_state, 0
+    summ, packed, raw, C, K, n = _run(ct, data_np, chunk_len,
+                                      entry_state, prepared, True)
+    if bool(summ[0]):
+        if n < 2 ** 31:
+            return ct.to_full(int(summ[6])), int(summ[7])
+        _, cnt, _ = _unpack(packed, C)
+        return (ct.to_full(int(summ[6])),
+                int(np.sum(cnt, dtype=np.int64)))
+    phi, cnt, swarm = _unpack(packed, C)
+    native = ct.native
+    total = int(summ[7])                # validated-prefix count
+    e_full = ct.to_full(int(summ[2]))
+    c = int(summ[1])
+    while c < C:
+        lo = c * K
+        hi = min(lo + K, n)
+        cp = ct.to_core_premult(e_full)
+        if (cp >= 0 and swarm[c] == cp and hi - lo == K
+                and phi[c] != ct.esc_premult):
+            total += int(cnt[c])
+            e_full = ct.to_full(int(phi[c]))
+        else:
+            k, st = native.count(raw[lo:hi].tobytes(), e_full)
+            total += k
+            e_full = st
+        c += 1
+    return e_full, total

@@ -92,7 +92,7 @@ class SpecTablesPair:
         self.match_eof = dfa.match_eof
 
     def _scan(self, data, state0, j0, C, bad_tail, J, W, COUNT=False,
-              mesh=None, axis=None):
+              mesh=None, axis=None, esc=None):
         # J, W, j0 arrive in bytes; the kernel steps in pairs
         J2, W2 = J // 2, W // 2
         j02 = j0 // 2
@@ -100,8 +100,9 @@ class SpecTablesPair:
             return _spec_scan(data, state0, j02, self.fused_vec, C,
                               bad_tail, J=J2, W=W2, CPW=self.cpw,
                               BITS=self.bits, COUNT=COUNT, mesh=mesh,
-                              axis=axis)
+                              axis=axis, ESC=esc)
         return _spec_scan_wide(data, state0, j02, self.fused_rows, C,
                                bad_tail, J=J2, W=W2, CPW=self.cpw,
                                BITS=self.bits, COUNT=COUNT,
-                               R=self.rows, mesh=mesh, axis=axis)
+                               R=self.rows, mesh=mesh, axis=axis,
+                               ESC=esc)

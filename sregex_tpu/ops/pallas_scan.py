@@ -96,11 +96,11 @@ class SpecTables:
         self.match_eof = dfa.match_eof
 
     def _scan(self, data, state0, j0, C, bad_tail, J, W, COUNT=False,
-              mesh=None, axis=None):
+              mesh=None, axis=None, esc=None):
         return _spec_scan(data, state0, j0, self.fused_vec, C,
                           bad_tail, J=J, W=W, CPW=self.cpw,
                           BITS=self.bits, COUNT=COUNT, mesh=mesh,
-                          axis=axis)
+                          axis=axis, ESC=esc)
 
 
 class SpecTablesWide:
@@ -142,11 +142,12 @@ class SpecTablesWide:
         self.match_eof = dfa.match_eof
 
     def _scan(self, data, state0, j0, C, bad_tail, J, W, COUNT=False,
-              mesh=None, axis=None):
+              mesh=None, axis=None, esc=None):
         return _spec_scan_wide(data, state0, j0, self.fused_rows, C,
                                bad_tail, J=J, W=W, CPW=self.cpw,
                                BITS=self.bits, COUNT=COUNT,
-                               R=self.rows, mesh=mesh, axis=axis)
+                               R=self.rows, mesh=mesh, axis=axis,
+                               ESC=esc)
 
 
 def _kernel(data_ref, state0_ref, j0_ref, fused_ref,
@@ -287,8 +288,15 @@ def _kernel_wide(data_ref, state0_ref, j0_ref, fused_ref,
             fm_ref[0, g] = maccs[g] >> _MATCH_SHIFT
 
 
-def _summarize(phi, fm, swarm, state0, C, bad_tail, COUNT):
-    """Shared post-kernel summary (see _spec_scan docstring)."""
+def _summarize(phi, fm, swarm, state0, C, bad_tail, COUNT, ESC=None):
+    """Shared post-kernel summary (see _spec_scan docstring).
+
+    ESC (hot-core tier, ops/pallas_core.py): premultiplied id of the
+    sticky escape state.  A chunk whose exit state is ESC left the
+    core at some byte — its fm accumulator and exit are garbage past
+    that byte, so the chunk must fail validation (the host repairs it
+    with the FULL machine).  ESC is sticky, so phi == ESC iff the
+    chunk ever escaped."""
     Cp = phi.size
     phi_f = phi.reshape(Cp)
     fm_f = fm.reshape(Cp)
@@ -297,6 +305,8 @@ def _summarize(phi, fm, swarm, state0, C, bad_tail, COUNT):
     entries = jnp.concatenate([e0[None], phi_f[:-1]])
     idx = jnp.arange(Cp, dtype=jnp.int32)
     okv = swarm_f == entries
+    if ESC is not None:
+        okv = okv & (phi_f != ESC)
     if not COUNT:
         okv = okv & (fm_f == 0)
     okv = (okv | (idx >= C)) & (idx != bad_tail)
@@ -372,10 +382,10 @@ def _dispatch_kernel(kernel, data, state0, j0, fused, fused_spec,
 
 @functools.partial(jax.jit,
                    static_argnames=("J", "W", "CPW", "BITS", "COUNT",
-                                    "R", "mesh", "axis"))
+                                    "R", "mesh", "axis", "ESC"))
 def _spec_scan_wide(data, state0, j0, fused_rows, C, bad_tail, *, J,
                     W, CPW, BITS, R, COUNT=False, mesh=None,
-                    axis=None):
+                    axis=None, ESC=None):
     """Wide-table counterpart of _spec_scan; fused_rows [R, 8, 128].
 
     Packed format difference: the narrow kernel packs its repair-path
@@ -393,17 +403,19 @@ def _spec_scan_wide(data, state0, j0, fused_rows, C, bad_tail, *, J,
                                       fused_rows, fused_spec, mesh,
                                       axis)
     summary, _packed8 = _summarize(phi, fm, swarm, state0, C,
-                                   bad_tail, COUNT)
+                                   bad_tail, COUNT, ESC=ESC)
     packed = jnp.stack([phi, fm, swarm])   # int32; wide states > 255
     return summary, packed
 
 
 @functools.partial(jax.jit,
                    static_argnames=("J", "W", "CPW", "BITS", "COUNT",
-                                    "R", "kernel_fn", "mesh", "axis"))
+                                    "R", "kernel_fn", "mesh", "axis",
+                                    "ESC"))
 def _spec_scan_big_call(data, state0, j0, fused_rows, C, bad_tail, *,
                         J, W, CPW, BITS, R, COUNT=False,
-                        kernel_fn=None, mesh=None, axis=None):
+                        kernel_fn=None, mesh=None, axis=None,
+                        ESC=None):
     """Shared driver for kernels whose table is [R, 8, 128]
     row-broadcast tiles (the big tier, ops/pallas_big.py).  Same
     contract and 3-int32-plane packed format as _spec_scan_wide."""
@@ -415,16 +427,16 @@ def _spec_scan_big_call(data, state0, j0, fused_rows, C, bad_tail, *,
                                       fused_rows, fused_spec, mesh,
                                       axis)
     summary, _packed8 = _summarize(phi, fm, swarm, state0, C,
-                                   bad_tail, COUNT)
+                                   bad_tail, COUNT, ESC=ESC)
     packed = jnp.stack([phi, fm, swarm])
     return summary, packed
 
 
 @functools.partial(jax.jit,
                    static_argnames=("J", "W", "CPW", "BITS", "COUNT",
-                                    "mesh", "axis"))
+                                    "mesh", "axis", "ESC"))
 def _spec_scan(data, state0, j0, fused_vec, C, bad_tail, *, J, W, CPW,
-               BITS, COUNT=False, mesh=None, axis=None):
+               BITS, COUNT=False, mesh=None, axis=None, ESC=None):
     """data: int32 [B, J//CPW, G, 8, 128] packed; state0/j0:
     [B, G, 8, 128]; C = live chunk count (traced scalar); bad_tail =
     index of a ragged tail chunk or -1.
@@ -446,7 +458,8 @@ def _spec_scan(data, state0, j0, fused_vec, C, bad_tail, *, J, W, CPW,
     phi, fm, swarm = _dispatch_kernel(kernel, data, state0, j0,
                                       fused_vec, fused_spec, mesh,
                                       axis)
-    return _summarize(phi, fm, swarm, state0, C, bad_tail, COUNT)
+    return _summarize(phi, fm, swarm, state0, C, bad_tail, COUNT,
+                      ESC=ESC)
 
 
 def _unpack(outs, C):

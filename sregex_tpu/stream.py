@@ -165,6 +165,10 @@ class Scanner:
                     self._tdfa_spec = TdfaSpecTables(prog)
                 except _TooLarge:
                     self._tdfa_spec = None
+        # adaptive hot-core tier (ops/pallas_core.py): built lazily
+        # from a corpus sample when the static chain bottomed out at
+        # the big tier (or none); None = untried, False = declined
+        self._coret = None
         # native TDFA walker (lazy): resolves finditer/sub matches
         # from tagged-DFA registers at table-walk speed instead of
         # Pike thread simulation (~100x on dense-match corpora)
@@ -193,8 +197,46 @@ class Scanner:
         return PikeCtx(self.program, exact=True)
 
     DEVICE_THRESHOLD = 4 << 20   # below this the host engine wins
+    CORE_SAMPLE = 256 << 10      # bytes per hot-core sample slice
+
+    def _core_tables(self, data):
+        """Adaptive hot-core tier (ops/pallas_core.py): when the
+        static tier chain bottomed out at the slow big tier (or no
+        device tier fits at all), sample the corpus once and try to
+        synthesize a small core machine the narrow kernels can run.
+        Exactness never depends on the sample (escaped chunks repair
+        natively on the full machine); a poor core only costs speed,
+        and CoreTables declines outright when the sampled hot set is
+        not coverable.  Cached per Scanner (False = declined)."""
+        if self._coret is None:
+            import os
+            self._coret = False
+            from .ops.pallas_big import SpecTablesBig
+            if (self.use_device and self.dfa is not None
+                    and os.environ.get("SREGEX_CORE") != "0"
+                    and (self._spec is None
+                         or isinstance(self._spec, SpecTablesBig))):
+                # four slices spread over the corpus so the sample
+                # sees more than the head's byte distribution
+                n = len(data)
+                w = self.CORE_SAMPLE
+                cuts = sorted({0, max(0, n // 3), max(0, 2 * n // 3),
+                               max(0, n - w)})
+                sample = b"".join(bytes(data[c:c + w]) for c in cuts)
+                try:
+                    from .ops.pallas_core import CoreTables
+                    self._coret = CoreTables(self.dfa, sample)
+                except ValueError:
+                    self._coret = False
+        return self._coret or None
 
     def _scan_first(self, data):
+        if len(data) >= self.DEVICE_THRESHOLD:
+            ct = self._core_tables(data)
+            if ct is not None:
+                from .ops.pallas_core import core_scan_bytes
+                state, first = core_scan_bytes(ct, data)
+                return first, state
         if self._spec is not None and len(data) >= self.DEVICE_THRESHOLD:
             from .ops.pallas_scan import spec_scan_bytes
             state, first = spec_scan_bytes(self._spec, data)
@@ -243,7 +285,13 @@ class Scanner:
             if lazy.match_eof(state):
                 c += 1
             return c
-        if self._spec is not None and len(data) >= self.DEVICE_THRESHOLD:
+        ct = (self._core_tables(data)
+              if len(data) >= self.DEVICE_THRESHOLD else None)
+        if ct is not None:
+            from .ops.pallas_core import core_count_bytes
+            state, c = core_count_bytes(ct, data)
+        elif self._spec is not None \
+                and len(data) >= self.DEVICE_THRESHOLD:
             from .ops.pallas_scan import spec_count_bytes
             state, c = spec_count_bytes(self._spec, data)
         else:

@@ -1,0 +1,199 @@
+"""Adaptive hot-core tier (ops/pallas_core.py) vs the full native
+machine, in interpret mode on the CPU mesh.
+
+The exactness claim under test: core results NEVER depend on the
+sample being representative — adversarial data that constantly
+escapes the core must still produce byte-identical answers (only
+slower, via the full-machine repair path)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from sregex_tpu import parse, compile_regex
+from sregex_tpu.dfa import build_dfa, build_core_dfa
+from sregex_tpu.native import NativeDfa
+from sregex_tpu.ops.pallas_core import (CoreTables, core_scan_bytes,
+                                        core_count_bytes)
+
+
+def _full(pattern, max_states=65536):
+    ast, _ = parse(pattern)
+    dfa = build_dfa(compile_regex(ast), max_states=max_states)
+    return dfa, NativeDfa(dfa)
+
+
+def test_build_core_dfa_identity_when_all_hot():
+    dfa, native = _full(b"a{10,30}b")
+    core, hot2full, full2core = build_core_dfa(
+        dfa, np.arange(dfa.nstates))
+    assert core.nstates == dfa.nstates + 1
+    # lockstep simulation over random bytes: identical behavior, and
+    # the core never escapes
+    rng = random.Random(1)
+    data = bytes(rng.choice(b"ab x") for _ in range(4000))
+    s = t = 0
+    for b in data:
+        cf = dfa.class_map[b]
+        cc = core.class_map[b]
+        assert bool(dfa.match[s, cf]) == bool(core.match[t, cc])
+        s = dfa.trans[s, cf]
+        t = core.trans[t, cc]
+        assert t < core.nstates - 1  # never ESC
+        assert hot2full[t] == s
+
+
+def test_build_core_dfa_escape_is_sticky_and_fires():
+    dfa, native = _full(b"a{10,30}b")
+    # hot set = states visited by pure "x" data (start-ish states)
+    counts, _ = native.visits(b"x" * 100 + b"a" * 3, 0)
+    hot = np.nonzero(counts)[0]
+    hot = np.concatenate([[0], hot[hot != 0]])
+    core, hot2full, full2core = build_core_dfa(dfa, hot)
+    esc = core.nstates - 1
+    # drive deep into the counted chain: must hit ESC and stay there
+    t = 0
+    escaped = False
+    for b in b"a" * 50:
+        c = core.class_map[b]
+        if t == esc:
+            escaped = True
+            assert core.match[t, c]      # ESC transitions fire
+        t = core.trans[t, c]
+    assert escaped and t == esc          # sticky
+
+
+PATTERNS = [
+    # (pattern, benign alphabet, adversarial alphabet, planted match)
+    (b"a{60,120}b", b"ab xx", b"a", b"c" + b"a" * 80 + b"b"),
+    (b"word (?:[a-zA-Z0-9]+ ){0,10}otherword",
+     b"word other abc12 ", b"abc12 ", b"word abc de3 otherword"),
+    (b"(x|y|z[QW]){1,5}(longish|loquatious)",
+     b"xyzQW longish loquatious", b"xyzQW",
+     b"zQxylongish"),
+]
+
+
+@pytest.mark.parametrize("pattern,benign,adv,planted",
+                         [(str(p), str(b), str(a), str(m))
+                          for p, b, a, m in PATTERNS])
+def test_core_scan_and_count_match_native(pattern, benign, adv,
+                                          planted):
+    pattern, benign, adv, planted = (eval(pattern), eval(benign),
+                                     eval(adv), eval(planted))
+    dfa, native = _full(pattern)
+    rng = random.Random(len(pattern))
+    sample = bytes(rng.choice(benign) for _ in range(20000))
+    ct = CoreTables(dfa, sample)
+    assert ct.core.nstates < dfa.nstates + 1
+
+    datasets = []
+    # benign (sample-like), with and without planted matches
+    d = bytes(rng.choice(benign) for _ in range(3000))
+    datasets.append(d)
+    datasets.append(d[:1500] + planted + d[1500:])
+    # adversarial: distribution the sample never saw -> escapes
+    datasets.append(bytes(rng.choice(adv) for _ in range(2000)))
+    # escape-dense alternation and ragged tails
+    datasets.append((bytes(rng.choice(adv) for _ in range(97))
+                     + bytes(rng.choice(benign) for _ in range(61)))
+                    * 12 + b"tail")
+    datasets.append(planted)
+    datasets.append(b"")
+
+    for data in datasets:
+        exp_first, exp_state = native.scan_first(data, 0)
+        got_state, got_first = core_scan_bytes(ct, data,
+                                               chunk_len=256)
+        assert got_first == exp_first, (pattern, len(data))
+        assert got_state == exp_state, (pattern, len(data))
+        exp_cnt, exp_st2 = native.count(data, 0)
+        st2, got_cnt = core_count_bytes(ct, data, chunk_len=256)
+        assert got_cnt == exp_cnt, (pattern, len(data))
+        assert st2 == exp_st2, (pattern, len(data))
+
+
+def test_core_escape_at_chunk_edges_fuzz():
+    """Randomized chunk-edge stress: small chunks, data engineered so
+    escapes land at arbitrary positions including chunk-final bytes
+    (the case where an escaped chunk's fm can be clean and only the
+    sticky-ESC exit betrays it)."""
+    pattern = b"a{60,120}b"
+    dfa, native = _full(pattern)
+    rng = random.Random(99)
+    ct = CoreTables(dfa, bytes(rng.choice(b"ab xx")
+                               for _ in range(20000)))
+    for trial in range(12):
+        parts = []
+        for _ in range(rng.randrange(2, 30)):
+            parts.append(b"x" * rng.randrange(0, 70))
+            parts.append(b"a" * rng.randrange(0, 130))
+            if rng.random() < 0.3:
+                parts.append(b"b")
+        data = b"".join(parts)
+        exp_first, exp_state = native.scan_first(data, 0)
+        got_state, got_first = core_scan_bytes(ct, data, chunk_len=64)
+        assert (got_first, got_state) == (exp_first, exp_state), trial
+        exp_cnt, exp_st = native.count(data, 0)
+        st, got_cnt = core_count_bytes(ct, data, chunk_len=64)
+        assert (got_cnt, st) == (exp_cnt, exp_st), trial
+
+
+def test_core_covers_saturating_counted_rep():
+    """[ab]{120,250}c on all-[ab] data ramps through ~250 states then
+    SATURATES into a small recurring set — the core must cover it
+    (ramp states carry real sampled mass, so nothing may be pruned
+    at the default escape budget) and still answer exactly."""
+    dfa, native = _full(b"[ab]{120,250}c")
+    rng = random.Random(5)
+    sample = bytes(rng.choice(b"ab") for _ in range(50000))
+    ct = CoreTables(dfa, sample)
+    data = (bytes(rng.choice(b"ab") for _ in range(1500)) + b"c"
+            + bytes(rng.choice(b"abc ") for _ in range(800)))
+    exp_first, exp_state = native.scan_first(data, 0)
+    got_state, got_first = core_scan_bytes(ct, data, chunk_len=256)
+    assert (got_first, got_state) == (exp_first, exp_state)
+    exp_cnt, exp_st = native.count(data, 0)
+    st, got_cnt = core_count_bytes(ct, data, chunk_len=256)
+    assert (got_cnt, st) == (exp_cnt, exp_st)
+
+
+def test_core_declines_wide_alphabet_hot_set():
+    """18 multi-regex literals with distinct leading bytes: the hot
+    start state distinguishes >16 byte classes, which no sub-byte-
+    packed kernel tier accepts — CoreTables must refuse (the pattern
+    then stays on its static tier)."""
+    from sregex_tpu.parser import parse_multi
+    pats = [bytes([c]) + b"zz" for c in range(ord("a"), ord("a") + 18)]
+    ast, _ = parse_multi(pats, [0] * len(pats))
+    dfa = build_dfa(compile_regex(ast))
+    rng = random.Random(11)
+    sample = bytes(rng.choice(b"abcdefghijklmnopqrz ")
+                   for _ in range(20000))
+    with pytest.raises(ValueError):
+        CoreTables(dfa, sample)
+
+
+def test_scanner_routes_big_patterns_through_core():
+    from sregex_tpu.stream import compile_pattern
+    from sregex_tpu.ops.pallas_big import SpecTablesBig
+    sc = compile_pattern(b"a{60,120}b")
+    sc.use_device = True
+    sc._spec = None if sc.dfa is None else sc._spec
+    # force the device path at test sizes
+    sc.DEVICE_THRESHOLD = 1 << 12
+    rng = random.Random(3)
+    data = bytes(rng.choice(b"ab xx") for _ in range(40000))
+    data = data[:9000] + b"c" + b"a" * 90 + b"b" + data[9000:]
+    dfa, native = sc.dfa, sc._native
+    if not isinstance(sc._spec, SpecTablesBig) and sc._spec is not None:
+        pytest.skip("pattern unexpectedly fits a fast static tier")
+    exp_cnt, exp_st = native.count(data, 0)
+    exp_total = exp_cnt + int(dfa.match_eof[exp_st])
+    assert sc.count(data) == exp_total
+    assert sc._coret not in (None, False)  # core engaged
+    exp_first, exp_state = native.scan_first(data, 0)
+    rid, end = sc.scan(data)
+    assert end == exp_first
+    assert rid == dfa.id_at(exp_state, data[exp_first])
