@@ -208,6 +208,99 @@ def core_scan_bytes(ct, data_np, chunk_len=DEFAULT_K, entry_state=0,
     return e_full, -1
 
 
+def core_scan_last_bytes(ct, data_np, chunk_len=DEFAULT_K,
+                         entry_state=0, prepared=None):
+    """Find the LAST boundary (0..n-1) at which a match ends, on the
+    core tier.  Contract of spec_scan_last_bytes with FULL states
+    (the reverse-scan start locator's primitive).  The exact position
+    inside the last firing chunk is always pinned by a native
+    FULL-machine re-scan of that one chunk, so the core's degraded
+    match bits never leak into the answer."""
+    n = len(data_np)
+    if n == 0:
+        return entry_state, -1
+    summ, packed, raw, C, K, n = _run(ct, data_np, chunk_len,
+                                      entry_state, prepared, True)
+    native = ct.native
+    if bool(summ[0]):
+        last_fire = int(summ[8])
+        final = ct.to_full(int(summ[6]))
+        if last_fire < 0:
+            return final, -1
+        lo = last_fire * K
+        r, _ = native.scan_last(raw[lo:lo + K].tobytes(),
+                                ct.to_full(int(summ[9])))
+        return final, lo + r
+    # repair: the device summary's last fire covers the validated
+    # prefix; walk the rest with the usual per-chunk trust check
+    best = -1
+    if int(summ[8]) >= 0:
+        lo = int(summ[8]) * K
+        r, _ = native.scan_last(raw[lo:lo + K].tobytes(),
+                                ct.to_full(int(summ[9])))
+        best = lo + r
+    phi, cnt, swarm = _unpack(packed, C)
+    e_full = ct.to_full(int(summ[2]))
+    c = int(summ[1])
+    while c < C:
+        lo = c * K
+        hi = min(lo + K, n)
+        cp = ct.to_core_premult(e_full)
+        if (cp >= 0 and swarm[c] == cp and hi - lo == K
+                and phi[c] != ct.esc_premult):
+            if cnt[c]:
+                r, _ = native.scan_last(raw[lo:hi].tobytes(), e_full)
+                best = lo + r
+            e_full = ct.to_full(int(phi[c]))
+        else:
+            r, st = native.scan_last(raw[lo:hi].tobytes(), e_full)
+            if r >= 0:
+                best = lo + r
+            e_full = st
+        c += 1
+    return e_full, best
+
+
+def core_chunk_map(ct, data_np, chunk_len=DEFAULT_K, entry_state=0,
+                   prepared=None):
+    """Validated per-chunk scan map on the core tier: (entries [C]
+    FULL plain states, counts [C], final FULL state), all exact.
+    Contract of spec_chunk_map — the finditer start locator's
+    building block.  Escaped or speculation-missed chunks are
+    re-counted natively on the FULL machine."""
+    n = len(data_np)
+    if n == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                entry_state)
+    summ, packed, raw, C, K, n = _run(ct, data_np, chunk_len,
+                                      entry_state, prepared, True)
+    phi, cnt, swarm = _unpack(packed, C)
+    entries = np.zeros(C, dtype=np.int64)
+    counts = cnt.astype(np.int64).copy()
+    native = ct.native
+    fb = C if bool(summ[0]) else int(summ[1])
+    e_full = entry_state
+    for c in range(min(fb, C)):
+        # validated prefix (ESC check applied on device): exact as-is
+        entries[c] = e_full
+        e_full = ct.to_full(int(phi[c]))
+    c = fb
+    while c < C:
+        lo = c * K
+        hi = min(lo + K, n)
+        entries[c] = e_full
+        cp = ct.to_core_premult(e_full)
+        if (cp >= 0 and swarm[c] == cp and hi - lo == K
+                and phi[c] != ct.esc_premult):
+            e_full = ct.to_full(int(phi[c]))
+        else:
+            k, st = native.count(raw[lo:hi].tobytes(), e_full)
+            counts[c] = k
+            e_full = st
+        c += 1
+    return entries, counts, e_full
+
+
 def core_count_bytes(ct, data_np, chunk_len=DEFAULT_K, entry_state=0,
                      prepared=None):
     """Count match-ending boundaries (0..n-1; EOF is the caller's) on

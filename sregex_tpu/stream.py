@@ -169,6 +169,7 @@ class Scanner:
         # from a corpus sample when the static chain bottomed out at
         # the big tier (or none); None = untried, False = declined
         self._coret = None
+        self._rev_coret = None   # same, for the REVERSE machine
         # native TDFA walker (lazy): resolves finditer/sub matches
         # from tagged-DFA registers at table-walk speed instead of
         # Pike thread simulation (~100x on dense-match corpora)
@@ -199,6 +200,24 @@ class Scanner:
     DEVICE_THRESHOLD = 4 << 20   # below this the host engine wins
     CORE_SAMPLE = 256 << 10      # bytes per hot-core sample slice
 
+    def _core_sample(self, data):
+        """Four slices spread over the corpus so the hot-core sample
+        sees more than the head's byte distribution."""
+        n = len(data)
+        w = self.CORE_SAMPLE
+        cuts = sorted({0, max(0, n // 3), max(0, 2 * n // 3),
+                       max(0, n - w)})
+        return b"".join(bytes(data[c:c + w]) for c in cuts)
+
+    def _core_eligible(self, spec):
+        """The adaptive core tier only engages where the static tier
+        chain bottomed out: at the slow big tier or no tier at all."""
+        import os
+        from .ops.pallas_big import SpecTablesBig
+        return (self.use_device
+                and os.environ.get("SREGEX_CORE") != "0"
+                and (spec is None or isinstance(spec, SpecTablesBig)))
+
     def _core_tables(self, data):
         """Adaptive hot-core tier (ops/pallas_core.py): when the
         static tier chain bottomed out at the slow big tier (or no
@@ -209,26 +228,34 @@ class Scanner:
         and CoreTables declines outright when the sampled hot set is
         not coverable.  Cached per Scanner (False = declined)."""
         if self._coret is None:
-            import os
             self._coret = False
-            from .ops.pallas_big import SpecTablesBig
-            if (self.use_device and self.dfa is not None
-                    and os.environ.get("SREGEX_CORE") != "0"
-                    and (self._spec is None
-                         or isinstance(self._spec, SpecTablesBig))):
-                # four slices spread over the corpus so the sample
-                # sees more than the head's byte distribution
-                n = len(data)
-                w = self.CORE_SAMPLE
-                cuts = sorted({0, max(0, n // 3), max(0, 2 * n // 3),
-                               max(0, n - w)})
-                sample = b"".join(bytes(data[c:c + w]) for c in cuts)
+            if self.dfa is not None and self._core_eligible(self._spec):
                 try:
                     from .ops.pallas_core import CoreTables
-                    self._coret = CoreTables(self.dfa, sample)
+                    self._coret = CoreTables(self.dfa,
+                                             self._core_sample(data))
                 except ValueError:
                     self._coret = False
         return self._coret or None
+
+    def _rev_core_tables(self, data):
+        """Core tier for the REVERSE machine (find()'s start scan and
+        the finditer start locator).  Same protocol as _core_tables;
+        the sample is taken from the forward corpus and reversed
+        (the reverse machine walks the reversed corpus).  Cached per
+        Scanner (False = declined)."""
+        if getattr(self, "_rev_coret", None) is None:
+            self._rev_coret = False
+            rev = self._rev_dfa()
+            if rev is not None \
+                    and self._core_eligible(self._rev_spec):
+                try:
+                    from .ops.pallas_core import CoreTables
+                    self._rev_coret = CoreTables(
+                        rev.dfa, self._core_sample(data)[::-1])
+                except ValueError:
+                    self._rev_coret = False
+        return self._rev_coret or None
 
     def _scan_first(self, data):
         if len(data) >= self.DEVICE_THRESHOLD:
@@ -414,7 +441,12 @@ class Scanner:
             rev = self._rev_dfa()
             if rev is not None:
                 rdata = data[::-1]
-                if (self._rev_spec is not None
+                rct = (self._rev_core_tables(data)
+                       if n >= self.DEVICE_THRESHOLD else None)
+                if rct is not None:
+                    from .ops.pallas_core import core_scan_last_bytes
+                    rstate, q = core_scan_last_bytes(rct, rdata)
+                elif (self._rev_spec is not None
                         and n >= self.DEVICE_THRESHOLD):
                     from .ops.pallas_scan import spec_scan_last_bytes
                     rstate, q = spec_scan_last_bytes(self._rev_spec,
@@ -452,9 +484,13 @@ class Scanner:
         resident shard).  Returns None when no device reverse tables
         exist for this pattern."""
         rev = self._rev_dfa()
-        if rev is None or getattr(self, "_rev_spec", None) is None:
+        if rev is None:
             return None
-        return _StartLocator(rev, self._rev_spec, data)
+        tables = self._rev_core_tables(data) or \
+            getattr(self, "_rev_spec", None)
+        if tables is None:
+            return None
+        return _StartLocator(rev, tables, data)
 
     def finditer(self, data, index=None):
         """Iterate successive matches (the substitution-loop protocol:
@@ -750,13 +786,18 @@ class _StartLocator:
 
     CHUNK = 2048
 
-    def __init__(self, rev_native, rev_spec, data):
-        from .ops.pallas_scan import spec_chunk_map
+    def __init__(self, rev_native, rev_tables, data):
+        from .ops.pallas_core import CoreTables, core_chunk_map
         self.n = len(data)
         self.rdata = data[::-1]
         self.rev = rev_native
-        self.entries, self.counts, final = spec_chunk_map(
-            rev_spec, self.rdata, self.CHUNK)
+        if isinstance(rev_tables, CoreTables):
+            self.entries, self.counts, final = core_chunk_map(
+                rev_tables, self.rdata, self.CHUNK)
+        else:
+            from .ops.pallas_scan import spec_chunk_map
+            self.entries, self.counts, final = spec_chunk_map(
+                rev_tables, self.rdata, self.CHUNK)
         self.start0 = bool(rev_native.match_eof[final])
         self.C = len(self.counts)
 

@@ -15,7 +15,9 @@ from sregex_tpu import parse, compile_regex
 from sregex_tpu.dfa import build_dfa, build_core_dfa
 from sregex_tpu.native import NativeDfa
 from sregex_tpu.ops.pallas_core import (CoreTables, core_scan_bytes,
-                                        core_count_bytes)
+                                        core_count_bytes,
+                                        core_scan_last_bytes,
+                                        core_chunk_map)
 
 
 def _full(pattern, max_states=65536):
@@ -175,6 +177,45 @@ def test_core_declines_wide_alphabet_hot_set():
         CoreTables(dfa, sample)
 
 
+@pytest.mark.parametrize("pattern,benign,adv,planted",
+                         [(str(p), str(b), str(a), str(m))
+                          for p, b, a, m in PATTERNS])
+def test_core_scan_last_and_chunk_map_match_native(pattern, benign,
+                                                   adv, planted):
+    pattern, benign, adv, planted = (eval(pattern), eval(benign),
+                                     eval(adv), eval(planted))
+    dfa, native = _full(pattern)
+    rng = random.Random(len(pattern) * 7)
+    sample = bytes(rng.choice(benign) for _ in range(20000))
+    ct = CoreTables(dfa, sample)
+
+    K = 256
+    d = bytes(rng.choice(benign) for _ in range(3000))
+    datasets = [
+        d,
+        d[:700] + planted + d[700:1900] + planted + d[1900:],
+        bytes(rng.choice(adv) for _ in range(2000)),
+        (bytes(rng.choice(adv) for _ in range(97))
+         + bytes(rng.choice(benign) for _ in range(61))) * 12 + b"t",
+        planted,
+        b"",
+    ]
+    for data in datasets:
+        exp_last, exp_state = native.scan_last(data, 0)
+        got_state, got_last = core_scan_last_bytes(ct, data,
+                                                   chunk_len=K)
+        assert (got_last, got_state) == (exp_last, exp_state), \
+            (pattern, len(data))
+        # chunk-map oracle: native per-chunk walk
+        entries, counts, final = core_chunk_map(ct, data, chunk_len=K)
+        s = 0
+        for c in range(len(counts)):
+            assert int(entries[c]) == s, (pattern, len(data), c)
+            k, s = native.count(data[c * K:(c + 1) * K], s)
+            assert int(counts[c]) == k, (pattern, len(data), c)
+        assert final == s, (pattern, len(data))
+
+
 def test_scanner_routes_big_patterns_through_core():
     from sregex_tpu.stream import compile_pattern
     from sregex_tpu.ops.pallas_big import SpecTablesBig
@@ -197,3 +238,33 @@ def test_scanner_routes_big_patterns_through_core():
     rid, end = sc.scan(data)
     assert end == exp_first
     assert rid == dfa.id_at(exp_state, data[exp_first])
+
+
+def test_scanner_find_finditer_ride_rev_core():
+    """find()'s reverse start scan and the finditer start locator
+    must route big-tier REVERSE machines through the adaptive core
+    tier and stay byte-exact with the host engines."""
+    from sregex_tpu.stream import compile_pattern
+    from sregex_tpu.ops.pallas_big import SpecTablesBig
+    sc = compile_pattern(b"a{60,120}b")
+    host = compile_pattern(b"a{60,120}b")
+    sc.use_device = True
+    sc.DEVICE_THRESHOLD = 1 << 12
+    sc._tdfa_spec = None          # exercise the reverse-scan path
+    rng = random.Random(21)
+    data = bytes(rng.choice(b"ab xx") for _ in range(40000))
+    data = (data[:9000] + b"c" + b"a" * 90 + b"b"
+            + data[9000:30000] + b"c" + b"a" * 75 + b"b"
+            + data[30000:])
+    assert sc.find(data) == host.find(data)
+    assert list(sc.finditer(data)) == list(host.finditer(data))
+    # the reverse machine engaged the adaptive core tier (unless its
+    # static chain already found a fast tier, in which case the core
+    # correctly stays out of the way)
+    if sc._rev_spec is None or isinstance(sc._rev_spec, SpecTablesBig):
+        assert isinstance(sc._rev_coret, CoreTables)
+    # no-match corpus: the locator must report no starts
+    calm = bytes(rng.choice(b"ax") for _ in range(20000))
+    calm = calm.replace(b"a" * 60, b"a" * 59 + b"x")
+    assert sc.find(calm) == host.find(calm)
+    assert list(sc.finditer(calm)) == list(host.finditer(calm))
