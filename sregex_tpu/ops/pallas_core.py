@@ -89,7 +89,12 @@ class CoreTables:
     subset small enough for the pair/narrow/wide kernels.
     """
 
-    def __init__(self, dfa, sample, max_escape_frac=MAX_ESCAPE_FRAC):
+    def __init__(self, dfa, sample, max_escape_frac=MAX_ESCAPE_FRAC,
+                 require_fast=False):
+        """require_fast=True only accepts a core the 1-gather
+        (pair/narrow) tiers can run — used when the FULL machine
+        already has a static wide tier, which a wide core could
+        never beat."""
         from ..native import NativeDfa
         self.dfa = dfa                      # the FULL machine
         self.native = NativeDfa(dfa)
@@ -118,7 +123,7 @@ class CoreTables:
                 if inner is not None:
                     fast_fit = (inner, core, hot2full, full2core)
                     break                   # largest fast fit wins
-            if wide_fit is None:
+            if wide_fit is None and not require_fast:
                 inner = _inner_tables(core, narrow_only=False)
                 if inner is not None:
                     wide_fit = (inner, core, hot2full, full2core)

@@ -211,12 +211,21 @@ class Scanner:
 
     def _core_eligible(self, spec):
         """The adaptive core tier only engages where the static tier
-        chain bottomed out: at the slow big tier or no tier at all."""
+        chain fell short of the fast (1-gather) kernels: the slow big
+        tier, the row-select wide tier, or no tier at all.  Returns
+        None (ineligible) or the require_fast flag for CoreTables
+        (True over a static wide tier: only a pair/narrow core can
+        beat what we already have)."""
         import os
+        from .ops.pallas_scan import SpecTablesWide
         from .ops.pallas_big import SpecTablesBig
-        return (self.use_device
-                and os.environ.get("SREGEX_CORE") != "0"
-                and (spec is None or isinstance(spec, SpecTablesBig)))
+        if not self.use_device or os.environ.get("SREGEX_CORE") == "0":
+            return None
+        if spec is None or isinstance(spec, SpecTablesBig):
+            return False
+        if isinstance(spec, SpecTablesWide):
+            return True
+        return None
 
     def _core_tables(self, data):
         """Adaptive hot-core tier (ops/pallas_core.py): when the
@@ -229,11 +238,13 @@ class Scanner:
         not coverable.  Cached per Scanner (False = declined)."""
         if self._coret is None:
             self._coret = False
-            if self.dfa is not None and self._core_eligible(self._spec):
+            req = self._core_eligible(self._spec)
+            if self.dfa is not None and req is not None:
                 try:
                     from .ops.pallas_core import CoreTables
                     self._coret = CoreTables(self.dfa,
-                                             self._core_sample(data))
+                                             self._core_sample(data),
+                                             require_fast=req)
                 except ValueError:
                     self._coret = False
         return self._coret or None
@@ -247,12 +258,14 @@ class Scanner:
         if getattr(self, "_rev_coret", None) is None:
             self._rev_coret = False
             rev = self._rev_dfa()
-            if rev is not None \
-                    and self._core_eligible(self._rev_spec):
+            req = (self._core_eligible(self._rev_spec)
+                   if rev is not None else None)
+            if req is not None:
                 try:
                     from .ops.pallas_core import CoreTables
                     self._rev_coret = CoreTables(
-                        rev.dfa, self._core_sample(data)[::-1])
+                        rev.dfa, self._core_sample(data)[::-1],
+                        require_fast=req)
                 except ValueError:
                     self._rev_coret = False
         return self._rev_coret or None
@@ -825,9 +838,10 @@ class _StartLocator:
         return None
 
 
-def compile_pattern(pattern, flags=0):
+def compile_pattern(pattern, flags=0, use_device=False):
     """One-call convenience: pattern (str/bytes) or list of patterns ->
-    Scanner."""
+    Scanner.  use_device=True enables the TPU kernel tiers for large
+    corpora (the host engines still serve small inputs)."""
     from .parser import parse, parse_multi
     from .compiler import compile_regex
     if isinstance(pattern, (list, tuple)):
@@ -836,4 +850,4 @@ def compile_pattern(pattern, flags=0):
                              if isinstance(flags, int) else flags)
     else:
         ast, _ = parse(pattern, flags)
-    return Scanner(compile_regex(ast), ast=ast)
+    return Scanner(compile_regex(ast), ast=ast, use_device=use_device)

@@ -240,6 +240,36 @@ def test_scanner_routes_big_patterns_through_core():
     assert rid == dfa.id_at(exp_state, data[exp_first])
 
 
+def test_core_engages_over_static_wide_tier():
+    """A pattern whose static tier is the slow row-select WIDE tier
+    but whose scan hot set is tiny must upgrade to a fast (pair/
+    narrow) core — and ONLY a fast one (require_fast: a wide core
+    could never beat the static wide tier we already have).  The
+    cached core must then stay exact on a later corpus containing
+    matches (ramp states outside the core -> escape repair)."""
+    from sregex_tpu.stream import compile_pattern
+    from sregex_tpu.ops.pallas_scan import SpecTablesWide
+    sc = compile_pattern(b"q[ab]{40,90}z", use_device=True)
+    assert isinstance(sc._spec, SpecTablesWide)
+    sc.DEVICE_THRESHOLD = 1 << 12
+    rng = random.Random(31)
+    benign = bytes(rng.choice(b"qz xy") for _ in range(40000))
+    native = sc._native
+    exp_cnt, exp_st = native.count(benign, 0)
+    assert sc.count(benign) == exp_cnt + int(sc.dfa.match_eof[exp_st])
+    assert isinstance(sc._coret, CoreTables)
+    assert not isinstance(sc._coret.inner, SpecTablesWide)
+    # match-bearing corpus against the cached benign-built core
+    data = (benign[:9000] + b"q" + b"a" * 50 + b"z" + benign[9000:
+            30000] + b"q" + b"ab" * 30 + b"z" + benign[30000:])
+    exp_cnt, exp_st = native.count(data, 0)
+    assert sc.count(data) == exp_cnt + int(sc.dfa.match_eof[exp_st])
+    exp_first, exp_state = native.scan_first(data, 0)
+    rid, end = sc.scan(data)
+    assert end == exp_first
+    assert rid == sc.dfa.id_at(exp_state, data[exp_first])
+
+
 def test_scanner_find_finditer_ride_rev_core():
     """find()'s reverse start scan and the finditer start locator
     must route big-tier REVERSE machines through the adaptive core
