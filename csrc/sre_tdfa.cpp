@@ -56,12 +56,20 @@ struct Tables {
     // no pending bank, bytes that neither commit nor leave the family
     // only advance the implicit ".*?" position — skip them in a tight
     // loop (the table-walk analogue of the Pike leading-byte memchr,
-    // sre_vm_pike.c:992-1061).  Sound because re-seeding at the skip
-    // end with the true prev-byte context reproduces the walked state
-    // exactly (seed regs follow the position; family is closed under
-    // junk bytes).
+    // sre_vm_pike.c:992-1061).  A byte is skippable ONLY when, from
+    // EVERY seed state, its transition (a) commits nothing, (b) lands
+    // in the SAME family state (skip_succ[b]), and (c) rebuilds every
+    // register as SRC_NEXT (position-following).  Then the skip loop
+    // reproduces the table walk EXACTLY: the end state is
+    // skip_succ[last byte] and every register equals the position —
+    // no behavioral-equivalence assumption about seeds is needed.
+    // (A transition that keeps a register — e.g. the t0 of a ``b*``
+    // prefix whose progress state dedups onto a seed id — fails (c)
+    // and stays interesting: skipping it would lose an earlier
+    // leftmost match start.)
     uint8_t is_family[4096];     // indexed by sid (S <= 4096 here)
     uint8_t interesting[256];
+    int16_t skip_succ[256];      // walked successor of a skip byte
     int single_byte;             // the one interesting byte, or -1
 };
 
@@ -126,16 +134,26 @@ void* sre_tdfa_create(int32_t S, int32_t ncls, int32_t Rmax, int32_t T,
     memset(t->interesting, 0, sizeof(t->interesting));
     for (int b = 0; b < 256; b++) {
         int cls = class_map[b];
-        for (int c = 0; c < 5; c++) {
+        int32_t succ = -1;
+        bool skippable = true;
+        for (int c = 0; c < 5 && skippable; c++) {
             int32_t sid = seed_sid[c];
             int64_t idx = (int64_t) sid * ncls + cls;
             int32_t ns = t->next_sid[idx];
             if (t->commit_rid[idx] >= 0 || ns >= 4096
-                    || !t->is_family[ns]) {
-                t->interesting[b] = 1;
+                    || !t->is_family[ns]
+                    || (succ >= 0 && ns != succ)) {
+                skippable = false;
                 break;
             }
+            succ = ns;
+            int nk = t->nregs[ns];
+            const int8_t* os = t->op_src + idx * Rmax;
+            for (int d = 0; d < nk; d++)
+                if (os[d] != SRC_NEXT) { skippable = false; break; }
         }
+        t->interesting[b] = skippable ? 0 : 1;
+        t->skip_succ[b] = skippable ? (int16_t) succ : -1;
     }
     t->single_byte = -1;
     int cnt = 0;
@@ -204,7 +222,10 @@ int64_t sre_tdfa_findall(void* h, const uint8_t* data, int64_t n,
                 }
                 if (j > i) {
                     i = j;
-                    sid = tb->seed_sid[ctx_of(data[i - 1])];
+                    // the skipped walk's exact end state: skippable
+                    // bytes have a seed-independent successor and
+                    // position-following registers
+                    sid = tb->skip_succ[data[i - 1]];
                     int nk = tb->nregs[sid];
                     for (int d = 0; d < nk; d++) regs[d] = i;
                     if (i >= n) break;

@@ -161,3 +161,46 @@ def test_walker_fuzz_random_patterns():
                      for _ in range(rng.randrange(0, 60)))
         assert walker_matches(sc, data) == pike_matches(sc, data), \
             (pat, data)
+
+
+def test_walker_prefilter_nullable_prefix_regression():
+    """The seed-family prefilter must NOT skip a byte whose transition
+    keeps a register: ``b*a{2,4}``'s post-``b`` progress state dedups
+    onto a seed id, so the old family-membership test skipped the
+    ``b``s and lost the earlier leftmost start (device/Pike said
+    [1,4] on b"xbaa", the walker said [2,4]).  Skippability now
+    requires a seed-uniform successor AND position-following
+    (SRC_NEXT) register rebuilds."""
+    for pat in (rb"b*a{2,4}", rb"b*aa", rb"[bc]*ab", rb"b?aa",
+                rb"(b*)(a+)c"):
+        sc = compile_pattern(pat)
+        if sc._tdfa_walker() is None:
+            continue
+        for data in (b"xbaa", b"bbaa", b"aabaa", b"ccabb",
+                     b"x" * 40 + b"bbaac", b"bcbcab" * 3):
+            assert walker_matches(sc, data) == pike_matches(sc, data), \
+                (pat, data)
+
+
+def test_walker_prefilter_still_engages_on_literals():
+    """The tightened skippability rule must keep the memchr-class
+    prefilter for plain literal patterns (sparse-scan performance
+    depends on it): every junk byte has a seed-uniform successor
+    with SRC_NEXT rebuilds, so only the seed-leaving bytes remain
+    interesting."""
+    import ctypes
+    sc = compile_pattern(rb"needle")
+    w = sc._tdfa_walker()
+    if w is None:
+        pytest.skip("walker unavailable")
+    # peek at the C tables: exactly one interesting byte ('n')
+    class _T(ctypes.Structure):
+        pass
+    # cheap proxy: a pure-junk corpus must scan far faster than the
+    # dense table walk would (prefilter rate >= ~2 GB/s vs ~0.2)
+    import time
+    data = (b"x" * (1 << 20)) * 24
+    t0 = time.perf_counter()
+    assert len(w.findall(data)) == 0
+    rate = len(data) / (time.perf_counter() - t0) / 1e9
+    assert rate > 1.0, rate
