@@ -150,6 +150,61 @@ class CoreTables:
         """Full state id of a (non-ESC) premultiplied core id."""
         return int(self.hot2full[core_premult // self.inner.ncls])
 
+    def to_full_vec(self, premult_arr):
+        """Vectorized to_full over an array of non-ESC premult ids."""
+        return self.hot2full[np.asarray(premult_arr) // self.inner.ncls]
+
+
+class _Fold:
+    """Vectorized repair fold over the per-chunk device planes.
+
+    The scalar per-chunk trust walk is O(C) Python — ruinous once any
+    chunk escapes (one escape at 10% of a 256 MB corpus left ~13k
+    Python iterations on the table).  Instead, precompute the chain
+    links once with numpy and resolve each maximal TRUSTED RUN
+    [c..b] in O(1): a run starting at a chunk whose speculated entry
+    (swarm) matches the chained entry extends while
+    swarm[j+1] == phi[j] and chunk j+1 is clean (non-ESC, full-K,
+    and fire-free when quiet=True).  Work is then O(#escapes), not
+    O(#chunks)."""
+
+    def __init__(self, ct, packed, C, K, n, quiet):
+        self.ct = ct
+        self.K = K
+        self.n = n
+        self.C = C
+        self.phi, self.cnt, self.swarm = _unpack(packed, C)
+        ok = self.phi != ct.esc_premult
+        if C * K > n and (n - (C - 1) * K) != K:
+            ok[C - 1] = False
+        if quiet:
+            ok &= self.cnt == 0
+        self.ok = ok
+        cont = np.zeros(C, dtype=bool)
+        if C > 1:
+            cont[:C - 1] = ok[1:] & (self.swarm[1:] == self.phi[:C - 1])
+        # positions where a trusted run cannot extend past; C-1 is
+        # always a break (cont[C-1] = False)
+        self.breaks = np.flatnonzero(~cont)
+        self.cum = np.cumsum(self.cnt.astype(np.int64))
+
+    def run_end(self, c):
+        """Last chunk b >= c of the maximal trusted run starting at a
+        trusted chunk c."""
+        i = np.searchsorted(self.breaks, c)
+        return int(self.breaks[i])
+
+    def trusted(self, c, e_full):
+        """True when chunk c can be trusted entering in FULL state
+        e_full (entry speculation matched, chunk clean)."""
+        cp = self.ct.to_core_premult(e_full)
+        return cp >= 0 and self.ok[c] and int(self.swarm[c]) == cp
+
+    def run_count(self, c, b):
+        """Sum of device fire counts over chunks [c..b]."""
+        lo = self.cum[c - 1] if c else 0
+        return int(self.cum[b] - lo)
+
 
 def _run(ct, data_np, chunk_len, entry_state, prepared, COUNT):
     """Shared kernel dispatch: returns (summ int64[10], packed, raw,
@@ -192,19 +247,18 @@ def core_scan_bytes(ct, data_np, chunk_len=DEFAULT_K, entry_state=0,
     if bool(summ[0]):
         # every chunk validated: no fires, no escapes, chain exact
         return ct.to_full(int(summ[6])), -1
-    phi, many, swarm = _unpack(packed, C)
+    fold = _Fold(ct, packed, C, K, n, quiet=True)
     native = ct.native
     e_full = ct.to_full(int(summ[2]))   # entries[fb]: validated, !ESC
     c = int(summ[1])
     while c < C:
+        if fold.trusted(c, e_full):
+            b = fold.run_end(c)     # fire-free trusted run [c..b]
+            e_full = ct.to_full(int(fold.phi[b]))
+            c = b + 1
+            continue
         lo = c * K
         hi = min(lo + K, n)
-        cp = ct.to_core_premult(e_full)
-        if (cp >= 0 and swarm[c] == cp and hi - lo == K
-                and many[c] == 0 and phi[c] != ct.esc_premult):
-            e_full = ct.to_full(int(phi[c]))
-            c += 1
-            continue
         f, st = native.scan_first(raw[lo:hi].tobytes(), e_full)
         if f >= 0:
             return st, lo + f
@@ -237,33 +291,43 @@ def core_scan_last_bytes(ct, data_np, chunk_len=DEFAULT_K,
                                 ct.to_full(int(summ[9])))
         return final, lo + r
     # repair: the device summary's last fire covers the validated
-    # prefix; walk the rest with the usual per-chunk trust check
-    best = -1
+    # prefix; fold the rest in trusted runs.  Only the LAST firing
+    # chunk overall ever needs a native position pin, so track it
+    # lazily: ("pin", chunk, entry) for a trusted firing chunk,
+    # ("pos", abs) for a natively scanned one — chunks are processed
+    # in increasing order, so the latest record wins.
+    last = None
     if int(summ[8]) >= 0:
-        lo = int(summ[8]) * K
-        r, _ = native.scan_last(raw[lo:lo + K].tobytes(),
-                                ct.to_full(int(summ[9])))
-        best = lo + r
-    phi, cnt, swarm = _unpack(packed, C)
+        last = ("pin", int(summ[8]), ct.to_full(int(summ[9])))
+    fold = _Fold(ct, packed, C, K, n, quiet=False)
+    native = ct.native
     e_full = ct.to_full(int(summ[2]))
     c = int(summ[1])
     while c < C:
+        if fold.trusted(c, e_full):
+            b = fold.run_end(c)
+            if fold.run_count(c, b):
+                js = np.flatnonzero(fold.cnt[c:b + 1])
+                j = c + int(js[-1])
+                last = ("pin", j, ct.to_full(int(fold.swarm[j])))
+            e_full = ct.to_full(int(fold.phi[b]))
+            c = b + 1
+            continue
         lo = c * K
         hi = min(lo + K, n)
-        cp = ct.to_core_premult(e_full)
-        if (cp >= 0 and swarm[c] == cp and hi - lo == K
-                and phi[c] != ct.esc_premult):
-            if cnt[c]:
-                r, _ = native.scan_last(raw[lo:hi].tobytes(), e_full)
-                best = lo + r
-            e_full = ct.to_full(int(phi[c]))
-        else:
-            r, st = native.scan_last(raw[lo:hi].tobytes(), e_full)
-            if r >= 0:
-                best = lo + r
-            e_full = st
+        r, st = native.scan_last(raw[lo:hi].tobytes(), e_full)
+        if r >= 0:
+            last = ("pos", lo + r)
+        e_full = st
         c += 1
-    return e_full, best
+    if last is None:
+        return e_full, -1
+    if last[0] == "pos":
+        return e_full, last[1]
+    _, j, ej = last
+    lo = j * K
+    r, _ = native.scan_last(raw[lo:min(lo + K, n)].tobytes(), ej)
+    return e_full, lo + r
 
 
 def core_chunk_map(ct, data_np, chunk_len=DEFAULT_K, entry_state=0,
@@ -279,29 +343,34 @@ def core_chunk_map(ct, data_np, chunk_len=DEFAULT_K, entry_state=0,
                 entry_state)
     summ, packed, raw, C, K, n = _run(ct, data_np, chunk_len,
                                       entry_state, prepared, True)
-    phi, cnt, swarm = _unpack(packed, C)
+    fold = _Fold(ct, packed, C, K, n, quiet=False)
     entries = np.zeros(C, dtype=np.int64)
-    counts = cnt.astype(np.int64).copy()
+    counts = fold.cnt.astype(np.int64).copy()
     native = ct.native
     fb = C if bool(summ[0]) else int(summ[1])
-    e_full = entry_state
-    for c in range(min(fb, C)):
-        # validated prefix (ESC check applied on device): exact as-is
-        entries[c] = e_full
-        e_full = ct.to_full(int(phi[c]))
+    if fb > 0:
+        # validated prefix: every chunk's entry is its (validated)
+        # speculation, so the whole prefix maps in one vector op
+        entries[:fb] = ct.to_full_vec(fold.swarm[:fb])
+        entries[0] = entry_state
+        e_full = ct.to_full(int(fold.phi[fb - 1]))
+    else:
+        e_full = entry_state
     c = fb
     while c < C:
+        if fold.trusted(c, e_full):
+            b = fold.run_end(c)
+            entries[c:b + 1] = ct.to_full_vec(fold.swarm[c:b + 1])
+            entries[c] = e_full
+            e_full = ct.to_full(int(fold.phi[b]))
+            c = b + 1
+            continue
         lo = c * K
         hi = min(lo + K, n)
         entries[c] = e_full
-        cp = ct.to_core_premult(e_full)
-        if (cp >= 0 and swarm[c] == cp and hi - lo == K
-                and phi[c] != ct.esc_premult):
-            e_full = ct.to_full(int(phi[c]))
-        else:
-            k, st = native.count(raw[lo:hi].tobytes(), e_full)
-            counts[c] = k
-            e_full = st
+        k, st = native.count(raw[lo:hi].tobytes(), e_full)
+        counts[c] = k
+        e_full = st
         c += 1
     return entries, counts, e_full
 
@@ -321,22 +390,22 @@ def core_count_bytes(ct, data_np, chunk_len=DEFAULT_K, entry_state=0,
         _, cnt, _ = _unpack(packed, C)
         return (ct.to_full(int(summ[6])),
                 int(np.sum(cnt, dtype=np.int64)))
-    phi, cnt, swarm = _unpack(packed, C)
+    fold = _Fold(ct, packed, C, K, n, quiet=False)
     native = ct.native
     total = int(summ[7])                # validated-prefix count
     e_full = ct.to_full(int(summ[2]))
     c = int(summ[1])
     while c < C:
+        if fold.trusted(c, e_full):
+            b = fold.run_end(c)
+            total += fold.run_count(c, b)
+            e_full = ct.to_full(int(fold.phi[b]))
+            c = b + 1
+            continue
         lo = c * K
         hi = min(lo + K, n)
-        cp = ct.to_core_premult(e_full)
-        if (cp >= 0 and swarm[c] == cp and hi - lo == K
-                and phi[c] != ct.esc_premult):
-            total += int(cnt[c])
-            e_full = ct.to_full(int(phi[c]))
-        else:
-            k, st = native.count(raw[lo:hi].tobytes(), e_full)
-            total += k
-            e_full = st
+        k, st = native.count(raw[lo:hi].tobytes(), e_full)
+        total += k
+        e_full = st
         c += 1
     return e_full, total

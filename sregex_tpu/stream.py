@@ -51,11 +51,34 @@ def _build_spec_tables(dfa):
     return None
 
 
+def _core_requirement(spec):
+    """Adaptive-core eligibility for a static kernel tier: None = the
+    core tier must stay out (the static chain already found a fast
+    1-gather tier, or SREGEX_CORE=0); otherwise the value is the
+    ``require_fast`` flag for CoreTables (True over a static wide
+    tier: only a pair/narrow core can beat what we already have)."""
+    import os
+    if os.environ.get("SREGEX_CORE") == "0":
+        return None
+    from .ops.pallas_scan import SpecTablesWide
+    from .ops.pallas_big import SpecTablesBig
+    if spec is None or isinstance(spec, SpecTablesBig):
+        return False
+    if isinstance(spec, SpecTablesWide) and spec.rows > 4:
+        # short select chains are already fast (R=2 measured
+        # 8.5 GB/s — beats the core tier's ~3.4 with its per-scan
+        # plane readback); only long chains (R=17 measured 0.76)
+        # are worth the upgrade
+        return True
+    return None
+
+
 class StreamScanner:
     """Resumable boolean scanner over one stream (Thompson-equivalent
     semantics: reports the earliest boundary where any match ends)."""
 
     DEVICE_THRESHOLD = 1 << 20  # chunks >= 1 MiB go to the device
+    CORE_SAMPLE = 256 << 10     # hot-core sample bytes (chunk head)
 
     def __init__(self, dfa, use_device=False, device_tables=None):
         self.dfa = dfa
@@ -67,6 +90,7 @@ class StreamScanner:
         self.matched_regex = -1
         self.use_device = use_device
         self._tables = device_tables
+        self._coret = None   # adaptive core tier; False = declined
         from .native import NativeDfa
         self._native = NativeDfa(dfa)
 
@@ -76,6 +100,24 @@ class StreamScanner:
             if self._tables is None:
                 self._tables = False
         return self._tables
+
+    def _core_tables(self, chunk):
+        """Adaptive hot-core tier for streamed chunks whose static
+        tier chain fell short of the fast kernels (see Scanner).
+        Sampled once from the first large chunk's head; exactness
+        never depends on the sample (escape repair)."""
+        if self._coret is None:
+            self._coret = False
+            req = _core_requirement(self._device_tables() or None)
+            if req is not None:
+                try:
+                    from .ops.pallas_core import CoreTables
+                    self._coret = CoreTables(
+                        self.dfa, bytes(chunk[:self.CORE_SAMPLE]),
+                        require_fast=req)
+                except ValueError:
+                    self._coret = False
+        return self._coret or None
 
     def exec(self, chunk, eof=False):
         """Feed one chunk.  Returns (rc, match_end_abs):
@@ -95,13 +137,21 @@ class StreamScanner:
             chunk = b""
 
         if len(chunk):
-            tables = (self._device_tables() if self.use_device
-                      and len(chunk) >= self.DEVICE_THRESHOLD else None)
-            if tables:
-                from .ops.pallas_scan import spec_scan_bytes
-                state, first = spec_scan_bytes(tables, chunk,
-                                               entry_state=self.state)
-            else:
+            first = None
+            if self.use_device and len(chunk) >= self.DEVICE_THRESHOLD:
+                ct = self._core_tables(chunk)
+                if ct is not None \
+                        and ct.to_core_premult(self.state) >= 0:
+                    from .ops.pallas_core import core_scan_bytes
+                    state, first = core_scan_bytes(
+                        ct, chunk, entry_state=self.state)
+                else:
+                    tables = self._device_tables()
+                    if tables:
+                        from .ops.pallas_scan import spec_scan_bytes
+                        state, first = spec_scan_bytes(
+                            tables, chunk, entry_state=self.state)
+            if first is None:
                 first, state = self._native.scan_first(chunk, self.state)
             if first >= 0:
                 # post-match contract: the scanner is FINISHED.  Like a
@@ -210,22 +260,12 @@ class Scanner:
         return b"".join(bytes(data[c:c + w]) for c in cuts)
 
     def _core_eligible(self, spec):
-        """The adaptive core tier only engages where the static tier
-        chain fell short of the fast (1-gather) kernels: the slow big
-        tier, the row-select wide tier, or no tier at all.  Returns
-        None (ineligible) or the require_fast flag for CoreTables
-        (True over a static wide tier: only a pair/narrow core can
-        beat what we already have)."""
-        import os
-        from .ops.pallas_scan import SpecTablesWide
-        from .ops.pallas_big import SpecTablesBig
-        if not self.use_device or os.environ.get("SREGEX_CORE") == "0":
+        """Adaptive-core eligibility (see _core_requirement): None
+        when the core tier must stay out, else the require_fast flag
+        for CoreTables."""
+        if not self.use_device:
             return None
-        if spec is None or isinstance(spec, SpecTablesBig):
-            return False
-        if isinstance(spec, SpecTablesWide):
-            return True
-        return None
+        return _core_requirement(spec)
 
     def _core_tables(self, data):
         """Adaptive hot-core tier (ops/pallas_core.py): when the

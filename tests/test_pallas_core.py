@@ -249,25 +249,70 @@ def test_core_engages_over_static_wide_tier():
     matches (ramp states outside the core -> escape repair)."""
     from sregex_tpu.stream import compile_pattern
     from sregex_tpu.ops.pallas_scan import SpecTablesWide
-    sc = compile_pattern(b"q[ab]{40,90}z", use_device=True)
+    sc = compile_pattern(b"foo[a-z]{8,18}bar", use_device=True)
     assert isinstance(sc._spec, SpecTablesWide)
+    assert sc._spec.rows > 4          # long chain: core-eligible
     sc.DEVICE_THRESHOLD = 1 << 12
     rng = random.Random(31)
-    benign = bytes(rng.choice(b"qz xy") for _ in range(40000))
+    benign = bytes(rng.choice(b"ghij x") for _ in range(40000))
     native = sc._native
     exp_cnt, exp_st = native.count(benign, 0)
     assert sc.count(benign) == exp_cnt + int(sc.dfa.match_eof[exp_st])
     assert isinstance(sc._coret, CoreTables)
     assert not isinstance(sc._coret.inner, SpecTablesWide)
     # match-bearing corpus against the cached benign-built core
-    data = (benign[:9000] + b"q" + b"a" * 50 + b"z" + benign[9000:
-            30000] + b"q" + b"ab" * 30 + b"z" + benign[30000:])
+    data = (benign[:9000] + b"fooghijghijghbar" + benign[9000:30000]
+            + b"foojjjjjjjjbar" + benign[30000:])
     exp_cnt, exp_st = native.count(data, 0)
+    assert exp_cnt > 0
     assert sc.count(data) == exp_cnt + int(sc.dfa.match_eof[exp_st])
     exp_first, exp_state = native.scan_first(data, 0)
     rid, end = sc.scan(data)
     assert end == exp_first
     assert rid == sc.dfa.id_at(exp_state, data[exp_first])
+    # a SHORT wide chain must stay on its static tier (measured
+    # faster than the core on hardware)
+    sc2 = compile_pattern(b"q[ab]{40,90}z", use_device=True)
+    assert isinstance(sc2._spec, SpecTablesWide) and sc2._spec.rows <= 4
+    sc2.DEVICE_THRESHOLD = 1 << 12
+    assert sc2.count(benign) == 0
+    assert sc2._coret is False
+
+
+def test_stream_scanner_rides_core_tier():
+    """StreamScanner.exec routes large chunks of big/wide-tier
+    patterns through the adaptive core; the resumable carry and the
+    SRE_OK offset must match the pure-native stream byte for byte,
+    including a mid-stream entry state that may fall outside the
+    core (per-chunk fallback)."""
+    from sregex_tpu.stream import StreamScanner
+    dfa, native = _full(b"a{60,120}b")
+    rng = random.Random(17)
+    dev = StreamScanner(dfa, use_device=True)
+    ref = StreamScanner(dfa)
+    dev.DEVICE_THRESHOLD = 1 << 12
+    chunks = []
+    for i in range(4):
+        c = bytearray(rng.choice(b"ab xx") for _ in range(6000))
+        if i == 2:
+            # match straddles the chunk edge: ramp starts late in
+            # chunk 2 (entry state of chunk 3 is deep, outside the
+            # benign-sampled core)
+            c[-50:] = b"x" + b"a" * 49
+            chunks.append(bytes(c))
+            c2 = bytearray(rng.choice(b"ab xx") for _ in range(6000))
+            c2[:40] = b"a" * 39 + b"b"
+            chunks.append(bytes(c2))
+            continue
+        chunks.append(bytes(c))
+    for i, c in enumerate(chunks):
+        eof = i == len(chunks) - 1
+        got = dev.exec(c, eof)
+        exp = ref.exec(c, eof)
+        assert got == exp, (i, got, exp)
+        assert dev.state == ref.state, i
+        if got[0] == 0:            # SRE_OK: both finished
+            break
 
 
 def test_scanner_find_finditer_ride_rev_core():
