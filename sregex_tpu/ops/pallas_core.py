@@ -206,16 +206,22 @@ class _Fold:
         return int(self.cum[b] - lo)
 
 
-def _run(ct, data_np, chunk_len, entry_state, prepared, COUNT):
+def _run(ct, data_np, chunk_len, entry_state, prepared, COUNT,
+         mesh=None, axis="data"):
     """Shared kernel dispatch: returns (summ int64[10], packed, raw,
-    C, K, n) with the ESC check applied on device."""
+    C, K, n) with the ESC check applied on device.  ``mesh`` shards
+    the scan over devices exactly like the spec entry points (the
+    per-chunk planes come back in global chunk order, so the host
+    fold is mesh-agnostic)."""
     import jax
     from .prep import prepare_auto
     inner = ct.inner
     n = len(data_np)
     W = inner.warmup
     if prepared is None:
-        prepared = prepare_auto(inner, data_np, chunk_len)
+        prepared = prepare_auto(inner, data_np, chunk_len,
+                                b_multiple=(mesh.devices.size
+                                            if mesh is not None else 1))
     data, C, K, J, B = prepared
     ep = ct.to_core_premult(entry_state)
     assert ep >= 0, "entry state must be in the core (caller checks)"
@@ -224,7 +230,8 @@ def _run(ct, data_np, chunk_len, entry_state, prepared, COUNT):
     summary, packed = inner._scan(
         data if isinstance(data, jax.Array) else jnp.asarray(data),
         s0p, j0p, jnp.int32(C), jnp.int32(bad_tail), J, W,
-        COUNT=COUNT, esc=ct.esc_premult)
+        COUNT=COUNT, esc=ct.esc_premult, mesh=mesh,
+        axis=axis if mesh is not None else None)
     summ = np.asarray(summary).astype(np.int64)
     raw = np.frombuffer(data_np, dtype=np.uint8) \
         if not isinstance(data_np, np.ndarray) else data_np
@@ -232,7 +239,7 @@ def _run(ct, data_np, chunk_len, entry_state, prepared, COUNT):
 
 
 def core_scan_bytes(ct, data_np, chunk_len=DEFAULT_K, entry_state=0,
-                    prepared=None):
+                    prepared=None, mesh=None, axis="data"):
     """Whole-buffer first-match scan on the core tier.  Contract of
     spec_scan_bytes: returns (final FULL state, first match boundary
     or -1); on a match the state is the full state AT the boundary
@@ -243,7 +250,8 @@ def core_scan_bytes(ct, data_np, chunk_len=DEFAULT_K, entry_state=0,
     if n == 0:
         return entry_state, -1
     summ, packed, raw, C, K, n = _run(ct, data_np, chunk_len,
-                                      entry_state, prepared, False)
+                                      entry_state, prepared, False,
+                                      mesh=mesh, axis=axis)
     if bool(summ[0]):
         # every chunk validated: no fires, no escapes, chain exact
         return ct.to_full(int(summ[6])), -1
@@ -268,7 +276,8 @@ def core_scan_bytes(ct, data_np, chunk_len=DEFAULT_K, entry_state=0,
 
 
 def core_scan_last_bytes(ct, data_np, chunk_len=DEFAULT_K,
-                         entry_state=0, prepared=None):
+                         entry_state=0, prepared=None,
+                         mesh=None, axis="data"):
     """Find the LAST boundary (0..n-1) at which a match ends, on the
     core tier.  Contract of spec_scan_last_bytes with FULL states
     (the reverse-scan start locator's primitive).  The exact position
@@ -279,7 +288,8 @@ def core_scan_last_bytes(ct, data_np, chunk_len=DEFAULT_K,
     if n == 0:
         return entry_state, -1
     summ, packed, raw, C, K, n = _run(ct, data_np, chunk_len,
-                                      entry_state, prepared, True)
+                                      entry_state, prepared, True,
+                                      mesh=mesh, axis=axis)
     native = ct.native
     if bool(summ[0]):
         last_fire = int(summ[8])
@@ -331,7 +341,7 @@ def core_scan_last_bytes(ct, data_np, chunk_len=DEFAULT_K,
 
 
 def core_chunk_map(ct, data_np, chunk_len=DEFAULT_K, entry_state=0,
-                   prepared=None):
+                   prepared=None, mesh=None, axis="data"):
     """Validated per-chunk scan map on the core tier: (entries [C]
     FULL plain states, counts [C], final FULL state), all exact.
     Contract of spec_chunk_map — the finditer start locator's
@@ -342,7 +352,8 @@ def core_chunk_map(ct, data_np, chunk_len=DEFAULT_K, entry_state=0,
         return (np.zeros(0, np.int64), np.zeros(0, np.int64),
                 entry_state)
     summ, packed, raw, C, K, n = _run(ct, data_np, chunk_len,
-                                      entry_state, prepared, True)
+                                      entry_state, prepared, True,
+                                      mesh=mesh, axis=axis)
     fold = _Fold(ct, packed, C, K, n, quiet=False)
     entries = np.zeros(C, dtype=np.int64)
     counts = fold.cnt.astype(np.int64).copy()
@@ -376,14 +387,15 @@ def core_chunk_map(ct, data_np, chunk_len=DEFAULT_K, entry_state=0,
 
 
 def core_count_bytes(ct, data_np, chunk_len=DEFAULT_K, entry_state=0,
-                     prepared=None):
+                     prepared=None, mesh=None, axis="data"):
     """Count match-ending boundaries (0..n-1; EOF is the caller's) on
     the core tier.  Contract of spec_count_bytes with FULL states."""
     n = len(data_np)
     if n == 0:
         return entry_state, 0
     summ, packed, raw, C, K, n = _run(ct, data_np, chunk_len,
-                                      entry_state, prepared, True)
+                                      entry_state, prepared, True,
+                                      mesh=mesh, axis=axis)
     if bool(summ[0]):
         if n < 2 ** 31:
             return ct.to_full(int(summ[6])), int(summ[7])

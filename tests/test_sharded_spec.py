@@ -104,3 +104,27 @@ def test_sharded_spec_multi_regex_ids(mesh):
     assert got_first == f
     if f >= 0:
         assert dfa.id_at(got_state, data[got_first]) == rid
+
+
+def test_sharded_core_tier_matches_native(mesh):
+    """The adaptive hot-core tier rides the mesh exactly like the
+    static tiers (per-chunk planes come back in global chunk order;
+    the host fold is mesh-agnostic).  Big automaton + skewed corpus
+    + a planted match straddling shard-interior chunks."""
+    from sregex_tpu.ops.pallas_core import (CoreTables,
+                                            core_scan_bytes,
+                                            core_count_bytes)
+    ast, _ = parse("a{60,120}b")
+    dfa = build_dfa(compile_regex(ast), max_states=65536)
+    native = NativeDfa(dfa)
+    rng = random.Random(23)
+    sample = bytes(rng.choice(b"ab xx") for _ in range(20000))
+    ct = CoreTables(dfa, sample)
+    data = bytes(rng.choice(b"ab xx") for _ in range(20000))
+    data = data[:9000] + b"c" + b"a" * 90 + b"b" + data[9000:]
+    exp_first, exp_state = native.scan_first(data, 0)
+    st, first = core_scan_bytes(ct, data, chunk_len=256, mesh=mesh)
+    assert (first, st) == (exp_first, exp_state)
+    exp_cnt, exp_st = native.count(data, 0)
+    st, cnt = core_count_bytes(ct, data, chunk_len=256, mesh=mesh)
+    assert (cnt, st) == (exp_cnt, exp_st)
