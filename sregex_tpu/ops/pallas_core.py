@@ -133,6 +133,10 @@ class CoreTables:
                              "hot set (visited %d states)" % V)
         self.inner, self.core, self.hot2full, self.full2core = fit
         self.H = len(self.hot2full)
+        # set by each COMPLETED scan: (natively repaired chunks, C).
+        # None after an early-returning scan (first-match fast exit).
+        # Scanner reads this to detect corpus drift and re-core.
+        self.last_repair = None
         # premultiplied sticky-escape id in the INNER alphabet (the
         # pair tier premultiplies by ncls^2)
         self.esc_premult = self.H * self.inner.ncls
@@ -235,6 +239,7 @@ def _run(ct, data_np, chunk_len, entry_state, prepared, COUNT,
     summ = np.asarray(summary).astype(np.int64)
     raw = np.frombuffer(data_np, dtype=np.uint8) \
         if not isinstance(data_np, np.ndarray) else data_np
+    ct.last_repair = None   # set by completed scans: (native chunks, C)
     return summ, packed, raw, C, K, n
 
 
@@ -254,11 +259,13 @@ def core_scan_bytes(ct, data_np, chunk_len=DEFAULT_K, entry_state=0,
                                       mesh=mesh, axis=axis)
     if bool(summ[0]):
         # every chunk validated: no fires, no escapes, chain exact
+        ct.last_repair = (0, C)
         return ct.to_full(int(summ[6])), -1
     fold = _Fold(ct, packed, C, K, n, quiet=True)
     native = ct.native
     e_full = ct.to_full(int(summ[2]))   # entries[fb]: validated, !ESC
     c = int(summ[1])
+    nat = 0
     while c < C:
         if fold.trusted(c, e_full):
             b = fold.run_end(c)     # fire-free trusted run [c..b]
@@ -272,6 +279,8 @@ def core_scan_bytes(ct, data_np, chunk_len=DEFAULT_K, entry_state=0,
             return st, lo + f
         e_full = st
         c += 1
+        nat += 1
+    ct.last_repair = (nat, C)
     return e_full, -1
 
 
@@ -292,6 +301,7 @@ def core_scan_last_bytes(ct, data_np, chunk_len=DEFAULT_K,
                                       mesh=mesh, axis=axis)
     native = ct.native
     if bool(summ[0]):
+        ct.last_repair = (0, C)
         last_fire = int(summ[8])
         final = ct.to_full(int(summ[6]))
         if last_fire < 0:
@@ -313,6 +323,7 @@ def core_scan_last_bytes(ct, data_np, chunk_len=DEFAULT_K,
     native = ct.native
     e_full = ct.to_full(int(summ[2]))
     c = int(summ[1])
+    nat = 0
     while c < C:
         if fold.trusted(c, e_full):
             b = fold.run_end(c)
@@ -330,6 +341,8 @@ def core_scan_last_bytes(ct, data_np, chunk_len=DEFAULT_K,
             last = ("pos", lo + r)
         e_full = st
         c += 1
+        nat += 1
+    ct.last_repair = (nat, C)
     if last is None:
         return e_full, -1
     if last[0] == "pos":
@@ -368,6 +381,7 @@ def core_chunk_map(ct, data_np, chunk_len=DEFAULT_K, entry_state=0,
     else:
         e_full = entry_state
     c = fb
+    nat = 0
     while c < C:
         if fold.trusted(c, e_full):
             b = fold.run_end(c)
@@ -383,6 +397,8 @@ def core_chunk_map(ct, data_np, chunk_len=DEFAULT_K, entry_state=0,
         counts[c] = k
         e_full = st
         c += 1
+        nat += 1
+    ct.last_repair = (nat, C)
     return entries, counts, e_full
 
 
@@ -397,6 +413,7 @@ def core_count_bytes(ct, data_np, chunk_len=DEFAULT_K, entry_state=0,
                                       entry_state, prepared, True,
                                       mesh=mesh, axis=axis)
     if bool(summ[0]):
+        ct.last_repair = (0, C)
         if n < 2 ** 31:
             return ct.to_full(int(summ[6])), int(summ[7])
         _, cnt, _ = _unpack(packed, C)
@@ -407,6 +424,7 @@ def core_count_bytes(ct, data_np, chunk_len=DEFAULT_K, entry_state=0,
     total = int(summ[7])                # validated-prefix count
     e_full = ct.to_full(int(summ[2]))
     c = int(summ[1])
+    nat = 0
     while c < C:
         if fold.trusted(c, e_full):
             b = fold.run_end(c)
@@ -420,4 +438,6 @@ def core_count_bytes(ct, data_np, chunk_len=DEFAULT_K, entry_state=0,
         total += k
         e_full = st
         c += 1
+        nat += 1
+    ct.last_repair = (nat, C)
     return e_full, total

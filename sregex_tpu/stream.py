@@ -289,6 +289,37 @@ class Scanner:
                     self._coret = False
         return self._coret or None
 
+    # re-core on drift: a cached core built from one corpus degrades
+    # to repair-heavy scans on differently-distributed data (measured
+    # ~35x).  Two consecutive completed scans with >25% natively
+    # repaired chunks trigger a rebuild from the CURRENT corpus; after
+    # MAX_RECORE rebuilds the tier declines for this Scanner (static
+    # tier takes over).  Exactness is never at stake — only speed.
+    CORE_DRIFT_FRAC = 0.25
+    MAX_RECORE = 2
+
+    def _core_note(self, ct, attr="_coret"):
+        """Inspect the last completed core scan's repair stats and
+        re-core (or decline) on sustained drift."""
+        stats = ct.last_repair
+        if stats is None:
+            return
+        nat, C = stats
+        strikes = attr + "_strikes"
+        if C >= 16 and nat > C * self.CORE_DRIFT_FRAC:
+            s = getattr(self, strikes, 0) + 1
+            setattr(self, strikes, s)
+            if s >= 2:
+                setattr(self, strikes, 0)
+                r = getattr(self, attr + "_rebuilds", 0) + 1
+                setattr(self, attr + "_rebuilds", r)
+                # None = rebuild lazily from the next corpus sample;
+                # False = decline permanently
+                setattr(self, attr,
+                        None if r <= self.MAX_RECORE else False)
+        else:
+            setattr(self, strikes, 0)
+
     def _rev_core_tables(self, data):
         """Core tier for the REVERSE machine (find()'s start scan and
         the finditer start locator).  Same protocol as _core_tables;
@@ -316,6 +347,7 @@ class Scanner:
             if ct is not None:
                 from .ops.pallas_core import core_scan_bytes
                 state, first = core_scan_bytes(ct, data)
+                self._core_note(ct)
                 return first, state
         if self._spec is not None and len(data) >= self.DEVICE_THRESHOLD:
             from .ops.pallas_scan import spec_scan_bytes
@@ -370,6 +402,7 @@ class Scanner:
         if ct is not None:
             from .ops.pallas_core import core_count_bytes
             state, c = core_count_bytes(ct, data)
+            self._core_note(ct)
         elif self._spec is not None \
                 and len(data) >= self.DEVICE_THRESHOLD:
             from .ops.pallas_scan import spec_count_bytes
@@ -499,6 +532,7 @@ class Scanner:
                 if rct is not None:
                     from .ops.pallas_core import core_scan_last_bytes
                     rstate, q = core_scan_last_bytes(rct, rdata)
+                    self._core_note(rct, "_rev_coret")
                 elif (self._rev_spec is not None
                         and n >= self.DEVICE_THRESHOLD):
                     from .ops.pallas_scan import spec_scan_last_bytes

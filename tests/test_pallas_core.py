@@ -279,6 +279,42 @@ def test_core_engages_over_static_wide_tier():
     assert sc2._coret is False
 
 
+def test_scanner_recore_on_corpus_drift():
+    """A core built from one corpus degrades to repair-heavy scans on
+    differently-distributed data; after two consecutive drifted scans
+    the Scanner must rebuild the core from the CURRENT corpus (and
+    every answer must stay exact throughout)."""
+    from sregex_tpu.stream import compile_pattern
+    sc = compile_pattern(b"a{60,120}b")
+    sc.use_device = True
+    sc.DEVICE_THRESHOLD = 1 << 12
+    rng = random.Random(41)
+    native = sc._native
+
+    def check(data):
+        exp_cnt, exp_st = native.count(data, 0)
+        assert sc.count(data) == exp_cnt + int(sc.dfa.match_eof[exp_st])
+
+    benign = bytes(rng.choice(b"xy z") for _ in range(40000))
+    check(benign)
+    core_a = sc._coret
+    assert isinstance(core_a, CoreTables)
+    # drifted corpus: short a-runs (well inside the warmup window, so
+    # chunk-entry speculation still converges) escape core_a's tiny
+    # hot set in most chunks
+    drift = b"".join(b"a" * rng.randrange(3, 12) + b"x"
+                     for _ in range(6000))
+    check(drift)                  # strike 1 (exact via repair)
+    assert sc._coret is core_a
+    check(drift)                  # strike 2 -> schedule rebuild
+    assert sc._coret is None and sc._coret_rebuilds == 1
+    check(drift)                  # rebuilt from the drifted corpus
+    core_b = sc._coret
+    assert isinstance(core_b, CoreTables) and core_b is not core_a
+    assert getattr(sc, "_coret_strikes", 0) == 0
+    check(drift)                  # healthy on the new distribution
+
+
 def test_stream_scanner_rides_core_tier():
     """StreamScanner.exec routes large chunks of big/wide-tier
     patterns through the adaptive core; the resumable carry and the
