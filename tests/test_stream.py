@@ -170,3 +170,33 @@ def test_stream_scanner_device_backend():
     data = b"hay " * 500 + b"needle" + b" hay" * 100
     rc, end = s.exec(data, eof=True)
     assert rc == SRE_OK and end == 2006
+
+
+def test_prepared_corpus_reuse():
+    """Scanner.prepare(data) packs once; match/count/scan reuse the
+    device-resident corpus across calls and tiers, byte-identical to
+    the unprepared path."""
+    import random
+    from sregex_tpu.stream import compile_pattern
+    rng = random.Random(7)
+    # spec-tier pattern
+    sc = compile_pattern(b"(?:a|b)aa(?:aa|bb)cc(?:a|b)",
+                         use_device=True)
+    sc.DEVICE_THRESHOLD = 1 << 12
+    data = bytes(rng.choice(b"abccc x") for _ in range(30000))
+    data = data[:20000] + b"xaaabbccb" + data[20000:]
+    h = sc.prepare(data)
+    assert sc.count(data, prepared=h) == sc.count(data)
+    assert sc.scan(data, prepared=h) == sc.scan(data)
+    assert sc.match(data, prepared=h) == sc.match(data)
+    assert len(h._by_tables) == 1      # one tier prepped, reused
+
+    # adaptive-core-tier pattern
+    sc2 = compile_pattern(b"a{60,120}b")
+    sc2.use_device = True
+    sc2.DEVICE_THRESHOLD = 1 << 12
+    d2 = bytes(rng.choice(b"ab xx") for _ in range(30000))
+    d2 = d2[:9000] + b"c" + b"a" * 90 + b"b" + d2[9000:]
+    h2 = sc2.prepare(d2)
+    assert sc2.count(d2, prepared=h2) == sc2.count(d2)
+    assert sc2.scan(d2, prepared=h2) == sc2.scan(d2)
