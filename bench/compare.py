@@ -108,19 +108,32 @@ def main():
     report_scaled("pike-py", timeit(pike, reps=1), len(small))
 
     if with_device:
-        from sregex_tpu.ops.pallas_scan import (SpecTables,
-                                                SpecTablesWide,
-                                                spec_scan_bytes,
-                                                _prepare)
-        try:
-            st = SpecTables(dfa)
-        except ValueError:
-            st = SpecTablesWide(dfa)
-        prepared = _prepare(st, corpus, 2048)
-        report("dfa-pallas",
-               timeit(lambda: spec_scan_bytes(st, corpus,
-                                              chunk_len=2048,
-                                              prepared=prepared)))
+        from sregex_tpu.stream import (_build_spec_tables,
+                                       _core_requirement)
+        from sregex_tpu.ops.pallas_scan import spec_scan_bytes
+        from sregex_tpu.ops.prep import prepare_auto
+        st = _build_spec_tables(dfa)
+        if st is not None:
+            prepared = prepare_auto(st, corpus, 2048)
+            report("dfa-pallas (%s)" % type(st).__name__,
+                   timeit(lambda: spec_scan_bytes(st, corpus,
+                                                  chunk_len=2048,
+                                                  prepared=prepared)))
+        req = _core_requirement(st)
+        if req is not None:
+            from sregex_tpu.ops.pallas_core import (CoreTables,
+                                                    core_scan_bytes)
+            try:
+                ct = CoreTables(dfa, corpus[:1 << 20],
+                                require_fast=req)
+            except ValueError:
+                ct = None
+            if ct is not None:
+                prep_c = prepare_auto(ct.inner, corpus, 2048)
+                report("dfa-core (%s)" % type(ct.inner).__name__,
+                       timeit(lambda: core_scan_bytes(
+                           ct, corpus, chunk_len=2048,
+                           prepared=prep_c)))
         if "--xla" in sys.argv:
             from sregex_tpu.ops.scan import (dfa_device_tables,
                                              scan_bytes)
