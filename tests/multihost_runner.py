@@ -1,0 +1,75 @@
+"""One process of the 2-process jax.distributed scan test.
+
+Usage (spawned twice by tests/test_multihost.py, or by hand):
+
+    python tests/multihost_runner.py <process_id> <port> [seed]
+
+Each process initializes jax.distributed against a localhost
+coordinator with 4 virtual CPU devices (global mesh: 8), holds ONLY
+its host_slices() byte range of a deterministic corpus, and runs
+parallel.multihost.count_multihost.  The result is checked against
+the full-corpus native count (computable here only because the test
+generator is deterministic; a real deployment never materializes the
+full corpus on one host).  Prints MULTIHOST_OK on success.
+"""
+
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    pid = int(sys.argv[1])
+    port = sys.argv[2]
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    jax.distributed.initialize("localhost:" + port,
+                               num_processes=2, process_id=pid)
+
+    import numpy as np
+    from jax.sharding import Mesh
+    from sregex_tpu import parse, compile_regex
+    from sregex_tpu.dfa import build_dfa
+    from sregex_tpu.native import NativeDfa
+    from sregex_tpu.ops.pallas_scan import SpecTables
+    from sregex_tpu.parallel.multihost import (count_multihost,
+                                               host_slices)
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    K = 64
+    bb = 4096 * K          # bytes per kernel block
+
+    cases = [
+        # (pattern, alphabet, total bytes)  — first is block-exact on
+        # both processes, second leaves the last process ragged
+        (b"ab", b"aab b", 8 * bb),
+        (b"(?:a|b)aa(?:aa|bb)cc(?:a|b)", b"abccc x",
+         4 * bb + 3 * bb + bb // 2 + 137),
+    ]
+    for pat, alpha, n in cases:
+        dfa = build_dfa(compile_regex(parse(pat)[0]))
+        tables = SpecTables(dfa)
+        rng = random.Random(seed)
+        full = bytes(rng.choice(alpha) for _ in range(n))
+        (lo0, hi0), (lo1, hi1) = host_slices(n, 2, K,
+                                             mesh.devices.size)
+        lo, hi = (lo0, hi0) if pid == 0 else (lo1, hi1)
+
+        st, cnt = count_multihost(tables, full[lo:hi], mesh, K,
+                                  full_len=n)
+        exp_cnt, exp_st = NativeDfa(dfa).count(full, 0)
+        assert (cnt, st) == (exp_cnt, exp_st), \
+            (pat, pid, cnt, exp_cnt, st, exp_st)
+        print("pid %d %s: count %d state %d OK" %
+              (pid, pat.decode(), cnt, st), flush=True)
+    print("MULTIHOST_OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
