@@ -194,3 +194,120 @@ def count_multihost(tables, local_bytes, mesh, chunk_len,
         total += k
         c += 1
     return e // ncls, total
+
+
+def scan_multihost(tables, local_bytes, mesh, chunk_len,
+                   full_len, entry_state=0, axis="data"):
+    """Earliest match end over the global corpus: returns
+    (final_or_boundary_state, end, regex_id), identical on every
+    process.  end == -1 means no interior match (the EOF boundary is
+    the caller's: tables.match_eof / dfa.match_eof_id of the final
+    state).  On a match the state is the state AT the boundary and
+    regex_id is resolved by the byte's owner (dfa.id_at needs
+    data[end], which only one process holds)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental import multihost_utils as mhu
+    from ..native import NativeDfa
+    from ..ops.prep import prepare_auto
+    from ..ops.pallas_scan import _unpack
+
+    assert not type(tables).__name__.endswith("Pair")
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    K = chunk_len
+    ncls = tables.ncls
+    W = tables.warmup
+    n = full_len
+    C = -(-n // K)
+    bb = block_bytes(K)
+
+    if pid < nproc - 1:
+        assert len(local_bytes) % bb == 0
+    prepared = prepare_auto(tables, local_bytes, K)
+    data, C_loc, _K, J, B_loc = prepared
+    if pid < nproc - 1:
+        assert B_loc * LANES == C_loc
+
+    b_all = mhu.process_allgather(np.array([B_loc]))
+    assert int(b_all.min()) == int(b_all.max())
+    B_glob = int(b_all.sum())
+    assert B_glob % mesh.devices.size == 0
+
+    sh = NamedSharding(mesh, P(axis))
+    gdata = jax.make_array_from_process_local_data(
+        sh, np.asarray(data))
+    G = data.shape[2]
+    s0 = np.zeros((B_loc, G, 8, 128), np.int32)
+    j0 = np.zeros((B_loc, G, 8, 128), np.int32)
+    if pid == 0:
+        s0[0, 0, 0, 0] = entry_state * ncls
+        j0[0, 0, 0, 0] = W
+    gs0 = jax.make_array_from_process_local_data(sh, s0)
+    gj0 = jax.make_array_from_process_local_data(sh, j0)
+
+    fused_attr = "fused_vec" if hasattr(tables, "fused_vec") \
+        else "fused_rows"
+    orig = getattr(tables, fused_attr)
+    setattr(tables, fused_attr, _replicated(mesh, orig))
+    try:
+        bad_tail = (C - 1) if C * K > n and (n - (C - 1) * K) != K \
+            else -1
+        import jax.numpy as jnp
+        summary, packed = tables._scan(
+            gdata, gs0, gj0, jnp.int32(C), jnp.int32(bad_tail), J, W,
+            COUNT=False, mesh=mesh, axis=axis)
+    finally:
+        setattr(tables, fused_attr, orig)
+
+    rep = jax.jit(lambda x: x,
+                  out_shardings=NamedSharding(mesh, P()))
+    summ = np.asarray(rep(summary)).astype(np.int64)
+    if bool(summ[0]):
+        # every chunk validated fire-free: no interior match
+        return int(summ[6]) // ncls, -1, -1
+    phi, fm, swarm = _unpack(np.asarray(rep(packed)), C)
+
+    raw = np.frombuffer(local_bytes, dtype=np.uint8) \
+        if not isinstance(local_bytes, np.ndarray) else local_bytes
+    native = NativeDfa(tables.dfa)
+    chunks_per_proc = B_loc * LANES
+
+    full = np.ones(C, dtype=bool)
+    if bad_tail >= 0:
+        full[bad_tail] = False
+    quiet = full & (fm == 0)
+    cont = np.zeros(C, dtype=bool)
+    if C > 1:
+        cont[:C - 1] = quiet[1:] & (swarm[1:] == phi[:C - 1])
+    breaks = np.flatnonzero(~cont)
+
+    def owner_scan(c, e):
+        """Owner re-scans chunk c from premult entry e; broadcasts
+        (first fire rel or -1, exit premult, regex id or -1)."""
+        owner = min(c // chunks_per_proc, nproc - 1)
+        if pid == owner:
+            lo = c * K - pid * chunks_per_proc * K
+            hi = min(lo + K, len(raw))
+            f, st = native.scan_first(raw[lo:hi].tobytes(), e // ncls)
+            rid = tables.dfa.id_at(st, raw[lo + f]) if f >= 0 else -1
+            mine = np.array([f, st * ncls, rid], np.int64)
+        else:
+            mine = np.zeros(3, np.int64)
+        got = mhu.process_allgather(mine)
+        owner_row = got[owner]
+        return int(owner_row[0]), int(owner_row[1]), int(owner_row[2])
+
+    e = int(summ[2])
+    c = int(summ[1])
+    while c < C:
+        if quiet[c] and int(swarm[c]) == e:
+            b = int(breaks[np.searchsorted(breaks, c)])
+            e = int(phi[b])
+            c = b + 1
+            continue
+        f, st, rid = owner_scan(c, e)
+        if f >= 0:
+            return st // ncls, c * K + f, rid
+        e = st
+        c += 1
+    return e // ncls, -1, -1

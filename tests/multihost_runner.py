@@ -39,6 +39,7 @@ def main():
     from sregex_tpu.native import NativeDfa
     from sregex_tpu.ops.pallas_scan import SpecTables
     from sregex_tpu.parallel.multihost import (count_multihost,
+                                               scan_multihost,
                                                host_slices)
 
     mesh = Mesh(np.array(jax.devices()), ("data",))
@@ -68,6 +69,38 @@ def main():
             (pat, pid, cnt, exp_cnt, st, exp_st)
         print("pid %d %s: count %d state %d OK" %
               (pid, pat.decode(), cnt, st), flush=True)
+
+    # earliest-match scan: the only match lives deep in process 1's
+    # slice (the sequential fold must carry across the host boundary
+    # and the byte owner resolves the regex id); then a no-match run
+    from sregex_tpu.parser import parse_multi
+    ast, _ = parse_multi([b"zzz", b"needle"])
+    dfa = build_dfa(compile_regex(ast))
+    tables = SpecTables(dfa)
+    n = 8 * bb
+    rng = random.Random(seed + 1)
+    full = bytearray(rng.choice(b"abcdefgh ") for _ in range(n))
+    at = int(n * 0.8)
+    full[at:at + 6] = b"needle"
+    full = bytes(full)
+    (lo0, hi0), (lo1, hi1) = host_slices(n, 2, K, mesh.devices.size)
+    lo, hi = (lo0, hi0) if pid == 0 else (lo1, hi1)
+    nat = NativeDfa(dfa)
+    exp_f, exp_rid, exp_st = nat.scan_first_id(full, 0)
+    st, end, rid = scan_multihost(tables, full[lo:hi], mesh, K,
+                                  full_len=n)
+    assert (end, rid, st) == (exp_f, exp_rid, exp_st), \
+        (pid, end, exp_f, rid, exp_rid, st, exp_st)
+    assert rid == 1 and end == at + 6, (rid, end, at)
+    print("pid %d scan: end %d rid %d OK" % (pid, end, rid),
+          flush=True)
+    calm = full[:at] + b"xxxxxx" + full[at + 6:]
+    st, end, rid = scan_multihost(tables, calm[lo:hi], mesh, K,
+                                  full_len=n)
+    exp_f2, exp_st2 = nat.scan_first(calm, 0)
+    assert (end, st) == (exp_f2, exp_st2) and rid == -1, \
+        (pid, end, exp_f2, st, exp_st2, rid)
+    print("pid %d scan no-match OK" % pid, flush=True)
     print("MULTIHOST_OK", flush=True)
 
 
