@@ -329,7 +329,18 @@ def build_core_dfa(dfa, hot_states):
 
     ct = full2core[dfa.trans[hot2full]]          # [H, ncls] core targets
     m = dfa.match[hot2full]                      # [H, ncls] bool
+    core = core_from_rows(dfa.program, dfa.class_map, ct, m,
+                          dfa.match_eof[hot2full])
+    return core, hot2full, full2core
 
+
+def core_from_rows(program, class_map, ct, m, eof_hot):
+    """Assemble the hot-core machine from per-hot-state rows: ct
+    [H, ncls] core-id targets (ESC = H for out-of-core), m [H, ncls]
+    match bools, eof_hot [H] bools.  Shared by the dense
+    (build_core_dfa) and lazy (ops/pallas_core.LazyCoreTables)
+    builders; semantics documented on build_core_dfa."""
+    H = ct.shape[0]
     # merge byte classes indistinguishable over the hot rows
     sig = np.concatenate([ct, m.astype(np.int32)], axis=0).T  # [ncls, 2H]
     uniq, first_idx, inv = np.unique(sig, axis=0, return_index=True,
@@ -349,12 +360,11 @@ def build_core_dfa(dfa, hot_states):
     match_id_core = np.concatenate(
         [match_id_core, np.zeros((1, nclsc), dtype=np.int32)])  # ESC fires
     eof_core = np.concatenate(
-        [np.where(dfa.match_eof[hot2full], 0, -1).astype(np.int32),
+        [np.where(eof_hot, 0, -1).astype(np.int32),
          np.zeros(1, dtype=np.int32)])           # ESC eof never read
-    class_map_core = remap[dfa.class_map].astype(np.int32)
-    core = Dfa(dfa.program, trans_core, match_id_core, eof_core,
+    class_map_core = remap[class_map].astype(np.int32)
+    return Dfa(program, trans_core, match_id_core, eof_core,
                class_map_core)
-    return core, hot2full, full2core
 
 
 def build_dfa(prog, max_states=8192):
@@ -530,6 +540,22 @@ class LazyDfa:
             cnt += m >= 0
             s = nxt
         return cnt, s
+
+    def visits(self, data, state=0):
+        """Per-state visit counts over one walk: ({sid: count}, state
+        after).  The lazy analogue of NativeDfa.visits — feeds the
+        adaptive hot-core sampler (ops/pallas_core.LazyCoreTables)."""
+        cmap = self.class_map
+        step = self._step
+        s = state
+        if not isinstance(data, (bytes, bytearray)):
+            data = bytes(data)
+        arr = cmap[np.frombuffer(data, dtype=np.uint8)]
+        counts = {}
+        for c in arr:
+            counts[s] = counts.get(s, 0) + 1
+            s, _ = step(s, int(c))
+        return counts, s
 
     def create_ctx(self):
         return LazyDfaCtx(self)

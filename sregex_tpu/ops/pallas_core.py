@@ -110,7 +110,11 @@ class CoreTables:
         V = len(order)
         csum = np.cumsum(counts[order].astype(np.float64))
         allowed = max_escape_frac * total
-        m_min = int(np.searchsorted(csum, total + 1 - allowed)) + 1
+        # covering the whole visited set (zero escapes) always
+        # qualifies — clamp, or a sub-1-visit allowance (small
+        # samples) would reject every candidate
+        m_min = min(V, int(np.searchsorted(csum,
+                                           total + 1 - allowed)) + 1)
         ms = sorted({m for m in (V,) + _CANDIDATE_MS
                      if m_min <= m <= V}, reverse=True)
 
@@ -156,6 +160,111 @@ class CoreTables:
 
     def to_full_vec(self, premult_arr):
         """Vectorized to_full over an array of non-ESC premult ids."""
+        return self.hot2full[np.asarray(premult_arr) // self.inner.ncls]
+
+
+class _LazyNative:
+    """Full-machine adapter over a LazyDfa with the scan signatures
+    the repair folds call on NativeDfa."""
+
+    def __init__(self, lazy):
+        self.lazy = lazy
+
+    def scan_first(self, data, entry):
+        return self.lazy.scan_first(data, entry)
+
+    def count(self, data, entry):
+        return self.lazy.count(data, entry)
+
+    def scan_last(self, data, entry):
+        raise NotImplementedError("lazy core serves forward scans")
+
+
+class LazyCoreTables:
+    """Adaptive hot-core tier over a LazyDfa full machine: gives
+    patterns past the eager DFA budget (>8,192 states, where no dense
+    machine exists at all) a fast device path.  The reference's JIT
+    compiles every program (sre_vm_thompson_jit.c:39); with this, so
+    do the fast kernels — only the tiny hot core is ever materialized
+    as tables, and escapes repair on the lazy machine (Python walk,
+    so drifted corpora are slower than the dense tier — the Scanner's
+    re-core/decline logic bounds that).
+
+    Duck-typed to CoreTables for core_scan_bytes / core_count_bytes
+    (full states are lazy sids; full2core is a dict)."""
+
+    def __init__(self, lazy, sample, max_escape_frac=MAX_ESCAPE_FRAC,
+                 require_fast=False):
+        self.lazy = lazy
+        self.dfa = lazy          # id_at/match_eof duck-typing
+        self.native = _LazyNative(lazy)
+        counts, _ = lazy.visits(sample, 0)
+        counts[0] = counts.get(0, 0) + 1    # entry is always hot
+        total = float(sum(counts.values()))
+        order = [0] + sorted((s for s in counts if s != 0),
+                             key=lambda s: (-counts[s], s))
+        V = len(order)
+        csum = np.cumsum([counts[s] for s in order]).astype(np.float64)
+        allowed = max_escape_frac * total
+        # covering the whole visited set (zero escapes) always
+        # qualifies — clamp, or a sub-1-visit allowance (small
+        # samples) would reject every candidate
+        m_min = min(V, int(np.searchsorted(csum,
+                                           total + 1 - allowed)) + 1)
+        ms = sorted({m for m in (V,) + _CANDIDATE_MS
+                     if m_min <= m <= V}, reverse=True)
+
+        fast_fit = None
+        wide_fit = None
+        for m in ms:
+            core = self._build(order[:m])
+            if fast_fit is None:
+                inner = _inner_tables(core, narrow_only=True)
+                if inner is not None:
+                    fast_fit = (inner, core, order[:m])
+                    break
+            if wide_fit is None and not require_fast:
+                inner = _inner_tables(core, narrow_only=False)
+                if inner is not None:
+                    wide_fit = (inner, core, order[:m])
+        fit = fast_fit or wide_fit
+        if fit is None:
+            raise ValueError("no fast core tier fits the sampled "
+                             "hot set (visited %d states)" % V)
+        self.inner, self.core, hot = fit
+        self.hot2full = np.asarray(hot, dtype=np.int64)
+        self.full2core = {sid: i for i, sid in enumerate(hot)}
+        self.H = len(hot)
+        self.esc_premult = self.H * self.inner.ncls
+        self.last_repair = None
+
+    def _build(self, hot):
+        lazy = self.lazy
+        H = len(hot)
+        ncls = lazy.nclasses
+        f2c = {sid: i for i, sid in enumerate(hot)}
+        ct = np.full((H, ncls), H, np.int32)
+        m = np.zeros((H, ncls), dtype=bool)
+        eof = np.zeros(H, dtype=bool)
+        for i, sid in enumerate(hot):
+            eof[i] = lazy.match_eof(sid)
+            for c in range(ncls):
+                ns, mid = lazy._step(sid, c)
+                ct[i, c] = f2c.get(ns, H)
+                m[i, c] = mid >= 0
+        from ..dfa import core_from_rows
+        return core_from_rows(lazy.program, lazy.class_map, ct, m, eof)
+
+    def to_core_premult(self, full_state):
+        c = self.full2core.get(int(full_state), self.H)
+        if c >= self.H:
+            return -1
+        return c * self.inner.ncls
+
+    def to_full(self, core_premult):
+        return int(self.hot2full[core_premult // self.inner.ncls])
+
+    def to_full_vec(self, premult_arr):
         return self.hot2full[np.asarray(premult_arr) // self.inner.ncls]
 
 

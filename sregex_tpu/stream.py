@@ -397,7 +397,8 @@ class Scanner:
 
     def match(self, data, prepared=None):
         if self.dfa is None:
-            return self.find(data) is not None
+            # lazy machine (+ lazy core device path) via scan()
+            return self.scan(data) is not None
         first, state = self._scan_first(data, prepared)
         if first >= 0:
             return True
@@ -416,7 +417,14 @@ class Scanner:
         sre_vm_pike.c:607-658)."""
         if self.dfa is None:
             lazy = self._lazy_dfa()
-            first, state = lazy.scan_first(data, 0)
+            ct = (self._lazy_core_tables(data)
+                  if len(data) >= self.DEVICE_THRESHOLD else None)
+            if ct is not None:
+                from .ops.pallas_core import core_scan_bytes
+                state, first = core_scan_bytes(ct, data)
+                self._core_note(ct, "_lazy_coret")
+            else:
+                first, state = lazy.scan_first(data, 0)
             if first >= 0:
                 return lazy.id_at(state, data[first]), first
             rid = lazy.match_eof_id(state)
@@ -431,9 +439,17 @@ class Scanner:
         """Number of match-ending boundaries (including EOF)."""
         if self.dfa is None:
             # patterns past the eager-DFA budget fall back to the lazy
-            # machine (universality: no public API raises on size)
+            # machine (universality: no public API raises on size) —
+            # with the lazy-backed core tier as the device fast path
             lazy = self._lazy_dfa()
-            c, state = lazy.count(data, 0)
+            ct = (self._lazy_core_tables(data)
+                  if len(data) >= self.DEVICE_THRESHOLD else None)
+            if ct is not None:
+                from .ops.pallas_core import core_count_bytes
+                state, c = core_count_bytes(ct, data)
+                self._core_note(ct, "_lazy_coret")
+            else:
+                c, state = lazy.count(data, 0)
             if lazy.match_eof(state):
                 c += 1
             return c
@@ -463,6 +479,25 @@ class Scanner:
             from .dfa import LazyDfa
             self._lazy = LazyDfa(self.program)
         return self._lazy
+
+    def _lazy_core_tables(self, data):
+        """Adaptive hot-core tier over the LAZY machine: patterns
+        past the eager DFA budget (no dense machine exists) still get
+        a device path when the sampled hot set is small.  Same
+        protocol/caching as _core_tables; repairs run on the lazy
+        Python walk, so the drift logic (_core_note) matters more
+        here."""
+        if getattr(self, "_lazy_coret", None) is None:
+            self._lazy_coret = False
+            import os
+            if self.use_device and os.environ.get("SREGEX_CORE") != "0":
+                try:
+                    from .ops.pallas_core import LazyCoreTables
+                    self._lazy_coret = LazyCoreTables(
+                        self._lazy_dfa(), self._core_sample(data))
+                except ValueError:
+                    self._lazy_coret = False
+        return self._lazy_coret or None
 
     def _tdfa_walker(self):
         """Native TDFA walker (native_tdfa.NativeTdfa) or None; built

@@ -279,6 +279,43 @@ def test_core_engages_over_static_wide_tier():
     assert sc2._coret is False
 
 
+def test_lazy_core_serves_dfa_too_large_patterns():
+    """Patterns past the eager DFA budget (no dense machine exists)
+    must still get a device path: the lazy-backed adaptive core tier
+    (LazyCoreTables) runs the fast kernels over the sampled hot set
+    and repairs escapes on the lazy Python walk — byte-exact against
+    the pure-lazy oracle, including the regex id."""
+    from sregex_tpu.stream import compile_pattern
+    from sregex_tpu.dfa import LazyDfa
+    from sregex_tpu.ops.pallas_core import LazyCoreTables
+    pat = b"foo[a-z]{20,40}z"
+    sc = compile_pattern(pat, use_device=True)
+    assert sc.dfa is None          # past the eager budget
+    sc.DEVICE_THRESHOLD = 1 << 12
+    rng = random.Random(47)
+    # benign corpus: no 'o', so the ramp is never entered
+    data = bytes(rng.choice(b"fghij x") for _ in range(40000))
+    planted = b"foo" + b"ghijabcdeghijabcdeghijabcde"[:25] + b"z"
+    data = data[:9000] + planted + data[9000:30000] + planted \
+        + data[30000:]
+    oracle = LazyDfa(sc.program)
+    exp_cnt, exp_st = oracle.count(data, 0)
+    assert exp_cnt >= 2
+    got = sc.count(data)
+    assert got == exp_cnt + int(oracle.match_eof(exp_st))
+    assert isinstance(sc._lazy_coret, LazyCoreTables)
+    exp_first, exp_state = oracle.scan_first(data, 0)
+    rid, end = sc.scan(data)
+    assert end == exp_first
+    assert rid == oracle.id_at(exp_state, data[exp_first])
+    assert sc.match(data)
+    # adversarial: distribution the sample never saw (escape repair
+    # on the lazy machine), still exact
+    adv = bytes(rng.choice(b"fo") for _ in range(20000))
+    exp_cnt2, exp_st2 = oracle.count(adv, 0)
+    assert sc.count(adv) == exp_cnt2 + int(oracle.match_eof(exp_st2))
+
+
 def test_scanner_recore_on_corpus_drift():
     """A core built from one corpus degrades to repair-heavy scans on
     differently-distributed data; after two consecutive drifted scans
