@@ -398,7 +398,7 @@ class Scanner:
     def match(self, data, prepared=None):
         if self.dfa is None:
             # lazy machine (+ lazy core device path) via scan()
-            return self.scan(data) is not None
+            return self.scan(data, prepared) is not None
         first, state = self._scan_first(data, prepared)
         if first >= 0:
             return True
@@ -421,7 +421,9 @@ class Scanner:
                   if len(data) >= self.DEVICE_THRESHOLD else None)
             if ct is not None:
                 from .ops.pallas_core import core_scan_bytes
-                state, first = core_scan_bytes(ct, data)
+                state, first = core_scan_bytes(
+                    ct, data, prepared=prepared.for_tables(ct.inner)
+                    if prepared else None)
                 self._core_note(ct, "_lazy_coret")
             else:
                 first, state = lazy.scan_first(data, 0)
@@ -446,7 +448,9 @@ class Scanner:
                   if len(data) >= self.DEVICE_THRESHOLD else None)
             if ct is not None:
                 from .ops.pallas_core import core_count_bytes
-                state, c = core_count_bytes(ct, data)
+                state, c = core_count_bytes(
+                    ct, data, prepared=prepared.for_tables(ct.inner)
+                    if prepared else None)
                 self._core_note(ct, "_lazy_coret")
             else:
                 c, state = lazy.count(data, 0)
@@ -636,6 +640,13 @@ class Scanner:
                     if rc >= 0:
                         return rc, [int(v) for v in ctx.ovector]
                     return None
+        elif n >= self.DEVICE_THRESHOLD:
+            # past-the-eager-budget pattern: the lazy machine (with
+            # its device core tier) is the prefilter — no match end
+            # anywhere means no match at all, without thread-
+            # simulating the corpus
+            if self.scan(data) is None:
+                return None
         ctx = self._pike_ctx()
         rc, _ = ctx.exec(data, True)
         if rc < 0:

@@ -200,3 +200,14 @@ def test_prepared_corpus_reuse():
     h2 = sc2.prepare(d2)
     assert sc2.count(d2, prepared=h2) == sc2.count(d2)
     assert sc2.scan(d2, prepared=h2) == sc2.scan(d2)
+
+    # lazy-core pattern (past the eager DFA budget)
+    sc3 = compile_pattern(b"foo[a-z]{20,40}z", use_device=True)
+    assert sc3.dfa is None
+    sc3.DEVICE_THRESHOLD = 1 << 12
+    d3 = bytes(rng.choice(b"fghij x") for _ in range(30000))
+    d3 = d3[:9000] + b"foo" + b"ghij" * 6 + b"z" + d3[9000:]
+    h3 = sc3.prepare(d3)
+    assert sc3.count(d3, prepared=h3) == sc3.count(d3)
+    assert sc3.scan(d3, prepared=h3) == sc3.scan(d3)
+    assert sc3.match(d3, prepared=h3)
