@@ -48,6 +48,10 @@ def _build_spec_tables(dfa):
             return cls(dfa)
         except ValueError:
             continue
+        except Exception:
+            # device backend unavailable/broken at runtime: degrade
+            # to the host engines rather than failing the scan API
+            return None
     return None
 
 
@@ -237,11 +241,13 @@ class Scanner:
             self._native = NativeDfa(self.dfa)
             if use_device:
                 self._spec = _build_spec_tables(self.dfa)
-                from .dfa import DfaTooLarge as _TooLarge
                 try:
                     from .ops.tdfa_scan import TdfaSpecTables
                     self._tdfa_spec = TdfaSpecTables(prog)
-                except _TooLarge:
+                except Exception:
+                    # too large for the tagged kernel, or the device
+                    # backend is unavailable: the multi-pass paths
+                    # (and ultimately the host engines) cover it
                     self._tdfa_spec = None
         # adaptive hot-core tier (ops/pallas_core.py): built lazily
         # from a corpus sample when the static chain bottomed out at
