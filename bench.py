@@ -124,6 +124,14 @@ def main():
     up_dt = time.perf_counter() - t0
     log("raw upload: %.2fs = %.2f GB/s (relay host->HBM)"
         % (up_dt, n / up_dt / 1e9))
+    # steady-state cold path: shards arrive raw in HBM, prep + scan
+    # run on chip.  One untimed pass first — the device-array input
+    # traces a different prep program than the host-bytes path, and
+    # a compile inside the timed region would misreport the rate.
+    cold_prep = prepare_on_device(tables, raw_dev, K)
+    _, got_cold = spec_scan_bytes(tables, corpus, chunk_len=K,
+                                  prepared=cold_prep)
+    del cold_prep
     t0 = time.perf_counter()
     cold_prep = prepare_on_device(tables, raw_dev, K)
     _, got_cold = spec_scan_bytes(tables, corpus, chunk_len=K,
