@@ -541,6 +541,23 @@ class LazyDfa:
             s = nxt
         return cnt, s
 
+    def scan_last(self, data, state=0):
+        """(LAST match-ending boundary in 0..n-1 or -1, state after);
+        the reverse-scan primitive, lazy flavor."""
+        cmap = self.class_map
+        step = self._step
+        s = state
+        if not isinstance(data, (bytes, bytearray)):
+            data = bytes(data)
+        arr = cmap[np.frombuffer(data, dtype=np.uint8)]
+        last = -1
+        for i, c in enumerate(arr):
+            nxt, m = step(s, int(c))
+            if m >= 0:
+                last = i
+            s = nxt
+        return last, s
+
     def visits(self, data, state=0):
         """Per-state visit counts over one walk: ({sid: count}, state
         after).  The lazy analogue of NativeDfa.visits — feeds the

@@ -177,7 +177,7 @@ class _LazyNative:
         return self.lazy.count(data, entry)
 
     def scan_last(self, data, entry):
-        raise NotImplementedError("lazy core serves forward scans")
+        return self.lazy.scan_last(data, entry)
 
 
 class LazyCoreTables:

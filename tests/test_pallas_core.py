@@ -314,6 +314,12 @@ def test_lazy_core_serves_dfa_too_large_patterns():
     adv = bytes(rng.choice(b"fo") for _ in range(20000))
     exp_cnt2, exp_st2 = oracle.count(adv, 0)
     assert sc.count(adv) == exp_cnt2 + int(oracle.match_eof(exp_st2))
+    # lazy scan_last (reverse-scan primitive, lazy flavor)
+    from sregex_tpu.ops.pallas_core import core_scan_last_bytes
+    ct = sc._lazy_coret
+    st, last = core_scan_last_bytes(ct, data, chunk_len=256)
+    exp_last, exp_lst = oracle.scan_last(data, 0)
+    assert (last, st) == (exp_last, exp_lst)
 
 
 def test_scanner_recore_on_corpus_drift():
