@@ -236,13 +236,25 @@ def _tdfa_kernel(data_ref, state0_ref, j0_ref,
 
     carries = [stream_init(g) for g in range(G)]
 
-    # warmup: j in [0, W) with per-stream freeze below j0
+    # warmup: j in [0, W) with per-stream freeze below j0.  The
+    # speculative warmup advances the STATE only: a register value
+    # rebuilt here would reflect the fresh-from-seed trajectory, not
+    # the true machine's — the validation chain proves the states
+    # CONVERGE by the window end, not that the registers agree (the
+    # whole point of TDFA registers is distinguishing configurations
+    # the state id merges).  Keeping regs/bank BAD-tainted through
+    # the warmup makes certification sound: a commit in the covered
+    # region is exact iff every source was rebuilt at j >= W, where
+    # the trajectory provably equals the true one; anything tracing
+    # to the entry or the warmup stays BAD and forces the fallback.
+    # (The true-entry stream is frozen below j0 = W and unaffected.)
     def warm_step(j, carry):
         out = []
         for g in range(G):
             state, regs, bank = carry[g]
             live = j >= j0_ref[0, g]
-            out.append(one_byte(j, g, state, regs, bank, live))
+            ns, _, _ = one_byte(j, g, state, regs, bank, live)
+            out.append((ns, regs, bank))
         return tuple(out)
 
     carries = lax.fori_loop(0, W, warm_step, tuple(carries))

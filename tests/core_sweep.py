@@ -97,12 +97,17 @@ def main():
         try:
             got_total = sc.count(data)
             got_scan = sc.scan(data)
+            host = Scanner(prog, ast=ast)
+            got_find = sc.find(data)
+            exp_find = host.find(data)
         except Exception as e:
             fails.append((pat, "exception", repr(e)))
             continue
-        if got_total != exp_total or got_scan != exp_scan:
+        if got_total != exp_total or got_scan != exp_scan \
+                or got_find != exp_find:
             fails.append((pat, (got_total, exp_total),
-                          (got_scan, exp_scan)))
+                          (got_scan, exp_scan),
+                          (got_find, exp_find)))
         ran += 1
         if ran % 25 == 0:
             print("...%d patterns, %d fails" % (ran, len(fails)),

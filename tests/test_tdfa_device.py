@@ -111,3 +111,31 @@ def test_tdfa_device_tiny_and_empty_inputs():
         want = _oracle(sc.program, data)
         if got != "fallback":
             assert got == want, data
+
+
+def test_device_find_no_false_certification_on_spanning_match():
+    """Regression: the speculative warmup must NOT rebuild registers
+    along the fresh-from-seed trajectory — the chain validation
+    proves state CONVERGENCE, not register equality, so a warmup-
+    rebuilt (lower-priority) match start could be certified over the
+    true pre-window one.  .[X](.+)+[X] over 12 KB with the winner
+    spanning nearly the whole corpus returned start 8162 instead of
+    Pike's leftmost 1 (caught by tests/core_sweep.py on the real
+    conformance suite patterns)."""
+    from sregex_tpu.parser import parse
+    from sregex_tpu.compiler import compile_regex
+    from sregex_tpu.stream import Scanner
+    import random
+    ast, _ = parse(b".[X](.+)+[X]")
+    prog = compile_regex(ast)
+    rng = random.Random(1)
+    data = bytes(rng.choice(b"X  xx\n") for _ in range(12000))
+    host = Scanner(prog, ast=ast)
+    dev = Scanner(prog, use_device=True, ast=ast)
+    dev.DEVICE_THRESHOLD = 1 << 10
+    assert dev.find(data) == host.find(data)
+    # and the device TDFA path itself either falls back or agrees
+    from sregex_tpu.ops.tdfa_scan import tdfa_spec_find
+    r = tdfa_spec_find(dev._tdfa_spec, data)
+    exp = host.find(data)
+    assert r == "fallback" or (r[0], r[1][:4]) == (exp[0], exp[1][:4])
