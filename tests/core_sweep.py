@@ -33,9 +33,7 @@ def pattern_alphabet(pat):
     return lits + b"  xx\n"
 
 
-def main():
-    limit = int(sys.argv[1]) if len(sys.argv) > 1 else 150
-    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 7
+def run(limit=150, seed=7, verbose=True):
     from tblocks import iter_suite, resolve_section, PerlOracle
     from sregex_tpu.parser import parse
     from sregex_tpu.compiler import compile_regex
@@ -109,13 +107,20 @@ def main():
                           (got_scan, exp_scan),
                           (got_find, exp_find)))
         ran += 1
-        if ran % 25 == 0:
+        if verbose and ran % 25 == 0:
             print("...%d patterns, %d fails" % (ran, len(fails)),
                   flush=True)
     print("core_sweep: %d patterns checked, %d skipped, %d FAILURES"
           % (ran, skipped, len(fails)))
     for f in fails[:10]:
         print("  FAIL:", f)
+    return ran, fails
+
+
+def main():
+    limit = int(sys.argv[1]) if len(sys.argv) > 1 else 150
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 7
+    _, fails = run(limit, seed)
     return 1 if fails else 0
 
 

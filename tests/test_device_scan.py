@@ -122,3 +122,15 @@ def test_multi_pattern_scan_ids():
         assert first == end_h
         exp = dfa.id_at(_state_at(dfa, data, first), data[first])
         assert rid == exp, (data, first, rid, exp)
+
+
+def test_core_sweep_smoke():
+    """Bounded run of the conformance-pattern device-tier sweep
+    (tests/core_sweep.py): real suite patterns through the production
+    tier dispatch, count/scan/find vs the host oracles.  The full
+    sweep (450 patterns) runs standalone; this smoke keeps the
+    dispatch stack pinned in CI."""
+    from core_sweep import run
+    ran, fails = run(limit=12, seed=3, verbose=False)
+    assert not fails, fails[:3]
+    assert ran >= 10
