@@ -33,9 +33,12 @@ def pattern_alphabet(pat):
     return lits + b"  xx\n"
 
 
-def run(limit=150, seed=7, verbose=True):
+def run(limit=150, seed=7, verbose=True, multi_every=5):
+    """Every ``multi_every``-th case additionally fuses the NEXT 2-3
+    suite patterns into one multi-regex program and checks the
+    device scan's (regex_id, end) + count against the oracle."""
     from tblocks import iter_suite, resolve_section, PerlOracle
-    from sregex_tpu.parser import parse
+    from sregex_tpu.parser import parse, parse_multi
     from sregex_tpu.compiler import compile_regex
     from sregex_tpu.stream import Scanner
     from sregex_tpu.native import NativeDfa
@@ -59,11 +62,16 @@ def run(limit=150, seed=7, verbose=True):
 
     ran = skipped = 0
     fails = []
-    for pat in pats:
+    for pi, pat in enumerate(pats):
         if ran >= limit:
             break
         try:
-            ast, _ = parse(pat)
+            if multi_every and pi % multi_every == 0:
+                group = [pat] + [p for p in pats[pi + 1:pi + 3]]
+                ast, _ = parse_multi(group)
+                pat = b" | ".join(group)
+            else:
+                ast, _ = parse(pat)
             prog = compile_regex(ast)
         except Exception:
             skipped += 1
