@@ -543,6 +543,41 @@ class Scanner:
                     self._rev = None
         return self._rev
 
+    def _rev_lazy_dfa(self):
+        """Lazy reverse machine for patterns whose reverse subset
+        construction exceeds the eager budget (the dense _rev_dfa is
+        None).  Serves the finditer start locator via the lazy core
+        tier."""
+        if getattr(self, "_rev_lz", None) is None:
+            self._rev_lz = False
+            if self.ast is not None:
+                try:
+                    from .reverse import reverse_wrapped_ast
+                    from .compiler import compile_regex
+                    from .dfa import LazyDfa
+                    self._rev_lz = LazyDfa(
+                        compile_regex(reverse_wrapped_ast(self.ast)))
+                except Exception:
+                    self._rev_lz = False
+        return self._rev_lz or None
+
+    def _rev_lazy_core(self, data):
+        """LazyCoreTables over the lazy REVERSE machine (sampled from
+        the reversed corpus); cached per Scanner, False = declined."""
+        if getattr(self, "_rev_lz_coret", None) is None:
+            self._rev_lz_coret = False
+            import os
+            rl = self._rev_lazy_dfa()
+            if rl is not None and self.use_device \
+                    and os.environ.get("SREGEX_CORE") != "0":
+                try:
+                    from .ops.pallas_core import LazyCoreTables
+                    self._rev_lz_coret = LazyCoreTables(
+                        rl, self._core_sample(data)[::-1])
+                except ValueError:
+                    self._rev_lz_coret = False
+        return self._rev_lz_coret or None
+
     def _tdfa_find(self, data):
         """Device tagged-DFA find: one kernel pass yields the span,
         regex id, and tracked capture slots (ops/tdfa_scan.py).
@@ -668,13 +703,20 @@ class Scanner:
         resident shard).  Returns None when no device reverse tables
         exist for this pattern."""
         rev = self._rev_dfa()
-        if rev is None:
+        if rev is not None:
+            tables = self._rev_core_tables(data) or \
+                getattr(self, "_rev_spec", None)
+            if tables is None:
+                return None
+            return _StartLocator(rev, tables, data)
+        # reverse machine past the eager budget: lazy reverse + lazy
+        # core tier (monster patterns keep device-rate finditer)
+        if not self.use_device:
             return None
-        tables = self._rev_core_tables(data) or \
-            getattr(self, "_rev_spec", None)
-        if tables is None:
+        ct = self._rev_lazy_core(data)
+        if ct is None:
             return None
-        return _StartLocator(rev, tables, data)
+        return _StartLocator(self._rev_lazy_dfa(), ct, data)
 
     def finditer(self, data, index=None):
         """Iterate successive matches (the substitution-loop protocol:
@@ -729,6 +771,11 @@ class Scanner:
             if ov[1] >= len(data) and ov[0] == ov[1]:
                 return
             pos = ov[1]
+
+    def findall(self, data, index=None):
+        """All matches as a list of (regex_id, ovector) — finditer,
+        collected (re.findall analogue with full ovectors)."""
+        return list(self.finditer(data, index=index))
 
     def sub(self, repl, data, count=0, index=None):
         """Replace matches (the reference's production mode: the
@@ -975,14 +1022,17 @@ class _StartLocator:
         self.n = len(data)
         self.rdata = data[::-1]
         self.rev = rev_native
-        if isinstance(rev_tables, CoreTables):
+        from .ops.pallas_core import LazyCoreTables
+        if isinstance(rev_tables, (CoreTables, LazyCoreTables)):
             self.entries, self.counts, final = core_chunk_map(
                 rev_tables, self.rdata, self.CHUNK)
         else:
             from .ops.pallas_scan import spec_chunk_map
             self.entries, self.counts, final = spec_chunk_map(
                 rev_tables, self.rdata, self.CHUNK)
-        self.start0 = bool(rev_native.match_eof[final])
+        me = rev_native.match_eof
+        self.start0 = bool(me(final)) if callable(me) else \
+            bool(me[final])
         self.C = len(self.counts)
 
     def next_start(self, pos):
