@@ -65,3 +65,36 @@ def test_device_finditer_sparse_teleports():
 def test_fuzz_finditer_smoke():
     from fuzz_finditer import run
     assert run(25, seed=1234) >= 15
+
+
+def test_monster_pattern_finditer_lazy_reverse_locator():
+    """Patterns whose FORWARD and REVERSE subset constructions both
+    exceed the eager budget (and whose tagged automaton exceeds the
+    walker budget) still get device-rate finditer: the start locator
+    runs the lazy-reverse machine through the lazy core tier, and the
+    teleports stay byte-exact with the Pike re-arm loop."""
+    import os
+    from sregex_tpu.stream import compile_pattern
+    from sregex_tpu.ops.pallas_core import LazyCoreTables
+    pat = rb"bar[a-z]{30,70}rab"
+    dev = compile_pattern(pat, use_device=True)
+    assert dev.dfa is None and dev._rev_dfa() is None \
+        and dev._tdfa_walker() is None
+    dev.DEVICE_THRESHOLD = 1 << 12
+    os.environ["SREGEX_FINDITER"] = "pike"
+    try:
+        host = compile_pattern(pat)
+    finally:
+        os.environ.pop("SREGEX_FINDITER")
+    rng = random.Random(3)
+    data = bytearray(rng.choice(b"barxyz ") for _ in range(50000))
+    m = b"bar" + b"qwertyuiopasdfghjklzxcvbnmqwertyuiopasdf"[:40] + b"rab"
+    data[17000:17000 + len(m)] = m
+    data[38000:38000 + len(m)] = m
+    data = bytes(data)
+    exp = list(host.finditer(data))
+    assert len(exp) == 2
+    assert list(dev.finditer(data)) == exp
+    assert isinstance(dev._rev_lz_coret, LazyCoreTables)
+    calm = data.replace(b"rab", b"rax")
+    assert list(dev.finditer(calm)) == list(host.finditer(calm))
