@@ -688,6 +688,31 @@ class Scanner:
             # simulating the corpus
             if self.scan(data) is None:
                 return None
+            # locate the winner's start with the LAZY reverse machine
+            # (same argument as the dense path: the leftmost-first
+            # winner starts at the minimal completed-match start)
+            rct = (self._rev_lazy_core(data)
+                   if self.use_device else None)
+            if rct is not None:
+                from .ops.pallas_core import core_scan_last_bytes
+                rstate, q = core_scan_last_bytes(rct, data[::-1])
+                rl = self._rev_lazy_dfa()
+                if rl.match_eof(rstate):
+                    s_star = 0
+                elif q >= 0:
+                    s_star = n - q
+                else:
+                    s_star = None
+                if s_star is not None:
+                    ctx = self._pike_ctx()
+                    if s_star > 0:
+                        prev = data[s_star - 1]
+                        ctx.set_carry(s_star, prev == 10,
+                                      sre_isword(prev))
+                    rc, _ = ctx.exec(data[s_star:], True)
+                    if rc >= 0:
+                        return rc, [int(v) for v in ctx.ovector]
+                    return None
         ctx = self._pike_ctx()
         rc, _ = ctx.exec(data, True)
         if rc < 0:

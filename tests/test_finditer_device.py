@@ -96,5 +96,8 @@ def test_monster_pattern_finditer_lazy_reverse_locator():
     assert len(exp) == 2
     assert list(dev.finditer(data)) == exp
     assert isinstance(dev._rev_lz_coret, LazyCoreTables)
+    # find() rides the same lazy-reverse start locator
+    assert dev.find(data) == host.find(data)
     calm = data.replace(b"rab", b"rax")
     assert list(dev.finditer(calm)) == list(host.finditer(calm))
+    assert dev.find(calm) is None and host.find(calm) is None
