@@ -101,6 +101,47 @@ def main():
     assert (end, st) == (exp_f2, exp_st2) and rid == -1, \
         (pid, end, exp_f2, st, exp_st2, rid)
     print("pid %d scan no-match OK" % pid, flush=True)
+
+    # fuzz mode: N random (pattern, corpus, size) cases, identical on
+    # both processes (seeded), count + scan vs the full-corpus native
+    # oracle — exercises arbitrary slice boundaries, ragged tails,
+    # repair handoffs, and multi-regex ids
+    fuzz_n = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    pats = [b"ab", b"a+b", rb"\bword\b", b"^line", b"(?:cat|dog|bird)",
+            b"a[^b]{0,20}b", b"x*y"]
+    frng = random.Random(seed * 31 + 7)
+    for i in range(fuzz_n):
+        if frng.random() < 0.3:
+            k = frng.randint(2, 3)
+            ps = frng.sample(pats, k)
+            ast, _ = parse_multi(ps)
+        else:
+            ast, _ = parse(frng.choice(pats))
+        dfa = build_dfa(compile_regex(ast))
+        try:
+            tables = SpecTables(dfa)
+        except ValueError:
+            continue
+        alpha = b"abxy catdogbird word line\n"
+        # 8 blocks total: 4 per process (2*bpp must divide over the
+        # 8-device mesh); half the cases shave a ragged tail
+        n = 8 * bb - (frng.randrange(bb // 2) if
+                      frng.random() < 0.5 else 0)
+        full = bytes(frng.choice(alpha) for _ in range(n))
+        sl = host_slices(n, 2, K, mesh.devices.size)
+        lo, hi = sl[pid]
+        nat = NativeDfa(dfa)
+        st, cnt = count_multihost(tables, full[lo:hi], mesh, K,
+                                  full_len=n)
+        exp_cnt, exp_st = nat.count(full, 0)
+        assert (cnt, st) == (exp_cnt, exp_st), (i, cnt, exp_cnt)
+        st, end, rid = scan_multihost(tables, full[lo:hi], mesh, K,
+                                      full_len=n)
+        exp_f, exp_rid, exp_s = nat.scan_first_id(full, 0)
+        assert (end, st) == (exp_f, exp_s) and \
+            (end < 0 or rid == exp_rid), (i, end, exp_f, rid, exp_rid)
+    if fuzz_n:
+        print("pid %d fuzz: %d cases OK" % (pid, fuzz_n), flush=True)
     print("MULTIHOST_OK", flush=True)
 
 
