@@ -219,9 +219,14 @@ class Scanner:
     reuse the device-resident packed corpus across calls.
     """
 
-    def __init__(self, prog, use_device=False, ast=None, dfa=None):
+    def __init__(self, prog, use_device=False, ast=None, dfa=None,
+                 mesh=None):
         self.program = prog
         self.ast = ast
+        # device mesh for multi-chip scans (jax.sharding.Mesh);
+        # the kernels shard the chunk-block dim across it and the
+        # host folds are mesh-agnostic (ops/pallas_scan.py)
+        self.mesh = mesh
         if dfa is not None:
             # prebuilt tables (serialize.load_compiled): skip subset
             # construction entirely
@@ -389,7 +394,7 @@ class Scanner:
                 from .ops.pallas_core import core_scan_bytes
                 state, first = core_scan_bytes(
                     ct, data, prepared=prepared.for_tables(ct.inner)
-                    if prepared else None)
+                    if prepared else None, mesh=self.mesh)
                 self._core_note(ct)
                 return first, state
         if self._spec is not None and len(data) >= self.DEVICE_THRESHOLD:
@@ -397,7 +402,7 @@ class Scanner:
             state, first = spec_scan_bytes(
                 self._spec, data,
                 prepared=prepared.for_tables(self._spec)
-                if prepared else None)
+                if prepared else None, mesh=self.mesh)
             return first, state
         return self._native.scan_first(data, 0)
 
@@ -469,7 +474,7 @@ class Scanner:
             from .ops.pallas_core import core_count_bytes
             state, c = core_count_bytes(
                 ct, data, prepared=prepared.for_tables(ct.inner)
-                if prepared else None)
+                if prepared else None, mesh=self.mesh)
             self._core_note(ct)
         elif self._spec is not None \
                 and len(data) >= self.DEVICE_THRESHOLD:
@@ -477,7 +482,7 @@ class Scanner:
             state, c = spec_count_bytes(
                 self._spec, data,
                 prepared=prepared.for_tables(self._spec)
-                if prepared else None)
+                if prepared else None, mesh=self.mesh)
         else:
             c, state = self._native.count(data, 0)
         if self.dfa.match_eof[state]:
@@ -1084,10 +1089,11 @@ class _StartLocator:
         return None
 
 
-def compile_pattern(pattern, flags=0, use_device=False):
+def compile_pattern(pattern, flags=0, use_device=False, mesh=None):
     """One-call convenience: pattern (str/bytes) or list of patterns ->
     Scanner.  use_device=True enables the TPU kernel tiers for large
-    corpora (the host engines still serve small inputs)."""
+    corpora (the host engines still serve small inputs); mesh= shards
+    the device scans across a jax.sharding.Mesh."""
     from .parser import parse, parse_multi
     from .compiler import compile_regex
     if isinstance(pattern, (list, tuple)):
@@ -1096,4 +1102,5 @@ def compile_pattern(pattern, flags=0, use_device=False):
                              if isinstance(flags, int) else flags)
     else:
         ast, _ = parse(pattern, flags)
-    return Scanner(compile_regex(ast), ast=ast, use_device=use_device)
+    return Scanner(compile_regex(ast), ast=ast,
+                   use_device=use_device, mesh=mesh)

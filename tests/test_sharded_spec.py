@@ -128,3 +128,30 @@ def test_sharded_core_tier_matches_native(mesh):
     exp_cnt, exp_st = native.count(data, 0)
     st, cnt = core_count_bytes(ct, data, chunk_len=256, mesh=mesh)
     assert (cnt, st) == (exp_cnt, exp_st)
+
+
+def test_scanner_mesh_kwarg(mesh):
+    """Scanner(mesh=...) shards its device scans across the mesh; the
+    results stay byte-exact with the single-chip path."""
+    from sregex_tpu.stream import compile_pattern
+    import random as _r
+    rng = _r.Random(5)
+    sc = compile_pattern("(?:a|b)aa(?:aa|bb)cc(?:a|b)",
+                         use_device=True, mesh=mesh)
+    sc.DEVICE_THRESHOLD = 1 << 12
+    data = bytes(rng.choice(b"abccc x") for _ in range(30000))
+    data = data[:20000] + b"xaaabbccb" + data[20000:]
+    nat = NativeDfa(sc.dfa)
+    exp_c, exp_st = nat.count(data, 0)
+    assert sc.count(data) == exp_c + int(sc.dfa.match_eof[exp_st])
+    exp_f, exp_s = nat.scan_first(data, 0)
+    rid, end = sc.scan(data)
+    assert end == exp_f and rid == sc.dfa.id_at(exp_s, data[exp_f])
+    # core-tier pattern over the mesh
+    sc2 = compile_pattern("a{60,120}b", use_device=True, mesh=mesh)
+    sc2.DEVICE_THRESHOLD = 1 << 12
+    d2 = bytes(rng.choice(b"ab xx") for _ in range(20000))
+    d2 = d2[:9000] + b"c" + b"a" * 90 + b"b" + d2[9000:]
+    nat2 = NativeDfa(sc2.dfa)
+    exp_c, exp_st = nat2.count(d2, 0)
+    assert sc2.count(d2) == exp_c + int(sc2.dfa.match_eof[exp_st])
