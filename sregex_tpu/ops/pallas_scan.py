@@ -112,13 +112,22 @@ class SpecTablesWide:
     dynamically bounded row loop (measured: the 2,136-entry pattern
     runs 0.36 GB/s on the big tier)."""
 
+    # Default cap keeps the statically-unrolled chain tractable for
+    # the interpret-mode CPU tests.  On real hardware the chain keeps
+    # beating the big tier far beyond it (R=87 measured 2.86 vs
+    # 0.15 GB/s at 128 MB, ~20 s one-time compile) — production runs
+    # can raise it via SREGEX_WIDE_MAX (e.g. 16384) to displace the
+    # big tier for mid-size automata whose corpora the adaptive core
+    # can't cover.
     MAX_ENTRIES = 4096
 
     def __init__(self, dfa):
         S, ncls = dfa.nstates, dfa.nclasses
+        limit = int(os.environ.get("SREGEX_WIDE_MAX",
+                                   self.MAX_ENTRIES))
         if ncls > 16:
             raise ValueError("more than 16 byte classes (%d)" % ncls)
-        if S * ncls > self.MAX_ENTRIES:
+        if S * ncls > limit:
             raise ValueError("automaton too large for the wide fused "
                              "table (S*ncls = %d)" % (S * ncls))
         self.dfa = dfa
