@@ -30,7 +30,7 @@ from .thompson_vm import ThompsonCtx, thompson_create_ctx
 from .ast_nodes import dump_str as dump_ast
 from .bytecode import dump_program
 from .stream import compile_pattern, Scanner, StreamScanner, \
-    StreamEditor
+    StreamEditor, PreparedCorpus
 from .serialize import save_compiled, load_compiled
 
 __version__ = "0.1.0"
@@ -41,6 +41,6 @@ __all__ = [
     "parse", "parse_multi", "ParseError", "compile_regex",
     "PikeCtx", "pike_create_ctx", "ThompsonCtx", "thompson_create_ctx",
     "dump_ast", "dump_program",
-    "compile_pattern", "Scanner", "StreamScanner", "StreamEditor",
+    "compile_pattern", "Scanner", "StreamScanner", "StreamEditor", "PreparedCorpus",
     "save_compiled", "load_compiled",
 ]
