@@ -73,3 +73,29 @@ def test_roundtrip_past_eager_budget():
     data = b"word ab c1 otherword"
     assert lo.scan(data) == sc.scan(data)
     assert lo.count(data) == sc.count(data)
+
+
+def test_loaded_scanner_serves_device_tiers():
+    """A Scanner reloaded from save_compiled (no AST, prebuilt DFA)
+    must serve the device kernel tiers exactly like a fresh one."""
+    import os
+    import random
+    import tempfile
+    from sregex_tpu.stream import compile_pattern
+    from sregex_tpu.serialize import save_compiled, load_compiled
+    sc = compile_pattern(b"(?:a|b)aa(?:aa|bb)cc(?:a|b)")
+    fd, path = tempfile.mkstemp(suffix=".npz")
+    os.close(fd)
+    try:
+        save_compiled(path, sc)
+        dev = load_compiled(path, use_device=True)
+        dev.DEVICE_THRESHOLD = 1 << 12
+        rng = random.Random(9)
+        data = bytes(rng.choice(b"abccc x") for _ in range(30000))
+        data = data[:20000] + b"xaaabbccb" + data[20000:]
+        assert dev.count(data) == sc.count(data)
+        assert dev.scan(data) == sc.scan(data)
+        assert dev.find(data) == sc.find(data)
+        assert dev._spec is not None   # a kernel tier engaged
+    finally:
+        os.unlink(path)
