@@ -78,6 +78,8 @@ class SpecTablesBig:
         # 4-bit class packing when classes fit a nibble, else 8-bit
         self.bits = 4 if ncls <= 16 else 8
         self.cpw = 8 if self.bits == 4 else 4
+        if self.bits == 8:
+            self.max_chunk = 1920    # 8-bit words overflow VMEM at 2048
         # warmup: 32 bytes regardless of packing (big automata do not
         # converge faster than small ones)
         self.warmup = 32

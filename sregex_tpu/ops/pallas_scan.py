@@ -69,20 +69,26 @@ class SpecTables:
         if S * ncls > 128:
             raise ValueError("automaton too large for the 128-lane "
                              "fused table (S*ncls = %d)" % (S * ncls))
-        if ncls > 16:
-            raise ValueError("more than 16 byte classes (%d): sub-byte "
-                             "class packing unavailable" % ncls)
         self.dfa = dfa
         self.nstates = S
         self.ncls = ncls
         # packing density: 4-bit classes (8 per word) by default;
         # 3-bit (10 per word, ~25% less HBM traffic) is opt-in via
         # SREGEX_PACK_BITS=3 — its larger unrolled kernel body has
-        # pathological compile times on the remote-compile relay
+        # pathological compile times on the remote-compile relay.
+        # Wide alphabets (16 < ncls <= 128, e.g. many-literal
+        # multi-regex hot cores) pack 8-bit like the big tier: half
+        # the per-word density, but the scan stays one gather per
+        # byte instead of the big tier's bounded row loop.
         import os
         want = int(os.environ.get("SREGEX_PACK_BITS", "4"))
-        self.bits = 3 if (want == 3 and ncls <= 8) else 4
-        self.cpw = 10 if self.bits == 3 else 8
+        if ncls > 16:
+            self.bits = 8
+            self.cpw = 4
+            self.max_chunk = 1920    # 8-bit words overflow VMEM at 2048
+        else:
+            self.bits = 3 if (want == 3 and ncls <= 8) else 4
+            self.cpw = 10 if self.bits == 3 else 8
         self.warmup = 4 * self.cpw
         fused = np.zeros(128, dtype=np.int32)
         for s in range(S):
@@ -125,16 +131,21 @@ class SpecTablesWide:
         S, ncls = dfa.nstates, dfa.nclasses
         limit = int(os.environ.get("SREGEX_WIDE_MAX",
                                    self.MAX_ENTRIES))
-        if ncls > 16:
-            raise ValueError("more than 16 byte classes (%d)" % ncls)
+        if ncls > 256:
+            raise ValueError("more than 256 byte classes (%d)" % ncls)
         if S * ncls > limit:
             raise ValueError("automaton too large for the wide fused "
                              "table (S*ncls = %d)" % (S * ncls))
         self.dfa = dfa
         self.nstates = S
         self.ncls = ncls
-        self.bits = 4
-        self.cpw = 8
+        # wide alphabets (many-literal multi-regex sets: ncls > 16)
+        # pack 8-bit like the big tier — the select chain stays, the
+        # per-word density halves
+        self.bits = 4 if ncls <= 16 else 8
+        self.cpw = 8 if self.bits == 4 else 4
+        if self.bits == 8:
+            self.max_chunk = 1920    # 8-bit words overflow VMEM at 2048
         self.warmup = 4 * self.cpw
         self.rows = -(-(S * ncls) // 128)
         fused = np.zeros(self.rows * 128, dtype=np.int32)
@@ -486,6 +497,26 @@ def _unpack(outs, C):
     return phi, fmcnt, swarm
 
 
+def effective_chunk(tables, chunk_len):
+    """The chunk length the prep actually uses: rounded down to the
+    packing quantum and clamped to the tables' VMEM budget
+    (max_chunk).  8-bit-packed byte tables halve the words-per-chunk
+    density, so K=2048 overflows the 16 MB scoped-VMEM limit — their
+    max_chunk is 1920 (Jw = 484 <= the double-buffered budget).
+    Exposed so chunk-indexed consumers (the finditer start locator)
+    agree with the prep about K."""
+    CPW = tables.cpw
+    bpu = getattr(tables, "bpu", 1)    # bytes per kernel unit
+    quantum = CPW * WORDS_PER_ITER * bpu
+    chunk_len = min(int(chunk_len),
+                    getattr(tables, "max_chunk", 1 << 15))
+    K = max(quantum, chunk_len // quantum * quantum)
+    if K >= 1 << 16:
+        # per-chunk match counts ride 16 bits in the packed planes
+        raise ValueError("chunk_len must be < 65536 (got %d)" % K)
+    return K
+
+
 def _prepare(tables, data_np, chunk_len, b_multiple=1):
     """Host prep: class-map, overlapping windows, 4-per-word packing,
     tiling into [B, J//4, G, 8, 128].  Vectorized.  b_multiple pads
@@ -495,11 +526,7 @@ def _prepare(tables, data_np, chunk_len, b_multiple=1):
     n = len(data_np)
     CPW = tables.cpw
     bpu = getattr(tables, "bpu", 1)    # bytes per kernel unit
-    quantum = CPW * WORDS_PER_ITER * bpu
-    K = max(quantum, int(chunk_len) // quantum * quantum)
-    if K >= 1 << 16:
-        # per-chunk match counts ride 16 bits in the packed planes
-        raise ValueError("chunk_len must be < 65536 (got %d)" % K)
+    K = effective_chunk(tables, chunk_len)
     W = tables.warmup
     G = GROUPS
     C = max(1, -(-n // K))

@@ -147,10 +147,8 @@ def prepare_on_device(tables, data_np, chunk_len, b_multiple=1):
     n = len(data_np)
     CPW = tables.cpw
     bpu = getattr(tables, "bpu", 1)
-    quantum = CPW * WORDS_PER_ITER * bpu
-    K = max(quantum, int(chunk_len) // quantum * quantum)
-    if K >= 1 << 16:
-        raise ValueError("chunk_len must be < 65536 (got %d)" % K)
+    from .pallas_scan import effective_chunk
+    K = effective_chunk(tables, chunk_len)
     W = tables.warmup
     G = GROUPS
     C = max(1, -(-n // K))

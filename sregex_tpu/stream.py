@@ -1049,15 +1049,20 @@ class _StartLocator:
 
     def __init__(self, rev_native, rev_tables, data):
         from .ops.pallas_core import CoreTables, core_chunk_map
+        from .ops.pallas_scan import effective_chunk
         self.n = len(data)
         self.rdata = data[::-1]
         self.rev = rev_native
         from .ops.pallas_core import LazyCoreTables
         if isinstance(rev_tables, (CoreTables, LazyCoreTables)):
+            # the prep may clamp K (8-bit packing VMEM budget); the
+            # locator's position math must agree with it
+            self.CHUNK = effective_chunk(rev_tables.inner, self.CHUNK)
             self.entries, self.counts, final = core_chunk_map(
                 rev_tables, self.rdata, self.CHUNK)
         else:
             from .ops.pallas_scan import spec_chunk_map
+            self.CHUNK = effective_chunk(rev_tables, self.CHUNK)
             self.entries, self.counts, final = spec_chunk_map(
                 rev_tables, self.rdata, self.CHUNK)
         me = rev_native.match_eof

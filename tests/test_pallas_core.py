@@ -161,20 +161,34 @@ def test_core_covers_saturating_counted_rep():
     assert (got_cnt, st) == (exp_cnt, exp_st)
 
 
-def test_core_declines_wide_alphabet_hot_set():
+def test_core_wide_alphabet_hot_set():
     """18 multi-regex literals with distinct leading bytes: the hot
-    start state distinguishes >16 byte classes, which no sub-byte-
-    packed kernel tier accepts — CoreTables must refuse (the pattern
-    then stays on its static tier)."""
+    rows distinguish >16 byte classes, past the 4-bit-packed fast
+    tiers — but the 8-bit-packed WIDE tier now takes them, both as a
+    static tier and as a core inner.  Exactness on planted matches as
+    usual; require_fast=True must still refuse (no narrow/pair fit
+    exists)."""
     from sregex_tpu.parser import parse_multi
     pats = [bytes([c]) + b"zz" for c in range(ord("a"), ord("a") + 18)]
     ast, _ = parse_multi(pats, [0] * len(pats))
     dfa = build_dfa(compile_regex(ast))
+    native = NativeDfa(dfa)
     rng = random.Random(11)
     sample = bytes(rng.choice(b"abcdefghijklmnopqrz ")
                    for _ in range(20000))
+    ct = CoreTables(dfa, sample)
+    assert ct.inner.bits == 8       # 8-bit-packed wide inner
+    data = sample[:9000] + b"fzz" + sample[9000:15000] + b"qzz" \
+        + sample[15000:]
+    exp_c, exp_st = native.count(data, 0)
+    st, got_c = core_count_bytes(ct, data, chunk_len=256)
+    assert (got_c, st) == (exp_c, exp_st)
+    exp_f, exp_s = native.scan_first(data, 0)
+    st, f = core_scan_bytes(ct, data, chunk_len=256)
+    assert (f, st) == (exp_f, exp_s)
+    # a narrow/pair-only fit still does not exist
     with pytest.raises(ValueError):
-        CoreTables(dfa, sample)
+        CoreTables(dfa, sample, require_fast=True)
 
 
 @pytest.mark.parametrize("pattern,benign,adv,planted",
