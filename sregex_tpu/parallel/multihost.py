@@ -84,9 +84,14 @@ def count_multihost(tables, local_bytes, mesh, chunk_len,
 
     assert not type(tables).__name__.endswith("Pair"), \
         "byte-alphabet tiers only (pair premultiplies by ncls^2)"
+    from ..ops.pallas_scan import effective_chunk
     pid = jax.process_index()
     nproc = jax.process_count()
-    K = chunk_len
+    K = effective_chunk(tables, chunk_len)
+    assert K == chunk_len, \
+        "chunk_len %d is not prep-exact for these tables (use %d; " \
+        "host_slices must be computed with the same value)" \
+        % (chunk_len, K)
     ncls = tables.ncls
     W = tables.warmup
     n = full_len
@@ -212,9 +217,13 @@ def scan_multihost(tables, local_bytes, mesh, chunk_len,
     from ..ops.pallas_scan import _unpack
 
     assert not type(tables).__name__.endswith("Pair")
+    from ..ops.pallas_scan import effective_chunk
     pid = jax.process_index()
     nproc = jax.process_count()
-    K = chunk_len
+    K = effective_chunk(tables, chunk_len)
+    assert K == chunk_len, \
+        "chunk_len %d is not prep-exact for these tables (use %d)" \
+        % (chunk_len, K)
     ncls = tables.ncls
     W = tables.warmup
     n = full_len
