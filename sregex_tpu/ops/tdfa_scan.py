@@ -366,7 +366,7 @@ def _tdfa_scan(data, state0, j0, t_next, t_regsrc, t_csrc, t_cmeta,
         bank_f[:, lce],
         regs_f[:, last_cov],
     ])
-    return summary
+    return summary, phi_f, swarm_f, bank_f, regs_f
 
 
 def _host_walk(tables, sid, regs, bank, rid, data_np, pos, n):
@@ -427,6 +427,94 @@ def _host_walk(tables, sid, regs, bank, rid, data_np, pos, n):
     return rid, bank
 
 
+
+def _walk_chunk(t, sid, regs, bank, rid, raw, lo, hi):
+    """Host TDFA walk over raw[lo:hi] from (sid, regs); returns the
+    carried (sid, regs, bank, rid).  Positions are absolute."""
+    cmap = t.class_map
+    arr = cmap[raw[lo:hi]]
+    for i_ in range(hi - lo):
+        nsid, ops, commit = t.step(sid, int(arr[i_]))
+        cur = lo + i_
+        nxt = cur + 1
+
+        def res(s):
+            if s == SRC_UNSET:
+                return -1
+            if s == SRC_CUR:
+                return cur
+            if s == SRC_NEXT:
+                return nxt
+            return regs[s]
+        if commit is not None:
+            bank = [res(s) for s in commit[0]]
+            rid = commit[1]
+        regs = [res(s) for _d, s in ops] if ops else []
+        sid = nsid
+        if t.is_dead(sid):
+            break
+    return sid, regs, bank, rid
+
+
+def _chunk_repair(tables, phi_f, swarm_f, bank_f, regs_f, data_np,
+                  full_C, K, W, n):
+    """Per-chunk repair of a speculation-missed TDFA scan: walk the
+    chunk chain exactly on host, decoding TRUSTED chunks (speculated
+    entry == true entry) from the kernel's per-chunk planes — their
+    post-warmup register rebuilds are provably the true machine's
+    (docs/TDFA_DESIGN.md "Certification soundness"), and any value
+    still BAD-tainted (traces to the entry or the warmup) forces a
+    host re-walk of that one chunk.  Returns (rid, bank) | None-match
+    | None when more than ~6% of chunks need host walks (the caller
+    then prefers the multi-pass device path)."""
+    t = tables.tdfa
+    ncls = tables.ncls
+    T = tables.ntags
+    raw = np.frombuffer(data_np, dtype=np.uint8) \
+        if not isinstance(data_np, np.ndarray) else data_np
+    budget = max(32, full_C // 16)
+    walked = 0
+    sid = t.seed_state(CTX_BOS)
+    regs = [0] * t.nregs(sid)
+    bank = None
+    rid = -1
+    c = 0
+    while c < full_C:
+        dead = False
+        if int(swarm_f[c]) == sid * ncls:
+            exit_sid = int(phi_f[c]) // ncls
+            nk = t.nregs(exit_sid)
+            vals = [int(regs_f[k, c]) for k in range(nk)]
+            crid = int(bank_f[T, c])
+            bvals = [int(bank_f[ti, c]) for ti in range(T)] \
+                if crid >= 0 else []
+            if all(v >= -1 for v in vals) \
+                    and all(v >= -1 for v in bvals):
+                base = c * K - W
+                regs = [v + base if v >= 0 else -1 for v in vals]
+                if crid >= 0:
+                    bank = [v + base if v >= 0 else -1 for v in bvals]
+                    rid = crid
+                sid = exit_sid
+                dead = t.is_dead(sid)
+                c += 1
+                if dead:
+                    break
+                continue
+        walked += 1
+        if walked > budget:
+            return None
+        sid, regs, bank, rid = _walk_chunk(
+            t, sid, regs, bank, rid, raw, c * K, min((c + 1) * K, n))
+        c += 1
+        if t.is_dead(sid):
+            break
+    # finish: ragged tail (+ EOF boundary), or just the dead/EOF
+    # resolution when the covered region completed
+    return _host_walk(tables, sid, regs, bank, rid, data_np,
+                      min(c * K, n), n)
+
+
 def tdfa_spec_find(tables, data_np, chunk_len=2048, prepared=None):
     """First final match over the whole buffer: (regex_id, bank) with
     bank the tracked-tag vector in absolute corpus positions, None for
@@ -462,7 +550,7 @@ def tdfa_spec_find(tables, data_np, chunk_len=2048, prepared=None):
     state0[:] = tables.seed_premult
     j0[0, 0] = W
 
-    summary = _tdfa_scan(
+    summary, phi_f, swarm_f, bank_f, regs_f = _tdfa_scan(
         data if isinstance(data, jax.Array) else jnp.asarray(data),
         jnp.asarray(state0.reshape(B, G, 8, 128)),
         jnp.asarray(j0.reshape(B, G, 8, 128)),
@@ -471,7 +559,14 @@ def tdfa_spec_find(tables, data_np, chunk_len=2048, prepared=None):
         J=J, W=W, CPW=tables.cpw, R=R, T=T)
     summ = np.asarray(summary).astype(np.int64)
     if not bool(summ[0]):
-        return "fallback"
+        # chunk-wise repair: validate the chain on host per chunk,
+        # decoding trusted chunks from the per-chunk planes and
+        # re-walking the rest on the host TDFA.  Bounded; None means
+        # too many misses (caller falls back to the multi-pass path).
+        r = _chunk_repair(tables, np.asarray(phi_f),
+                          np.asarray(swarm_f), np.asarray(bank_f),
+                          np.asarray(regs_f), data_np, full_C, K, W, n)
+        return r if r is not None else "fallback"
     dead_chunk, lc = int(summ[2]), int(summ[3])
     bank_vals = summ[10:10 + T + 1]
     exit_regs = summ[10 + T + 1:10 + T + 1 + R]
@@ -491,12 +586,21 @@ def tdfa_spec_find(tables, data_np, chunk_len=2048, prepared=None):
         rid = int(bank_vals[T])
         bank = [to_corpus(v, lc) for v in bank_vals[:T]]
 
+    def repair():
+        r = _chunk_repair(tables, np.asarray(phi_f),
+                          np.asarray(swarm_f), np.asarray(bank_f),
+                          np.asarray(regs_f), data_np, full_C, K, W, n)
+        return r if r is not None else "fallback"
+
     if dead_chunk < full_C:
         # the scan ended inside the covered region
         if bank is None:
             return None
         if any(b is None for b in bank):
-            return "fallback"
+            # winning bank traces past the chunk window (e.g. the
+            # match starts before it): chunk-wise repair resolves it
+            # without abandoning the device pass
+            return repair()
         return rid, bank
 
     # no death in the covered region: host finishes the ragged tail
@@ -507,5 +611,8 @@ def tdfa_spec_find(tables, data_np, chunk_len=2048, prepared=None):
     for k in range(min(t.nregs(sid), R)):
         v = int(exit_regs[k])
         regs.append(v + base if v >= 0 else (-1 if v == -1 else None))
-    return _host_walk(tables, sid, regs, bank, rid, data_np,
-                      full_C * K, n)
+    if bank is not None and any(b is None for b in bank):
+        return repair()
+    r = _host_walk(tables, sid, regs, bank, rid, data_np,
+                   full_C * K, n)
+    return repair() if r == "fallback" else r

@@ -139,3 +139,60 @@ def test_device_find_no_false_certification_on_spanning_match():
     r = tdfa_spec_find(dev._tdfa_spec, data)
     exp = host.find(data)
     assert r == "fallback" or (r[0], r[1][:4]) == (exp[0], exp[1][:4])
+
+
+def test_device_find_chunk_repair_on_speculation_miss():
+    """Chunk-entry speculation misses (runs longer than the warmup
+    window) no longer force a wholesale fallback: the chunk-wise
+    repair decodes trusted chunks from the kernel planes and re-walks
+    only the missed ones on the host TDFA — the result stays
+    byte-equal to Pike, including inner groups."""
+    import random
+    from sregex_tpu.parser import parse
+    from sregex_tpu.compiler import compile_regex
+    from sregex_tpu.ops.tdfa_scan import TdfaSpecTables, tdfa_spec_find
+    from sregex_tpu.pike_vm import PikeCtx
+    ast, _ = parse(rb"(\w+)@(\w+)")
+    prog = compile_regex(ast)
+    t = TdfaSpecTables(prog)
+    rng = random.Random(4)
+    data = bytearray()
+    while len(data) < 30000:
+        data += bytes(rng.choice(b"ab de ")
+                      for _ in range(rng.randrange(50, 300)))
+        data += b"x" * rng.randrange(40, 90)   # longer than warmup
+    data = bytes(data[:30000])
+    at = 17000
+    data = data[:at] + b" foo@bar " + data[at + 9:]
+    r = tdfa_spec_find(t, data, chunk_len=2048)
+    assert r != "fallback"
+    ctx = PikeCtx(prog, exact=True)
+    rc, _ = ctx.exec(data, True)
+    assert (r[0], list(r[1])) == (rc, [int(v) for v in ctx.ovector])
+    calm = data.replace(b"@", b" ")
+    assert tdfa_spec_find(t, calm, chunk_len=2048) is None
+
+
+def test_device_find_chunk_repair_on_window_exceeding_start():
+    """A winning match whose start precedes its commit chunk's window
+    (t0 BAD-tainted) used to abandon the device pass wholesale; the
+    chunk-wise repair now resolves it — byte-equal to Pike."""
+    import random
+    from sregex_tpu.parser import parse
+    from sregex_tpu.compiler import compile_regex
+    from sregex_tpu.ops.tdfa_scan import TdfaSpecTables, tdfa_spec_find
+    from sregex_tpu.pike_vm import PikeCtx
+    ast, _ = parse(rb"(\w+)@(\w+)")
+    prog = compile_regex(ast)
+    t = TdfaSpecTables(prog)
+    rng = random.Random(8)
+    data = bytearray(rng.choice(b"a  b  ") for _ in range(16384))
+    at = 5 * 2048
+    # letter run crossing the chunk boundary by 40 bytes, '@' after
+    data[at - 40:at + 3] = b"a" * 40 + b"b@c"
+    data = bytes(data)
+    r = tdfa_spec_find(t, data, chunk_len=2048)
+    assert r not in (None, "fallback"), r
+    ctx = PikeCtx(prog, exact=True)
+    rc, _ = ctx.exec(data, True)
+    assert (r[0], list(r[1])) == (rc, [int(v) for v in ctx.ovector])
