@@ -583,7 +583,7 @@ class Scanner:
                     self._rev_lz_coret = False
         return self._rev_lz_coret or None
 
-    def _tdfa_find(self, data):
+    def _tdfa_find(self, data, prepared=None):
         """Device tagged-DFA find: one kernel pass yields the span,
         regex id, and tracked capture slots (ops/tdfa_scan.py).
 
@@ -594,7 +594,9 @@ class Scanner:
         """
         from .ops.tdfa_scan import tdfa_spec_find
         tables = self._tdfa_spec
-        r = tdfa_spec_find(tables, data)
+        r = tdfa_spec_find(tables, data,
+                           prepared=prepared.for_tables(tables)
+                           if prepared else None)
         if r == "fallback":
             return None
         if r is None:
@@ -629,7 +631,7 @@ class Scanner:
             return None
         return rc, [int(v) for v in ctx.ovector]
 
-    def find(self, data):
+    def find(self, data, prepared=None):
         """Leftmost-first match with captures (Pike semantics).
 
         Fast path: the forward DFA proves a match exists, a REVERSE
@@ -645,13 +647,13 @@ class Scanner:
             # match span, regex id, and tracked capture slots directly
             # from device registers (ops/tdfa_scan.py); anything it
             # cannot certify exact falls through to the multi-pass path
-            r = self._tdfa_find(data)
+            r = self._tdfa_find(data, prepared)
             if r is not None:
                 rc, ov = r
                 return (rc, ov) if rc >= 0 else None
         if self.dfa is not None:
             # DFA prefilter: no match end anywhere => no match at all
-            first, state = self._scan_first(data)
+            first, state = self._scan_first(data, prepared)
             if first < 0 and not self.dfa.match_eof[state]:
                 return None
             rev = self._rev_dfa()

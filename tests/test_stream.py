@@ -189,7 +189,7 @@ def test_prepared_corpus_reuse():
     assert sc.count(data, prepared=h) == sc.count(data)
     assert sc.scan(data, prepared=h) == sc.scan(data)
     assert sc.match(data, prepared=h) == sc.match(data)
-    assert len(h._by_tables) == 1      # one tier prepped, reused
+    assert sc.find(data, prepared=h) == sc.find(data)
 
     # adaptive-core-tier pattern
     sc2 = compile_pattern(b"a{60,120}b")
