@@ -40,6 +40,12 @@ def rand_corpus(rng, n):
     for _ in range(rng.randint(0, 4)):
         at = rng.randrange(max(1, n - 30))
         data[at:at + 10] = b"aabbc word"[:10]
+    # long single-char runs (past the kernels' warmup windows): these
+    # force chunk-entry speculation misses, exercising the repair
+    # folds and the TDFA chunk repair
+    for _ in range(rng.randint(0, 3)):
+        at = rng.randrange(max(1, n - 200))
+        data[at:at + 150] = bytes([rng.choice(b"ax ")]) * 150
     return bytes(data)
 
 
