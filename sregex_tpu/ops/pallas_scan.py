@@ -517,10 +517,18 @@ def effective_chunk(tables, chunk_len):
     return K
 
 
-def _prepare(tables, data_np, chunk_len, b_multiple=1):
+def _prepare(tables, data_np, chunk_len, b_multiple=1,
+             prev_tail_cls=None, block=True):
     """Host prep: class-map, overlapping windows, 4-per-word packing,
     tiling into [B, J//4, G, 8, 128].  Vectorized.  b_multiple pads
-    the block count so it shards evenly over a mesh."""
+    the block count so it shards evenly over a mesh.
+
+    prev_tail_cls: optional uint8 [W] of CLASS ids filling chunk 0's
+    warmup window (the last W stream bytes before this segment,
+    class-mapped) — the pipelined streaming scan (ops/pipeline.py)
+    uses it so a non-first segment's chunk 0 speculates over REAL
+    bytes instead of the zero-class pad.  block=False skips the
+    block_until_ready (the pipeline overlaps uploads with scans)."""
     from numpy.lib.stride_tricks import sliding_window_view
 
     n = len(data_np)
@@ -539,11 +547,12 @@ def _prepare(tables, data_np, chunk_len, b_multiple=1):
         if not isinstance(data_np, np.ndarray) else data_np
 
     if bpu == 2:
-        return _prepare_pair(tables, raw, n, K, W, G, C, B, Cp, J)
+        return _prepare_pair(tables, raw, n, K, W, G, C, B, Cp, J,
+                             prev_tail_cls=prev_tail_cls, block=block)
 
     from ..native import get_lib, _u8p, _i32p
     lib = get_lib()
-    if tables.bits == 4 and lib is not None \
+    if tables.bits == 4 and prev_tail_cls is None and lib is not None \
             and hasattr(lib, "sre_pack_prepare"):
         # native single-pass prepare (numpy's strided paths are
         # pathologically slow on large arrays in some environments)
@@ -557,6 +566,8 @@ def _prepare(tables, data_np, chunk_len, b_multiple=1):
             raw.tobytes().translate(tables.class_map.tobytes()),
             dtype=np.uint8)
         padded = np.zeros(W + Cp * K, dtype=np.uint8)
+        if prev_tail_cls is not None:
+            padded[:W] = prev_tail_cls
         padded[W:W + n] = cls
         win = sliding_window_view(padded, J)[::K][:Cp]   # [Cp, J] view
 
@@ -577,11 +588,13 @@ def _prepare(tables, data_np, chunk_len, b_multiple=1):
         packed = packed.reshape(B, J // CPW, G, 8, 128)
     # commit to the device here so repeated scans skip the upload
     dev = jnp.asarray(packed)
-    dev.block_until_ready()
+    if block:
+        dev.block_until_ready()
     return dev, C, K, J, B
 
 
-def _prepare_pair(tables, raw, n, K, W, G, C, B, Cp, J):
+def _prepare_pair(tables, raw, n, K, W, G, C, B, Cp, J,
+                  prev_tail_cls=None, block=True):
     """Pair-unit host prep (ops/pallas_pair.py tables): class-map the
     whole stream, combine adjacent classes into pair ids (K and W are
     even, so pairs never straddle a window), then window/pack in pair
@@ -594,6 +607,8 @@ def _prepare_pair(tables, raw, n, K, W, G, C, B, Cp, J):
         raw.tobytes().translate(tables.class_map.tobytes()),
         dtype=np.uint8)
     padded = np.zeros(W + Cp * K, dtype=np.uint8)
+    if prev_tail_cls is not None:
+        padded[:W] = prev_tail_cls
     padded[W:W + n] = cls
     pairs = (padded[0::2].astype(np.int16) * cb
              + padded[1::2]).astype(np.uint8)
@@ -613,7 +628,8 @@ def _prepare_pair(tables, raw, n, K, W, G, C, B, Cp, J):
     packed = np.ascontiguousarray(words.transpose(0, 3, 1, 2))
     packed = packed.reshape(B, J2 // CPW, G, 8, 128)
     dev = jnp.asarray(packed)
-    dev.block_until_ready()
+    if block:
+        dev.block_until_ready()
     return dev, C, K, J, B
 
 

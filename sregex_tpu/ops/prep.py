@@ -60,12 +60,16 @@ def _class_runs(class_map):
 @functools.partial(jax.jit,
                    static_argnames=("K", "W", "B", "CPW", "BITS",
                                     "nruns", "cb"))
-def _device_pack_pair(raw, n, starts, deltas, *, K, W, B, CPW, BITS,
-                      nruns, cb):
+def _device_pack_pair(raw, n, starts, deltas, tail_cls, *, K, W, B,
+                      CPW, BITS, nruns, cb):
     """Pair-unit device prep (ops/pallas_pair.py tables): class-map,
     combine adjacent classes into pair ids (elementwise — K and W are
     even so pairs never straddle windows), then window/pack in pair
-    units.  Bit-identical to the host _prepare_pair."""
+    units.  Bit-identical to the host _prepare_pair.
+
+    tail_cls: uint8 [W] class ids filling chunk 0's warmup window
+    (all-zeros == the historical zero-class pad; real bytes for the
+    pipelined streaming scan's non-first segments)."""
     G = GROUPS
     Cp = B * G * TILE
     x = raw.astype(jnp.int32)
@@ -77,7 +81,9 @@ def _device_pack_pair(raw, n, starts, deltas, *, K, W, B, CPW, BITS,
     pair = (cls[0::2] * cb + cls[1::2]).astype(jnp.uint8)
     K2, W2 = K // 2, W // 2
     J2 = W2 + K2
-    pair = jnp.pad(pair, (W2, 0))
+    tail32 = tail_cls.astype(jnp.int32)
+    tail_pair = (tail32[0::2] * cb + tail32[1::2]).astype(jnp.uint8)
+    pair = jnp.concatenate([tail_pair, pair])
     chunks = pair[W2:].reshape(Cp, K2)
     warm = pair[:Cp * K2].reshape(Cp, K2)[:, :W2]
     win = jnp.concatenate([warm, chunks], axis=1)      # [Cp, J2] u8
@@ -93,11 +99,13 @@ def _device_pack_pair(raw, n, starts, deltas, *, K, W, B, CPW, BITS,
 @functools.partial(jax.jit,
                    static_argnames=("K", "W", "B", "CPW", "BITS",
                                     "nruns"))
-def _device_pack(raw, n, starts, deltas, *, K, W, B, CPW, BITS,
-                 nruns):
+def _device_pack(raw, n, starts, deltas, tail_cls, *, K, W, B, CPW,
+                 BITS, nruns):
     """raw: uint8 [B*G*TILE*K] on device (padded to the block
-    bucket); n: traced valid-byte count.  Returns int32
-    [B, (W+K)//CPW, G, 8, 128] packed exactly like the host prep.
+    bucket); n: traced valid-byte count; tail_cls: uint8 [W] class
+    ids for chunk 0's warmup window (zeros == the historical pad).
+    Returns int32 [B, (W+K)//CPW, G, 8, 128] packed exactly like the
+    host prep.
 
     n is traced (not static) so every corpus length within the same
     block bucket shares ONE compiled program — the scan kernel's
@@ -119,7 +127,7 @@ def _device_pack(raw, n, starts, deltas, *, K, W, B, CPW, BITS,
     cls = jnp.where(
         lax.broadcasted_iota(jnp.int32, x.shape, 0) < n, cls, 0)
     cls = cls.astype(jnp.uint8)
-    cls = jnp.pad(cls, (W, 0))
+    cls = jnp.concatenate([tail_cls, cls])
     chunks = cls[W:].reshape(Cp, K)
     warm = cls[:Cp * K].reshape(Cp, K)[:, :W]
     win = jnp.concatenate([warm, chunks], axis=1)      # [Cp, J] u8
@@ -139,11 +147,16 @@ def _device_pack(raw, n, starts, deltas, *, K, W, B, CPW, BITS,
     return words.reshape(B, J // CPW, G, 8, 128)
 
 
-def prepare_on_device(tables, data_np, chunk_len, b_multiple=1):
+def prepare_on_device(tables, data_np, chunk_len, b_multiple=1,
+                      prev_tail_cls=None, block=True):
     """Device-side analogue of _prepare: same (dev, C, K, J, B) tuple,
     bit-identical packed array, but the host only uploads raw bytes.
     data_np may already be a device-resident uint8 array (jax.Array),
-    in which case no host work or transfer happens at all."""
+    in which case no host work or transfer happens at all.
+
+    prev_tail_cls / block: see _prepare (the pipelined streaming
+    scan fills chunk 0's warmup with real prior-segment bytes and
+    defers the sync so uploads overlap scans)."""
     n = len(data_np)
     CPW = tables.cpw
     bpu = getattr(tables, "bpu", 1)
@@ -160,7 +173,8 @@ def prepare_on_device(tables, data_np, chunk_len, b_multiple=1):
         # the valid-byte iota mask is int32; beyond 2 GiB of padded
         # corpus fall back to host prep (exact, just slower)
         return _prepare(tables, data_np, chunk_len,
-                        b_multiple=b_multiple)
+                        b_multiple=b_multiple,
+                        prev_tail_cls=prev_tail_cls, block=block)
     if isinstance(data_np, jax.Array):
         raw = jnp.pad(data_np, (0, L - n))
     else:
@@ -169,23 +183,31 @@ def prepare_on_device(tables, data_np, chunk_len, b_multiple=1):
         raw = np.zeros(L, dtype=np.uint8)
         raw[:n] = data_np
     starts, deltas = _class_runs(tables.class_map)
+    if prev_tail_cls is None:
+        tail_cls = np.zeros(W, dtype=np.uint8)
+    else:
+        tail_cls = np.asarray(prev_tail_cls, dtype=np.uint8)
     if bpu == 2:
         dev = _device_pack_pair(jnp.asarray(raw), jnp.int32(n),
                                 jnp.asarray(starts),
                                 jnp.asarray(deltas),
+                                jnp.asarray(tail_cls),
                                 K=K, W=W, B=B, CPW=CPW,
                                 BITS=tables.bits, nruns=len(starts),
                                 cb=tables.byte_ncls)
     else:
         dev = _device_pack(jnp.asarray(raw), jnp.int32(n),
                            jnp.asarray(starts), jnp.asarray(deltas),
+                           jnp.asarray(tail_cls),
                            K=K, W=W, B=B, CPW=CPW, BITS=tables.bits,
                            nruns=len(starts))
-    dev.block_until_ready()
+    if block:
+        dev.block_until_ready()
     return dev, C, K, W + K, B
 
 
-def prepare_auto(tables, data_np, chunk_len, b_multiple=1):
+def prepare_auto(tables, data_np, chunk_len, b_multiple=1,
+                 prev_tail_cls=None, block=True):
     """Pick the prep path: device pipeline for large corpora (the
     upload is the only host work), host prep for small ones (one
     dispatch round-trip costs more than the host pass).  Env override:
@@ -195,5 +217,8 @@ def prepare_auto(tables, data_np, chunk_len, b_multiple=1):
                else knob == "1")
     if use_dev:
         return prepare_on_device(tables, data_np, chunk_len,
-                                 b_multiple=b_multiple)
-    return _prepare(tables, data_np, chunk_len, b_multiple=b_multiple)
+                                 b_multiple=b_multiple,
+                                 prev_tail_cls=prev_tail_cls,
+                                 block=block)
+    return _prepare(tables, data_np, chunk_len, b_multiple=b_multiple,
+                    prev_tail_cls=prev_tail_cls, block=block)

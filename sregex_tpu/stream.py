@@ -489,6 +489,72 @@ class Scanner:
             c += 1
         return c
 
+    def count_stream(self, segments, chunk_len=2048, in_flight=2):
+        """Pipelined streaming count: equivalent to
+        ``count(b"".join(segments))`` without ever materializing the
+        concatenation.  On the device path each segment's host->HBM
+        upload overlaps the previous segment's kernel
+        (ops/pipeline.py); cross-segment exactness rides the same
+        speculation-validation chain as in-segment chunks.  Patterns
+        without a static device tier fall back to the native (or
+        lazy) table walk with a plain state carry — the streaming
+        semantics are identical either way."""
+        if self.use_device and self.dfa is not None \
+                and self._spec is not None:
+            from .ops.pipeline import pipelined_count
+            state, c = pipelined_count(
+                self._spec, segments, chunk_len=chunk_len,
+                in_flight=in_flight, mesh=self.mesh)
+            return c + (1 if self.dfa.match_eof[state] else 0)
+        eng = self._native if self.dfa is not None \
+            else self._lazy_dfa()
+        state, c = 0, 0
+        for seg in segments:
+            if len(seg) == 0:
+                continue
+            k, state = eng.count(seg, state)
+            c += k
+        eof = (self.dfa.match_eof[state] if self.dfa is not None
+               else self._lazy_dfa().match_eof(state))
+        return c + (1 if eof else 0)
+
+    def scan_stream(self, segments, chunk_len=2048, in_flight=2):
+        """Pipelined streaming earliest-match scan: equivalent to
+        ``scan(b"".join(segments))``.  Returns (regex_id,
+        end_boundary) or None; end == total stream length means the
+        match ends at EOF.  Segments dispatched past the match are
+        discarded unfolded, so feeding an unbounded stream terminates
+        shortly after the first match."""
+        if self.use_device and self.dfa is not None \
+                and self._spec is not None:
+            from .ops.pipeline import pipelined_scan
+            state, first, byte, nbytes = pipelined_scan(
+                self._spec, segments, chunk_len=chunk_len,
+                in_flight=in_flight, mesh=self.mesh)
+            if first >= 0:
+                return self.dfa.id_at(state, byte), first
+            rid = int(self.dfa.match_eof_id[state])
+            return (rid, nbytes) if rid >= 0 else None
+        eng = self._native if self.dfa is not None \
+            else self._lazy_dfa()
+        state, base = 0, 0
+        for seg in segments:
+            if len(seg) == 0:
+                continue
+            f, st = eng.scan_first(seg, state)
+            if f >= 0:
+                byte = seg[f]
+                if self.dfa is not None:
+                    return self.dfa.id_at(st, byte), base + f
+                return self._lazy_dfa().id_at(st, byte), base + f
+            state = st
+            base += len(seg)
+        if self.dfa is not None:
+            rid = int(self.dfa.match_eof_id[state])
+        else:
+            rid = self._lazy_dfa().match_eof_id(state)
+        return (rid, base) if rid >= 0 else None
+
     def _lazy_dfa(self):
         if getattr(self, "_lazy", None) is None:
             from .dfa import LazyDfa

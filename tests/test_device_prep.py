@@ -94,6 +94,41 @@ def test_device_prep_pair_bit_identical():
                                   np.asarray(dev[0])), (pattern, n)
 
 
+def test_device_prep_prev_tail_bit_identical():
+    """Real warmup bytes for chunk 0 (the pipelined streaming scan's
+    prev_tail_cls) must pack bit-identically on both prep paths, for
+    byte and pair units."""
+    from sregex_tpu.ops.pallas_pair import SpecTablesPair
+    for pattern, cls in [("(?:a|b)aa(?:aa|bb)cc(?:a|b)", SpecTables),
+                         ("(?:a|b)aa(?:aa|bb)cc(?:a|b)",
+                          SpecTablesPair),
+                         (r"\bw\d+\b", SpecTables)]:
+        ast, _ = parse(pattern)
+        dfa = build_dfa(compile_regex(ast))
+        tables = cls(dfa)
+        rng = random.Random(len(pattern))
+        W = tables.warmup
+        cm = tables.class_map.tobytes()
+        tail_raw = bytes(rng.randrange(256) for _ in range(W))
+        tail_cls = np.frombuffer(tail_raw.translate(cm), np.uint8)
+        for n in (1, 255, 4096):
+            data = bytes(rng.randrange(256) for _ in range(n))
+            host = _prepare(tables, data, 256,
+                            prev_tail_cls=tail_cls)
+            dev = prepare_on_device(tables, data, 256,
+                                    prev_tail_cls=tail_cls)
+            assert host[1:] == dev[1:], (pattern, cls.__name__, n)
+            assert np.array_equal(np.asarray(host[0]),
+                                  np.asarray(dev[0])), \
+                (pattern, cls.__name__, n)
+            # and a real tail differs from the zero pad (sanity that
+            # the argument is actually threaded through)
+            base = _prepare(tables, data, 256)
+            if not np.array_equal(np.asarray(host[0]),
+                                  np.asarray(base[0])):
+                break
+
+
 def test_device_prep_3bit_bit_identical(monkeypatch):
     monkeypatch.setenv("SREGEX_PACK_BITS", "3")
     ast, _ = parse("(?:a|b)aa(?:aa|bb)cc(?:a|b)")
