@@ -162,6 +162,28 @@ def test_scanner_stream_api():
     assert sc.count_stream(quiet) == 0
 
 
+def test_pipelined_count_on_mesh():
+    """The pipeline's kernels ride the device mesh like the
+    single-buffer drivers (shard_map over the chunk-block dim; the
+    fold is mesh-agnostic)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    ast, _ = parse("ab")
+    dfa = build_dfa(compile_regex(ast))
+    tables = SpecTables(dfa)
+    native = NativeDfa(dfa)
+    rng = random.Random(21)
+    data = _corpus(rng, b"aabbc ", 7000, [(3500, b"abab")])
+    segs = [data[i:i + 1700] for i in range(0, len(data), 1700)]
+    exp, est = native.count(data, 0)
+    st, got = pipelined_count(tables, segs, chunk_len=240, mesh=mesh)
+    assert (got, st) == (exp, est)
+
+
 def test_scanner_stream_eof_boundary():
     """A match that ends exactly at EOF is reported at the total
     stream length (the count includes it; scan returns (id, n))."""
