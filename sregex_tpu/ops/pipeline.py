@@ -116,29 +116,92 @@ def _fold_first(native, raw, n, C, K, ncls, phi, fm, swarm, e):
     return int(e), -1
 
 
+def _fold_core_count(ct, packed, raw, n, C, K, e_full):
+    """Core-tier segment fold (count): same trusted-run walk as
+    core_count_bytes, from the segment's true FULL entry state.
+    Returns (exit_full, count, natively_repaired_chunks)."""
+    from .pallas_core import _Fold
+    fold = _Fold(ct, packed, C, K, n, quiet=False)
+    total = 0
+    nat = 0
+    c = 0
+    while c < C:
+        if fold.trusted(c, e_full):
+            b = fold.run_end(c)
+            total += fold.run_count(c, b)
+            e_full = ct.to_full(int(fold.phi[b]))
+            c = b + 1
+            continue
+        lo = c * K
+        hi = min(lo + K, n)
+        k, st = ct.native.count(raw[lo:hi].tobytes(), e_full)
+        total += k
+        e_full = st
+        c += 1
+        nat += 1
+    return e_full, total, nat
+
+
+def _fold_core_first(ct, packed, raw, n, C, K, e_full):
+    """Core-tier segment fold (first match): fired, escaped, or
+    speculation-missed chunks re-scan natively on the FULL machine.
+    Returns (exit_full_or_state_at_boundary, rel_boundary or -1)."""
+    from .pallas_core import _Fold
+    fold = _Fold(ct, packed, C, K, n, quiet=True)
+    c = 0
+    while c < C:
+        if fold.trusted(c, e_full):
+            b = fold.run_end(c)
+            e_full = ct.to_full(int(fold.phi[b]))
+            c = b + 1
+            continue
+        lo = c * K
+        hi = min(lo + K, n)
+        f, st = ct.native.scan_first(raw[lo:hi].tobytes(), e_full)
+        if f >= 0:
+            return st, lo + f
+        e_full = st
+        c += 1
+    return e_full, -1
+
+
 class _Pipeline:
-    """Shared dispatch/fold machinery for the pipelined drivers."""
+    """Shared dispatch/fold machinery for the pipelined drivers.
+
+    Serves the static tiers (SpecTables / wide / pair / big: state
+    carry in premultiplied table space) AND the adaptive core tier
+    (CoreTables / LazyCoreTables, detected by esc_premult: kernels
+    run the inner core tables, the carry is a FULL-machine state, and
+    folds reuse the core's trusted-run walk with native full-machine
+    repair — the sticky-ESC argument is segment-size-agnostic)."""
 
     def __init__(self, tables, chunk_len, entry_state, count_mode,
                  in_flight, mesh):
-        from ..native import NativeDfa
-
-        self.tables = tables
+        self.ct = tables if hasattr(tables, "esc_premult") else None
+        inner = tables.inner if self.ct is not None else tables
+        self.tables = inner
         self.chunk_len = chunk_len
         self.count_mode = count_mode
         self.in_flight = max(1, int(in_flight))
         self.mesh = mesh
-        self.ncls = tables.ncls
-        self.W = tables.warmup
-        self.bpu = getattr(tables, "bpu", 1)
-        self.cm = tables.class_map.tobytes()
-        self.native = NativeDfa(tables.dfa)
+        self.ncls = inner.ncls
+        self.W = inner.warmup
+        self.bpu = getattr(inner, "bpu", 1)
+        self.cm = inner.class_map.tobytes()
+        if self.ct is not None:
+            self.native = self.ct.native      # the FULL machine
+            self.e_full = entry_state         # full-state carry
+        else:
+            from ..native import NativeDfa
+            self.native = NativeDfa(inner.dfa)
+            self.e = entry_state * self.ncls  # premultiplied carry
         self.b_mult = mesh.devices.size if mesh is not None else 1
-        self.e = entry_state * self.ncls   # premultiplied carry
         self.total = 0
         self.first_abs = -1
         self.first_byte = -1               # byte AT the boundary
         self.base = 0                      # absolute offset folded
+        self.nat = 0                       # natively repaired chunks
+        self.nchunks = 0
         self.tail = b""                    # last <= W raw stream bytes
         self.first_seg = True
         self.pending = deque()
@@ -159,9 +222,20 @@ class _Pipeline:
             self.tables, _as_np(seg), self.chunk_len,
             b_multiple=self.b_mult, prev_tail_cls=tail_cls,
             block=False)
+        frozen = None
         if self.first_seg:
+            if self.ct is None:
+                frozen = self.e
+            else:
+                # core mode: the entry can be frozen only if it is a
+                # hot state; otherwise chunk 0 speculates and the
+                # fold repairs it natively (exactness unconditional)
+                ep = self.ct.to_core_premult(self.e_full)
+                if ep >= 0:
+                    frozen = ep
+        if frozen is not None:
             # exact entry, warmup frozen (the single-buffer protocol)
-            s0p, j0p = _entry_planes(jnp.int32(self.e),
+            s0p, j0p = _entry_planes(jnp.int32(frozen),
                                      jnp.int32(self.W), B=B)
         else:
             # chunk 0 speculates over the real prev-segment tail;
@@ -171,7 +245,9 @@ class _Pipeline:
             else -1
         _summary, packed = self.tables._scan(
             data, s0p, j0p, jnp.int32(C), jnp.int32(bad_tail), J,
-            self.W, COUNT=self.count_mode, mesh=self.mesh,
+            self.W, COUNT=self.count_mode,
+            esc=self.ct.esc_premult if self.ct is not None else None,
+            mesh=self.mesh,
             axis="data" if self.mesh is not None else None)
         self.first_seg = False
         self.tail = (self.tail + bytes(seg[-self.W:]))[-self.W:]
@@ -187,6 +263,21 @@ class _Pipeline:
             return
         packed, seg, C, K, n = self.pending.popleft()
         raw = _as_np(seg)
+        self.nchunks += C
+        if self.ct is not None:
+            if self.count_mode:
+                self.e_full, add, nat = _fold_core_count(
+                    self.ct, packed, raw, n, C, K, self.e_full)
+                self.total += add
+                self.nat += nat
+            else:
+                self.e_full, rel = _fold_core_first(
+                    self.ct, packed, raw, n, C, K, self.e_full)
+                if rel >= 0:
+                    self.first_abs = self.base + rel
+                    self.first_byte = int(raw[rel])
+            self.base += n
+            return
         phi, fmcnt, swarm = _unpack(packed, C)
         if self.count_mode:
             self.e, add = _fold_count(self.native, raw, n, C, K,
@@ -235,6 +326,15 @@ def _run(tables, segments, chunk_len, entry_state, count_mode,
     if holdback and not pipe.done_early:
         pipe.dispatch(holdback)
     pipe.drain()
+    if pipe.ct is not None:
+        if count_mode:
+            # completed scan: repair stats feed the Scanner's
+            # drift/re-core logic (first-match scans exit early, so
+            # their stats stay None like core_scan_bytes' fast path)
+            pipe.ct.last_repair = (pipe.nat, max(pipe.nchunks, 1))
+            return pipe.e_full, pipe.total
+        return (pipe.e_full, pipe.first_abs, pipe.first_byte,
+                pipe.base)
     if count_mode:
         return pipe.e // pipe.ncls, pipe.total
     return (pipe.e // pipe.ncls, pipe.first_abs, pipe.first_byte,
@@ -246,7 +346,11 @@ def pipelined_count(tables, segments, chunk_len=DEFAULT_K,
     """Count every interior match boundary across a SEGMENTED stream.
     Equivalent to spec_count_bytes on the concatenation, without ever
     materializing it; uploads overlap scans.  Returns (final_state,
-    count) — the EOF boundary is the caller's (tables.match_eof)."""
+    count) — the EOF boundary is the caller's (tables.match_eof).
+
+    ``tables`` may be a static tier (SpecTables/wide/pair/big) or the
+    adaptive core tier (CoreTables/LazyCoreTables); entry and final
+    states are always FULL-machine state ids."""
     return _run(tables, segments, chunk_len, entry_state, True,
                 in_flight, mesh)
 

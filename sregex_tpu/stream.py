@@ -489,23 +489,56 @@ class Scanner:
             c += 1
         return c
 
+    def _stream_tables(self, segments):
+        """Tables + segment iterator for the pipelined stream APIs.
+        Peeks the first segment: when the adaptive core tier applies
+        (static chain bottomed out, or no dense machine at all) and
+        the first segment is big enough to sample, the core is built
+        from it and rides the pipeline; otherwise the static tier.
+        Returns (tables or None, iterator, drift_note_attr)."""
+        import itertools
+        it = iter(segments)
+        try:
+            first = next(it)
+        except StopIteration:
+            return self._spec, iter(()), None
+        rest = itertools.chain([first], it)
+        if len(first) >= self.CORE_SAMPLE:
+            if self.dfa is not None:
+                ct = self._core_tables(first)
+                if ct is not None:
+                    return ct, rest, "_coret"
+            else:
+                ct = self._lazy_core_tables(first)
+                if ct is not None:
+                    return ct, rest, "_lazy_coret"
+        return self._spec if self.dfa is not None else None, \
+            rest, None
+
     def count_stream(self, segments, chunk_len=2048, in_flight=2):
         """Pipelined streaming count: equivalent to
         ``count(b"".join(segments))`` without ever materializing the
         concatenation.  On the device path each segment's host->HBM
         upload overlaps the previous segment's kernel
         (ops/pipeline.py); cross-segment exactness rides the same
-        speculation-validation chain as in-segment chunks.  Patterns
-        without a static device tier fall back to the native (or
-        lazy) table walk with a plain state carry — the streaming
-        semantics are identical either way."""
-        if self.use_device and self.dfa is not None \
-                and self._spec is not None:
-            from .ops.pipeline import pipelined_count
-            state, c = pipelined_count(
-                self._spec, segments, chunk_len=chunk_len,
-                in_flight=in_flight, mesh=self.mesh)
-            return c + (1 if self.dfa.match_eof[state] else 0)
+        speculation-validation chain as in-segment chunks.  Big
+        automata stream on the adaptive core tier (sampled from the
+        first segment).  Patterns without any device tier fall back
+        to the native (or lazy) table walk with a plain state carry
+        — the streaming semantics are identical either way."""
+        if self.use_device:
+            tables, segments, note = self._stream_tables(segments)
+            if tables is not None:
+                from .ops.pipeline import pipelined_count
+                state, c = pipelined_count(
+                    tables, segments, chunk_len=chunk_len,
+                    in_flight=in_flight, mesh=self.mesh)
+                if note is not None:
+                    self._core_note(tables, note)
+                eof = (self.dfa.match_eof[state]
+                       if self.dfa is not None
+                       else self._lazy_dfa().match_eof(state))
+                return c + (1 if eof else 0)
         eng = self._native if self.dfa is not None \
             else self._lazy_dfa()
         state, c = 0, 0
@@ -525,16 +558,22 @@ class Scanner:
         match ends at EOF.  Segments dispatched past the match are
         discarded unfolded, so feeding an unbounded stream terminates
         shortly after the first match."""
-        if self.use_device and self.dfa is not None \
-                and self._spec is not None:
-            from .ops.pipeline import pipelined_scan
-            state, first, byte, nbytes = pipelined_scan(
-                self._spec, segments, chunk_len=chunk_len,
-                in_flight=in_flight, mesh=self.mesh)
-            if first >= 0:
-                return self.dfa.id_at(state, byte), first
-            rid = int(self.dfa.match_eof_id[state])
-            return (rid, nbytes) if rid >= 0 else None
+        if self.use_device:
+            tables, segs, _note = self._stream_tables(segments)
+            if tables is not None:
+                from .ops.pipeline import pipelined_scan
+                state, first, byte, nbytes = pipelined_scan(
+                    tables, segs, chunk_len=chunk_len,
+                    in_flight=in_flight, mesh=self.mesh)
+                eng = self.dfa if self.dfa is not None \
+                    else self._lazy_dfa()
+                if first >= 0:
+                    return eng.id_at(state, byte), first
+                rid = (int(self.dfa.match_eof_id[state])
+                       if self.dfa is not None
+                       else self._lazy_dfa().match_eof_id(state))
+                return (rid, nbytes) if rid >= 0 else None
+            segments = segs
         eng = self._native if self.dfa is not None \
             else self._lazy_dfa()
         state, base = 0, 0

@@ -184,6 +184,104 @@ def test_pipelined_count_on_mesh():
     assert (got, st) == (exp, est)
 
 
+def test_pipelined_core_tier_matches_native():
+    """The adaptive core tier rides the pipeline: segment folds walk
+    the trusted-run chain in FULL-machine states, and escapes (data
+    the sampled core never saw) repair natively per chunk — exactness
+    never depends on the sample."""
+    from sregex_tpu.ops.pallas_core import CoreTables
+    ast, _ = parse("a{10,30}b")
+    dfa = build_dfa(compile_regex(ast), max_states=65536)
+    native = NativeDfa(dfa)
+    rng = random.Random(13)
+    # sample from escape-free data; the corpus then contains deep
+    # counted-chain runs (escapes) and real matches
+    ct = CoreTables(dfa, bytes(rng.choice(b"abx ") for _ in range(2000)))
+    data = _corpus(rng, b"abx ", 6000,
+                   [(1500, b"c" + b"a" * 20 + b"b"),
+                    (3000, b"a" * 40),          # escape, no match
+                    (4500, b"a" * 12 + b"b")])
+    segs = _segments(data, rng)
+    exp, est = native.count(data, 0)
+    st, got = pipelined_count(ct, segs, chunk_len=240)
+    assert (got, st) == (exp, est)
+    assert ct.last_repair is not None    # drift stats recorded
+    exp_first, est2 = native.scan_first(data, 0)
+    st2, got2, byte, folded = pipelined_scan(ct, _segments(data, rng),
+                                             chunk_len=240)
+    assert got2 == exp_first
+    if exp_first >= 0:
+        assert byte == data[exp_first]
+    else:
+        assert st2 == est2 and folded == len(data)
+
+
+def test_pipelined_core_nonhot_entry():
+    """A first-segment entry state outside the core cannot be frozen:
+    chunk 0 speculates and the fold repairs it on the full machine."""
+    from sregex_tpu.ops.pallas_core import CoreTables
+    ast, _ = parse("a{10,30}b")
+    dfa = build_dfa(compile_regex(ast), max_states=65536)
+    native = NativeDfa(dfa)
+    ct = CoreTables(dfa, b"xbxa ab" * 300)
+    # drive the full machine 15 a's deep: almost surely not hot
+    _, deep = native.count(b"a" * 15, 0)
+    if ct.to_core_premult(deep) >= 0:
+        pytest.skip("entry unexpectedly hot")
+    data = b"a" * 10 + b"b" + b"x ab" * 500
+    exp, est = native.count(data, deep)
+    st, got = pipelined_count(ct, [data[:7], data[7:]],
+                              chunk_len=240, entry_state=deep)
+    assert (got, st) == (exp, est)
+
+
+def test_scanner_stream_lazy_core():
+    """A pattern past the eager DFA budget streams on the lazy-backed
+    core tier sampled from the FIRST segment (Scanner._stream_tables),
+    byte-exact against the lazy oracle."""
+    from sregex_tpu.stream import compile_pattern
+    from sregex_tpu.dfa import LazyDfa
+    from sregex_tpu.ops.pallas_core import LazyCoreTables
+    sc = compile_pattern(b"foo[a-z]{20,40}z", use_device=True)
+    assert sc.dfa is None            # past the eager budget
+    sc.CORE_SAMPLE = 1 << 10         # sample fits the test segments
+    rng = random.Random(47)
+    data = bytes(rng.choice(b"fghij x") for _ in range(20000))
+    planted = b"foo" + b"ghijabcdeghijabcdeghijabcde"[:25] + b"z"
+    data = data[:5000] + planted + data[5000:15000] + planted \
+        + data[15000:]
+    segs = [data[i:i + 3001] for i in range(0, len(data), 3001)]
+    oracle = LazyDfa(sc.program)
+    exp_cnt, exp_st = oracle.count(data, 0)
+    assert exp_cnt >= 2
+    got = sc.count_stream(list(segs))
+    assert got == exp_cnt + int(oracle.match_eof(exp_st))
+    assert isinstance(sc._lazy_coret, LazyCoreTables)
+    exp_first, exp_state = oracle.scan_first(data, 0)
+    rid, end = sc.scan_stream(list(segs))
+    assert end == exp_first
+    assert rid == oracle.id_at(exp_state, data[exp_first])
+
+
+def test_scanner_stream_dense_core():
+    """A dense-DFA pattern whose static chain bottoms out streams on
+    the adaptive core tier built from the first segment."""
+    from sregex_tpu.stream import compile_pattern
+    from sregex_tpu.ops.pallas_core import CoreTables
+    sc = compile_pattern("word (?:[a-zA-Z0-9]+ ){0,10}otherword",
+                         use_device=True)
+    if sc.dfa is None or sc._core_eligible(sc._spec) is None:
+        pytest.skip("pattern no longer lands past the fast tiers")
+    sc.CORE_SAMPLE = 1 << 10
+    rng = random.Random(31)
+    data = bytes(rng.choice(b"word other ab1 ") for _ in range(12000))
+    data = data[:6000] + b" word ab c1 otherword " + data[6000:]
+    segs = [data[i:i + 2501] for i in range(0, len(data), 2501)]
+    assert sc.count_stream(list(segs)) == sc.count(data)
+    assert isinstance(sc._coret, CoreTables)
+    assert sc.scan_stream(list(segs)) == sc.scan(data)
+
+
 def test_scanner_stream_eof_boundary():
     """A match that ends exactly at EOF is reported at the total
     stream length (the count includes it; scan returns (id, n))."""
