@@ -551,6 +551,13 @@ class Scanner:
                else self._lazy_dfa().match_eof(state))
         return c + (1 if eof else 0)
 
+    def match_stream(self, segments, chunk_len=2048, in_flight=2):
+        """True iff the concatenated stream contains a match
+        (``match(b"".join(segments))``); stops dispatching shortly
+        after the first match on an unbounded stream."""
+        return self.scan_stream(segments, chunk_len=chunk_len,
+                                in_flight=in_flight) is not None
+
     def scan_stream(self, segments, chunk_len=2048, in_flight=2):
         """Pipelined streaming earliest-match scan: equivalent to
         ``scan(b"".join(segments))``.  Returns (regex_id,

@@ -159,7 +159,9 @@ def test_scanner_stream_api():
     sc = Scanner(prog, use_device=True, ast=ast)
     quiet = [b"xyz" * 100] * 3
     assert sc.scan_stream(quiet) == sc.scan(b"xyz" * 300)
-    assert sc.count_stream(quiet) == 0
+    assert sc.count_stream([b"xyz" * 100] * 3) == 0
+    assert not sc.match_stream([b"xyz" * 100] * 3)
+    assert sc.match_stream(_segments(data, rng))
 
 
 def test_pipelined_count_on_mesh():
