@@ -145,10 +145,12 @@ def _fold_core_count(ct, packed, raw, n, C, K, e_full):
 def _fold_core_first(ct, packed, raw, n, C, K, e_full):
     """Core-tier segment fold (first match): fired, escaped, or
     speculation-missed chunks re-scan natively on the FULL machine.
-    Returns (exit_full_or_state_at_boundary, rel_boundary or -1)."""
+    Returns (exit_full_or_state_at_boundary, rel_boundary or -1,
+    natively_repaired_chunks)."""
     from .pallas_core import _Fold
     fold = _Fold(ct, packed, C, K, n, quiet=True)
     c = 0
+    nat = 0
     while c < C:
         if fold.trusted(c, e_full):
             b = fold.run_end(c)
@@ -159,10 +161,11 @@ def _fold_core_first(ct, packed, raw, n, C, K, e_full):
         hi = min(lo + K, n)
         f, st = ct.native.scan_first(raw[lo:hi].tobytes(), e_full)
         if f >= 0:
-            return st, lo + f
+            return st, lo + f, nat
         e_full = st
         c += 1
-    return e_full, -1
+        nat += 1
+    return e_full, -1, nat
 
 
 class _Pipeline:
@@ -191,6 +194,7 @@ class _Pipeline:
         if self.ct is not None:
             self.native = self.ct.native      # the FULL machine
             self.e_full = entry_state         # full-state carry
+            self.ct.last_repair = None        # set on completed folds
         else:
             from ..native import NativeDfa
             self.native = NativeDfa(inner.dfa)
@@ -208,6 +212,14 @@ class _Pipeline:
 
     def dispatch(self, seg):
         """Prepare + enqueue one segment's kernel without blocking."""
+        if not isinstance(seg, bytes):
+            # snapshot: the fold re-reads this segment's raw bytes up
+            # to in_flight segments later (validation + native
+            # repair); a producer that reuses its read buffer
+            # (readinto / refilled ndarray — the file/network
+            # streaming pattern) must not be able to mutate bytes the
+            # fold hasn't consumed yet
+            seg = bytes(seg)
         n = len(seg)
         if self.first_seg:
             tail_cls = None
@@ -271,8 +283,9 @@ class _Pipeline:
                 self.total += add
                 self.nat += nat
             else:
-                self.e_full, rel = _fold_core_first(
+                self.e_full, rel, nat = _fold_core_first(
                     self.ct, packed, raw, n, C, K, self.e_full)
+                self.nat += nat
                 if rel >= 0:
                     self.first_abs = self.base + rel
                     self.first_byte = int(raw[rel])
@@ -327,12 +340,15 @@ def _run(tables, segments, chunk_len, entry_state, count_mode,
         pipe.dispatch(holdback)
     pipe.drain()
     if pipe.ct is not None:
+        # completed (no-early-exit) scans feed the Scanner's
+        # drift/re-core logic; early-match scans leave stats None
+        # like core_scan_bytes' matched path (their fold stops at
+        # the match, so repair fractions would be meaningless)
         if count_mode:
-            # completed scan: repair stats feed the Scanner's
-            # drift/re-core logic (first-match scans exit early, so
-            # their stats stay None like core_scan_bytes' fast path)
             pipe.ct.last_repair = (pipe.nat, max(pipe.nchunks, 1))
             return pipe.e_full, pipe.total
+        if pipe.first_abs < 0:
+            pipe.ct.last_repair = (pipe.nat, max(pipe.nchunks, 1))
         return (pipe.e_full, pipe.first_abs, pipe.first_byte,
                 pipe.base)
     if count_mode:

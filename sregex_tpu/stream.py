@@ -491,18 +491,30 @@ class Scanner:
 
     def _stream_tables(self, segments):
         """Tables + segment iterator for the pipelined stream APIs.
-        Peeks the first segment: when the adaptive core tier applies
-        (static chain bottomed out, or no dense machine at all) and
-        the first segment is big enough to sample, the core is built
-        from it and rides the pipeline; otherwise the static tier.
-        Returns (tables or None, iterator, drift_note_attr)."""
+        Peeks segments until DEVICE_THRESHOLD bytes accumulate (below
+        it the host carry loop wins — mirrors the single-buffer
+        gating; a short stream would pay per-segment dispatch+readback
+        RTT and possibly a kernel compile).  When the adaptive core
+        tier applies (static chain bottomed out, or no dense machine
+        at all) and the first segment is big enough to sample, the
+        core is built from it and rides the pipeline; otherwise the
+        static tier.  Peeked segments are snapshotted (producers may
+        reuse their read buffer between yields).  Returns (tables or
+        None, iterator, drift_note_attr)."""
         import itertools
         it = iter(segments)
-        try:
-            first = next(it)
-        except StopIteration:
-            return self._spec, iter(()), None
-        rest = itertools.chain([first], it)
+        peeked = []
+        total = 0
+        for seg in it:
+            peeked.append(seg if isinstance(seg, bytes)
+                          else bytes(seg))
+            total += len(seg)
+            if total >= self.DEVICE_THRESHOLD:
+                break
+        rest = itertools.chain(peeked, it)
+        if total < self.DEVICE_THRESHOLD:
+            return None, rest, None
+        first = peeked[0]
         if len(first) >= self.CORE_SAMPLE:
             if self.dfa is not None:
                 ct = self._core_tables(first)
@@ -566,12 +578,17 @@ class Scanner:
         discarded unfolded, so feeding an unbounded stream terminates
         shortly after the first match."""
         if self.use_device:
-            tables, segs, _note = self._stream_tables(segments)
+            tables, segs, note = self._stream_tables(segments)
             if tables is not None:
                 from .ops.pipeline import pipelined_scan
                 state, first, byte, nbytes = pipelined_scan(
                     tables, segs, chunk_len=chunk_len,
                     in_flight=in_flight, mesh=self.mesh)
+                if note is not None:
+                    # drift/re-core bookkeeping: a scan-only
+                    # streaming workload on a drifted corpus must
+                    # still trigger the re-core/decline logic
+                    self._core_note(tables, note)
                 eng = self.dfa if self.dfa is not None \
                     else self._lazy_dfa()
                 if first >= 0:

@@ -109,8 +109,13 @@ def test_device_prep_prev_tail_bit_identical():
         rng = random.Random(len(pattern))
         W = tables.warmup
         cm = tables.class_map.tobytes()
-        tail_raw = bytes(rng.randrange(256) for _ in range(W))
+        # tail bytes from the patterns' own alphabets so at least one
+        # maps to a nonzero class (random 0..255 bytes almost always
+        # land in the catch-all class, making the pad-vs-tail sanity
+        # check below vacuous)
+        tail_raw = bytes(rng.choice(b"ab1w cx") for _ in range(W))
         tail_cls = np.frombuffer(tail_raw.translate(cm), np.uint8)
+        differed = False
         for n in (1, 255, 4096):
             data = bytes(rng.randrange(256) for _ in range(n))
             host = _prepare(tables, data, 256,
@@ -121,12 +126,14 @@ def test_device_prep_prev_tail_bit_identical():
             assert np.array_equal(np.asarray(host[0]),
                                   np.asarray(dev[0])), \
                 (pattern, cls.__name__, n)
-            # and a real tail differs from the zero pad (sanity that
-            # the argument is actually threaded through)
+            # and a real tail must differ from the zero pad for at
+            # least one n (sanity that prev_tail_cls is actually
+            # threaded through, not silently dropped on both paths)
             base = _prepare(tables, data, 256)
             if not np.array_equal(np.asarray(host[0]),
                                   np.asarray(base[0])):
-                break
+                differed = True
+        assert differed, (pattern, cls.__name__)
 
 
 def test_device_prep_3bit_bit_identical(monkeypatch):

@@ -153,10 +153,12 @@ def test_scanner_stream_api():
     segs = _segments(data, rng)
     for use_device in (True, False):
         sc = Scanner(prog, use_device=use_device, ast=ast)
+        sc.DEVICE_THRESHOLD = 0     # small stream: force device path
         assert sc.count_stream(list(segs)) == sc.count(data)
         assert sc.scan_stream(list(segs)) == sc.scan(data)
     # no-match stream: EOF/None handling
     sc = Scanner(prog, use_device=True, ast=ast)
+    sc.DEVICE_THRESHOLD = 0
     quiet = [b"xyz" * 100] * 3
     assert sc.scan_stream(quiet) == sc.scan(b"xyz" * 300)
     assert sc.count_stream([b"xyz" * 100] * 3) == 0
@@ -247,6 +249,7 @@ def test_scanner_stream_lazy_core():
     sc = compile_pattern(b"foo[a-z]{20,40}z", use_device=True)
     assert sc.dfa is None            # past the eager budget
     sc.CORE_SAMPLE = 1 << 10         # sample fits the test segments
+    sc.DEVICE_THRESHOLD = 0          # small stream: force device path
     rng = random.Random(47)
     data = bytes(rng.choice(b"fghij x") for _ in range(20000))
     planted = b"foo" + b"ghijabcdeghijabcdeghijabcde"[:25] + b"z"
@@ -275,6 +278,7 @@ def test_scanner_stream_dense_core():
     if sc.dfa is None or sc._core_eligible(sc._spec) is None:
         pytest.skip("pattern no longer lands past the fast tiers")
     sc.CORE_SAMPLE = 1 << 10
+    sc.DEVICE_THRESHOLD = 0
     rng = random.Random(31)
     data = bytes(rng.choice(b"word other ab1 ") for _ in range(12000))
     data = data[:6000] + b" word ab c1 otherword " + data[6000:]
@@ -294,5 +298,48 @@ def test_scanner_stream_eof_boundary():
     segs = [data[:100], data[100:503], data[503:]]
     for use_device in (True, False):
         sc = Scanner(prog, use_device=use_device, ast=ast)
+        sc.DEVICE_THRESHOLD = 0
         assert sc.count_stream(list(segs)) == 1
         assert sc.scan_stream(list(segs)) == (0, len(data))
+
+
+def test_pipeline_snapshots_reused_buffers():
+    """A producer that reuses its read buffer between yields (the
+    readinto file/network pattern) must not corrupt segments the fold
+    hasn't consumed yet: dispatch snapshots mutable segments."""
+    ast, _ = parse("ab")
+    dfa = build_dfa(compile_regex(ast))
+    tables = SpecTables(dfa)
+    native = NativeDfa(dfa)
+    rng = random.Random(99)
+    data = _corpus(rng, b"aabbc ", 20000, [(9000, b"abab")])
+    exp, est = native.count(data, 0)
+
+    def reusing_producer():
+        buf = bytearray(1700)
+        for i in range(0, len(data), 1700):
+            chunk = data[i:i + 1700]
+            buf[:len(chunk)] = chunk
+            yield memoryview(buf)[:len(chunk)]
+
+    st, got = pipelined_count(tables, reusing_producer(),
+                              chunk_len=240, in_flight=3)
+    assert (got, st) == (exp, est)
+
+
+def test_scanner_stream_small_gates_to_host():
+    """Streams below DEVICE_THRESHOLD take the native carry loop (no
+    per-segment dispatch RTT), with identical results."""
+    from sregex_tpu.stream import Scanner
+    ast, _ = parse("(?:a|b)aa(?:aa|bb)cc(?:a|b)")
+    prog = compile_regex(ast)
+    rng = random.Random(7)
+    data = _corpus(rng, b"abc", 5000, [(2500, b"baaaacca")])
+    segs = _segments(data, rng)
+    sc = Scanner(prog, use_device=True, ast=ast)
+    assert sc.DEVICE_THRESHOLD > len(data)   # default gating applies
+    tables, it, note = sc._stream_tables(list(segs))
+    assert tables is None and note is None
+    assert b"".join(bytes(s) for s in it) == data  # stream intact
+    assert sc.count_stream(list(segs)) == sc.count(data)
+    assert sc.scan_stream(list(segs)) == sc.scan(data)
