@@ -61,6 +61,8 @@ class SpecTablesBig:
     one select.
     """
 
+    last_repair = None   # see pallas_scan.SpecTables.last_repair
+
     def __init__(self, dfa, fast=None):
         import os
         if fast is None:

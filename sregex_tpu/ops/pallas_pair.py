@@ -48,6 +48,8 @@ class SpecTablesPair:
 
     MAX_ENTRIES = 1024
 
+    last_repair = None   # see SpecTables.last_repair
+
     def __init__(self, dfa, narrow_only=False):
         S, cb = dfa.nstates, dfa.nclasses
         npair = cb * cb

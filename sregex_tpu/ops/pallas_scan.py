@@ -64,6 +64,11 @@ DEFAULT_K = 2048     # nominal chunk length (rounded to the packing)
 class SpecTables:
     """Host-side preprocessing of a Dfa for the speculative kernel."""
 
+    # repair stats of the last completed no-match scan: (natively
+    # repaired chunks, total chunks); None after a matched/early-exit
+    # scan.  Feeds Scanner.stats().
+    last_repair = None
+
     def __init__(self, dfa):
         S, ncls = dfa.nstates, dfa.nclasses
         if S * ncls > 128:
@@ -126,6 +131,8 @@ class SpecTablesWide:
     # big tier for mid-size automata whose corpora the adaptive core
     # can't cover.
     MAX_ENTRIES = 4096
+
+    last_repair = None   # see SpecTables.last_repair
 
     def __init__(self, dfa):
         S, ncls = dfa.nstates, dfa.nclasses
@@ -690,7 +697,9 @@ def spec_scan_bytes(tables, data_np, chunk_len=DEFAULT_K,
     # device and are pulled only for the repair path
     summ = np.asarray(summary).astype(np.int64)
     all_ok, fb = bool(summ[0]), int(summ[1])
+    tables.last_repair = None   # set on completed (no-match) scans
     if all_ok:
+        tables.last_repair = (0, C)
         return int(summ[6]) // ncls, -1
 
     raw = np.frombuffer(data_np, dtype=np.uint8) \
@@ -711,6 +720,7 @@ def spec_scan_bytes(tables, data_np, chunk_len=DEFAULT_K,
     phi, many, swarm = _unpack(packed, C)
     e = entry_fb
     c = fb
+    nat = 0
     while c < C:
         lo = c * K
         hi = min(lo + K, n)
@@ -723,6 +733,8 @@ def spec_scan_bytes(tables, data_np, chunk_len=DEFAULT_K,
             return st, lo + f
         e = st * ncls
         c += 1
+        nat += 1
+    tables.last_repair = (nat, C)
     return e // ncls, -1
 
 
@@ -764,6 +776,7 @@ def spec_count_bytes(tables, data_np, chunk_len=DEFAULT_K,
         # accumulates in int32; past 2**31-1 possible boundaries the
         # exact total is re-summed on host in int64 from the per-chunk
         # counts (a ~4*C-byte readback, only for >2 GiB corpora).
+        tables.last_repair = (0, C)
         if n < 2 ** 31:
             return int(summ[6]) // ncls, int(summ[7])
         _, cnt, _ = _unpack(packed, C)
@@ -778,6 +791,7 @@ def spec_count_bytes(tables, data_np, chunk_len=DEFAULT_K,
     phi, cnt, swarm = _unpack(packed, C)
     e = int(summ[2])
     c = fb
+    nat = 0
     while c < C:
         lo = c * K
         hi = min(lo + K, n)
@@ -788,7 +802,9 @@ def spec_count_bytes(tables, data_np, chunk_len=DEFAULT_K,
             k, st = native.count(raw[lo:hi].tobytes(), e // ncls)
             total += k
             e = st * ncls
+            nat += 1
         c += 1
+    tables.last_repair = (nat, C)
     return e // ncls, total
 
 

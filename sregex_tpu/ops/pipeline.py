@@ -57,21 +57,22 @@ def _as_np(seg):
 
 def _fold_count(native, raw, n, C, K, ncls, phi, cnt, swarm, e):
     """Validate one segment's chunk chain from the true entry
-    (premultiplied) ``e``; returns (exit_premult, segment_count).
-    Vectorized in the common all-validated case; mismatched or ragged
-    chunks re-count natively."""
+    (premultiplied) ``e``; returns (exit_premult, segment_count,
+    natively_repaired_chunks).  Vectorized in the common all-validated
+    case; mismatched or ragged chunks re-count natively."""
     ragged = C * K > n
     pred = np.concatenate(([e], phi[:-1]))
     ok = swarm == pred
     if ragged:
         ok[C - 1] = False
     if ok.all():
-        return int(phi[-1]), int(np.sum(cnt, dtype=np.int64))
+        return int(phi[-1]), int(np.sum(cnt, dtype=np.int64)), 0
     # by induction the prefix before the first failure is exact
     fb = int(np.argmin(ok))
     total = int(np.sum(cnt[:fb], dtype=np.int64))
     e = int(pred[fb])
     c = fb
+    nat = 0
     while c < C:
         lo = c * K
         hi = min(lo + K, n)
@@ -82,25 +83,27 @@ def _fold_count(native, raw, n, C, K, ncls, phi, cnt, swarm, e):
             k, st = native.count(raw[lo:hi].tobytes(), e // ncls)
             total += k
             e = st * ncls
+            nat += 1
         c += 1
-    return int(e), total
+    return int(e), total, nat
 
 
 def _fold_first(native, raw, n, C, K, ncls, phi, fm, swarm, e):
     """Validate one segment's chain from entry ``e`` looking for the
-    FIRST match boundary.  Returns (exit_premult, rel_boundary or -1);
-    on a match the exit is the state AT the boundary (spec_scan_bytes
-    contract)."""
+    FIRST match boundary.  Returns (exit_premult, rel_boundary or -1,
+    natively_repaired_chunks); on a match the exit is the state AT
+    the boundary (spec_scan_bytes contract)."""
     ragged = C * K > n
     pred = np.concatenate(([e], phi[:-1]))
     ok = (swarm == pred) & (fm == 0)
     if ragged:
         ok[C - 1] = False
     if ok.all():
-        return int(phi[-1]), -1
+        return int(phi[-1]), -1, 0
     fb = int(np.argmin(ok))
     e = int(pred[fb])
     c = fb
+    nat = 0
     while c < C:
         lo = c * K
         hi = min(lo + K, n)
@@ -110,10 +113,11 @@ def _fold_first(native, raw, n, C, K, ncls, phi, fm, swarm, e):
             continue
         f, st = native.scan_first(raw[lo:hi].tobytes(), e // ncls)
         if f >= 0:
-            return st * ncls, lo + f
+            return st * ncls, lo + f, nat
         e = st * ncls
         c += 1
-    return int(e), -1
+        nat += 1
+    return int(e), -1, nat
 
 
 def _fold_core_count(ct, packed, raw, n, C, K, e_full):
@@ -293,14 +297,16 @@ class _Pipeline:
             return
         phi, fmcnt, swarm = _unpack(packed, C)
         if self.count_mode:
-            self.e, add = _fold_count(self.native, raw, n, C, K,
-                                      self.ncls, phi, fmcnt, swarm,
-                                      self.e)
+            self.e, add, nat = _fold_count(self.native, raw, n, C, K,
+                                           self.ncls, phi, fmcnt,
+                                           swarm, self.e)
             self.total += add
+            self.nat += nat
         else:
-            self.e, rel = _fold_first(self.native, raw, n, C, K,
-                                      self.ncls, phi, fmcnt, swarm,
-                                      self.e)
+            self.e, rel, nat = _fold_first(self.native, raw, n, C, K,
+                                           self.ncls, phi, fmcnt,
+                                           swarm, self.e)
+            self.nat += nat
             if rel >= 0:
                 self.first_abs = self.base + rel
                 self.first_byte = int(raw[rel])
@@ -339,6 +345,10 @@ def _run(tables, segments, chunk_len, entry_state, count_mode,
     if holdback and not pipe.done_early:
         pipe.dispatch(holdback)
     pipe.drain()
+    # observability: total bytes folded (== stream length unless a
+    # first-match fold exited early), read by Scanner.stats()
+    (pipe.ct if pipe.ct is not None
+     else pipe.tables).last_fold_bytes = pipe.base
     if pipe.ct is not None:
         # completed (no-early-exit) scans feed the Scanner's
         # drift/re-core logic; early-match scans leave stats None
@@ -351,6 +361,11 @@ def _run(tables, segments, chunk_len, entry_state, count_mode,
             pipe.ct.last_repair = (pipe.nat, max(pipe.nchunks, 1))
         return (pipe.e_full, pipe.first_abs, pipe.first_byte,
                 pipe.base)
+    # static tiers: same stats convention (Scanner.stats() reads it)
+    if count_mode or pipe.first_abs < 0:
+        pipe.tables.last_repair = (pipe.nat, max(pipe.nchunks, 1))
+    else:
+        pipe.tables.last_repair = None
     if count_mode:
         return pipe.e // pipe.ncls, pipe.total
     return (pipe.e // pipe.ncls, pipe.first_abs, pipe.first_byte,

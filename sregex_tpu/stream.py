@@ -21,10 +21,13 @@ to the Pike VM on a bounded window once the DFA has located a match
 end — the DFA is the filter, Pike is the resolver.
 """
 
+import time
+
 import numpy as np
 
 from .consts import SRE_OK, SRE_AGAIN, SRE_DECLINED, SRE_ERROR, sre_isword
 from .dfa import build_dfa, DfaTooLarge
+from .diag import ScanStats, degraded
 from .pike_vm import PikeCtx
 
 
@@ -48,9 +51,17 @@ def _build_spec_tables(dfa):
             return cls(dfa)
         except ValueError:
             continue
-        except Exception:
+        except Exception as e:
             # device backend unavailable/broken at runtime: degrade
-            # to the host engines rather than failing the scan API
+            # to the host engines rather than failing the scan API —
+            # but loudly (warn once; SREGEX_STRICT_DEVICE=1 raises):
+            # a broken device stack silently serving host-rate scans
+            # is an outage in production
+            name = getattr(cls, "__name__", None) or getattr(
+                getattr(cls, "func", None), "__name__", str(cls))
+            degraded("spec-tier",
+                     f"device tier construction failed "
+                     f"({name}: {e!r})")
             return None
     return None
 
@@ -249,10 +260,16 @@ class Scanner:
                 try:
                     from .ops.tdfa_scan import TdfaSpecTables
                     self._tdfa_spec = TdfaSpecTables(prog)
-                except Exception:
-                    # too large for the tagged kernel, or the device
-                    # backend is unavailable: the multi-pass paths
-                    # (and ultimately the host engines) cover it
+                except (DfaTooLarge, ValueError):
+                    # too large for the tagged kernel: the multi-pass
+                    # paths (and ultimately the host engines) cover it
+                    self._tdfa_spec = None
+                except Exception as e:
+                    # device backend broken at runtime: fall back,
+                    # but loudly (SREGEX_STRICT_DEVICE=1 raises)
+                    degraded("tdfa-tier",
+                             f"tagged-DFA tier construction failed "
+                             f"({e!r})")
                     self._tdfa_spec = None
         # adaptive hot-core tier (ops/pallas_core.py): built lazily
         # from a corpus sample when the static chain bottomed out at
@@ -359,6 +376,32 @@ class Scanner:
         else:
             setattr(self, strikes, 0)
 
+    def _note_stats(self, api, tier, nbytes, t0):
+        """Record one completed scan (Scanner.stats()).  ``tier`` is
+        the tables object that served it (None = host engines); chunk
+        and repair counts come from its last_repair convention."""
+        rep = getattr(tier, "last_repair", None) \
+            if tier is not None else None
+        nat, chunks = rep if rep is not None else (0, 0)
+        recore = (getattr(self, "_coret_rebuilds", 0)
+                  + getattr(self, "_lazy_coret_rebuilds", 0)
+                  + getattr(self, "_rev_coret_rebuilds", 0))
+        name = type(tier).__name__ if tier is not None else (
+            "native" if self.dfa is not None else "lazy")
+        self.last_stats = ScanStats(
+            api, name, nbytes, chunks=chunks, repaired=nat,
+            recore_events=recore,
+            elapsed_ms=(time.perf_counter() - t0) * 1e3)
+
+    def stats(self):
+        """Observability: the last completed match/count/scan/stream
+        call's ScanStats (which tier served it, kernel chunk count,
+        natively repaired chunks, cumulative re-core events, wall
+        ms), or None before any scan.  Matched first-match scans
+        report chunks=repaired=0 (their fold exits at the match, so
+        coverage fractions would be meaningless)."""
+        return getattr(self, "last_stats", None)
+
     def _rev_core_tables(self, data):
         """Core tier for the REVERSE machine (find()'s start scan and
         the finditer start locator).  Same protocol as _core_tables;
@@ -388,6 +431,7 @@ class Scanner:
         return PreparedCorpus(data, chunk_len)
 
     def _scan_first(self, data, prepared=None):
+        t0 = time.perf_counter()
         if len(data) >= self.DEVICE_THRESHOLD:
             ct = self._core_tables(data)
             if ct is not None:
@@ -396,6 +440,7 @@ class Scanner:
                     ct, data, prepared=prepared.for_tables(ct.inner)
                     if prepared else None, mesh=self.mesh)
                 self._core_note(ct)
+                self._note_stats("scan", ct, len(data), t0)
                 return first, state
         if self._spec is not None and len(data) >= self.DEVICE_THRESHOLD:
             from .ops.pallas_scan import spec_scan_bytes
@@ -403,8 +448,11 @@ class Scanner:
                 self._spec, data,
                 prepared=prepared.for_tables(self._spec)
                 if prepared else None, mesh=self.mesh)
+            self._note_stats("scan", self._spec, len(data), t0)
             return first, state
-        return self._native.scan_first(data, 0)
+        r = self._native.scan_first(data, 0)
+        self._note_stats("scan", None, len(data), t0)
+        return r
 
     def match(self, data, prepared=None):
         if self.dfa is None:
@@ -428,6 +476,7 @@ class Scanner:
         sre_vm_pike.c:607-658)."""
         if self.dfa is None:
             lazy = self._lazy_dfa()
+            t0 = time.perf_counter()
             ct = (self._lazy_core_tables(data)
                   if len(data) >= self.DEVICE_THRESHOLD else None)
             if ct is not None:
@@ -438,6 +487,7 @@ class Scanner:
                 self._core_note(ct, "_lazy_coret")
             else:
                 first, state = lazy.scan_first(data, 0)
+            self._note_stats("scan", ct, len(data), t0)
             if first >= 0:
                 return lazy.id_at(state, data[first]), first
             rid = lazy.match_eof_id(state)
@@ -450,6 +500,7 @@ class Scanner:
 
     def count(self, data, prepared=None):
         """Number of match-ending boundaries (including EOF)."""
+        t0 = time.perf_counter()
         if self.dfa is None:
             # patterns past the eager-DFA budget fall back to the lazy
             # machine (universality: no public API raises on size) —
@@ -465,6 +516,7 @@ class Scanner:
                 self._core_note(ct, "_lazy_coret")
             else:
                 c, state = lazy.count(data, 0)
+            self._note_stats("count", ct, len(data), t0)
             if lazy.match_eof(state):
                 c += 1
             return c
@@ -476,6 +528,7 @@ class Scanner:
                 ct, data, prepared=prepared.for_tables(ct.inner)
                 if prepared else None, mesh=self.mesh)
             self._core_note(ct)
+            self._note_stats("count", ct, len(data), t0)
         elif self._spec is not None \
                 and len(data) >= self.DEVICE_THRESHOLD:
             from .ops.pallas_scan import spec_count_bytes
@@ -483,8 +536,10 @@ class Scanner:
                 self._spec, data,
                 prepared=prepared.for_tables(self._spec)
                 if prepared else None, mesh=self.mesh)
+            self._note_stats("count", self._spec, len(data), t0)
         else:
             c, state = self._native.count(data, 0)
+            self._note_stats("count", None, len(data), t0)
         if self.dfa.match_eof[state]:
             c += 1
         return c
@@ -538,6 +593,7 @@ class Scanner:
         first segment).  Patterns without any device tier fall back
         to the native (or lazy) table walk with a plain state carry
         — the streaming semantics are identical either way."""
+        t0 = time.perf_counter()
         if self.use_device:
             tables, segments, note = self._stream_tables(segments)
             if tables is not None:
@@ -547,6 +603,9 @@ class Scanner:
                     in_flight=in_flight, mesh=self.mesh)
                 if note is not None:
                     self._core_note(tables, note)
+                self._note_stats(
+                    "count_stream", tables,
+                    getattr(tables, "last_fold_bytes", -1), t0)
                 eof = (self.dfa.match_eof[state]
                        if self.dfa is not None
                        else self._lazy_dfa().match_eof(state))
@@ -554,11 +613,14 @@ class Scanner:
         eng = self._native if self.dfa is not None \
             else self._lazy_dfa()
         state, c = 0, 0
+        nbytes = 0
         for seg in segments:
             if len(seg) == 0:
                 continue
             k, state = eng.count(seg, state)
             c += k
+            nbytes += len(seg)
+        self._note_stats("count_stream", None, nbytes, t0)
         eof = (self.dfa.match_eof[state] if self.dfa is not None
                else self._lazy_dfa().match_eof(state))
         return c + (1 if eof else 0)
@@ -577,6 +639,7 @@ class Scanner:
         match ends at EOF.  Segments dispatched past the match are
         discarded unfolded, so feeding an unbounded stream terminates
         shortly after the first match."""
+        t0 = time.perf_counter()
         if self.use_device:
             tables, segs, note = self._stream_tables(segments)
             if tables is not None:
@@ -589,6 +652,7 @@ class Scanner:
                     # streaming workload on a drifted corpus must
                     # still trigger the re-core/decline logic
                     self._core_note(tables, note)
+                self._note_stats("scan_stream", tables, nbytes, t0)
                 eng = self.dfa if self.dfa is not None \
                     else self._lazy_dfa()
                 if first >= 0:
@@ -607,11 +671,13 @@ class Scanner:
             f, st = eng.scan_first(seg, state)
             if f >= 0:
                 byte = seg[f]
+                self._note_stats("scan_stream", None, base + f, t0)
                 if self.dfa is not None:
                     return self.dfa.id_at(st, byte), base + f
                 return self._lazy_dfa().id_at(st, byte), base + f
             state = st
             base += len(seg)
+        self._note_stats("scan_stream", None, base, t0)
         if self.dfa is not None:
             rid = int(self.dfa.match_eof_id[state])
         else:
