@@ -1,11 +1,11 @@
 """True multi-process (multi-host) sharded scan.
 
-Each process holds only ITS slice of the corpus (dist.host_slice);
-the kernel runs ONCE collectively over the global mesh, and the host
-validation fold runs identically on every process from the replicated
-per-chunk planes, handing the sequential carry across processes with
-one tiny allgather per natively-repaired chunk (the owner of the
-chunk's raw bytes repairs it and broadcasts the result).
+Each process holds only ITS slice of the corpus; the kernel runs ONCE
+collectively over the global mesh, and the host validation fold runs
+identically on every process from the replicated per-chunk planes,
+handing the sequential carry across processes with one tiny allgather
+per natively-repaired chunk (the owner of the chunk's raw bytes
+repairs it and broadcasts the result).
 
 This is the general multi-host protocol of the design (SURVEY.md §5
 "distributed backend"): tables replicated, corpus shards data-
@@ -13,17 +13,30 @@ parallel, collectives limited to per-scan summaries.  The 2-host
 scaling target (BASELINE.md) is structural — the only cross-host
 traffic is O(C) bytes of planes + O(repairs) scalars.
 
-Layout contract: the kernel shards the BLOCK dim, and one block is
-LANES (= 4096) chunks, so every process except the last must hold
-exactly ``B_local * LANES * chunk_len`` bytes (block_bytes()); the
-last process may be ragged (its in-block padding sits past the global
-chunk count, which the device validation already treats as pad).
-``host_slices`` computes compliant ranges.
+Slice layout.  The kernel shards the BLOCK dim, and one block is
+LANES (= 4096) chunks.  Two regimes:
+
+- ALIGNED (``host_slices`` ranges): every process except the last is
+  block-exact, so lane order == corpus-chunk order and the device
+  summary's validated-prefix shortcut applies (zero plane readback on
+  clean scans).
+- RAGGED (arbitrary non-empty byte ranges): processes pad their
+  prepped blocks to a common count; pad lanes interleave between
+  processes, so the fold switches to a pad-aware lane map (corpus
+  chunk -> lane) built from an allgathered (blocks, chunks, bytes)
+  triple per process, ignores the device summary (its chain assumes
+  lane order), and repairs each process's ragged LAST chunk natively
+  via the owner-broadcast handoff.  Exactness is identical; the cost
+  is the O(C) plane readback on every scan.  Real corpus splits
+  (files of arbitrary size per host) need no re-chopping.
 
 Tested end-to-end with two real jax.distributed processes on the
 virtual CPU mesh (tests/multihost_runner.py; pytest wrapper
-tests/test_multihost.py spawns the processes).
+tests/test_multihost.py spawns the processes), including ragged
+FIRST-process slices.
 """
+
+from types import SimpleNamespace
 
 import numpy as np
 
@@ -38,15 +51,15 @@ def block_bytes(chunk_len):
 
 
 def host_slices(nbytes, nprocs, chunk_len, ndevices):
-    """Aligned [lo, hi) corpus ranges per process.
+    """Aligned [lo, hi) corpus ranges per process (the FAST layout:
+    lane order == chunk order, device-summary shortcut applies).
 
-    Layout constraints: every process contributes the same number of
-    blocks to the global array (sharding needs nprocs*bpp divisible
-    by ndevices), and every process except the LAST must be
-    block-exact — partially-filled blocks would interleave pad lanes
-    between processes and break the global chunk ordering.  The last
-    process's range must still be large enough that its prep yields
-    the same block count (> (bpp-1) blocks' worth of bytes)."""
+    Every process contributes the same number of blocks (sharding
+    needs nprocs*bpp divisible by ndevices), and every process except
+    the LAST is block-exact.  count_multihost/scan_multihost also
+    accept ARBITRARY non-empty ranges (see module docstring) — use
+    this helper when the caller controls the split, pass natural file
+    boundaries when it doesn't."""
     bb = block_bytes(chunk_len)
     bpp = max(1, -(-nbytes // (bb * nprocs)))
     while (nprocs * bpp) % ndevices:
@@ -69,55 +82,73 @@ def _replicated(mesh, arr):
         NamedSharding(mesh, P()), np.asarray(arr))
 
 
-def count_multihost(tables, local_bytes, mesh, chunk_len,
-                    full_len, entry_state=0, axis="data"):
-    """Count match-ending boundaries (0..full_len-1) of the global
-    corpus, of which this process holds ``local_bytes`` (its
-    host_slices range).  Returns (final_state, count), identical on
-    every process.  EOF boundary is the caller's (tables.match_eof).
-    """
+def _launch(tables, local_bytes, mesh, chunk_len, full_len,
+            entry_state, axis, COUNT):
+    """Shared prep + collective kernel launch.  Returns a namespace
+    with the replicated summary, the unpacked per-chunk planes in
+    CORPUS order (ragged mode only; None in aligned mode unless the
+    caller pulls them), and the fold geometry."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     from jax.experimental import multihost_utils as mhu
-    from ..native import NativeDfa
     from ..ops.prep import prepare_auto
-    from ..ops.pallas_scan import _unpack
+    from ..ops.pallas_scan import effective_chunk
+    import jax.numpy as jnp
 
     assert not type(tables).__name__.endswith("Pair"), \
         "byte-alphabet tiers only (pair premultiplies by ncls^2)"
-    from ..ops.pallas_scan import effective_chunk
     pid = jax.process_index()
     nproc = jax.process_count()
     K = effective_chunk(tables, chunk_len)
     assert K == chunk_len, \
         "chunk_len %d is not prep-exact for these tables (use %d; " \
-        "host_slices must be computed with the same value)" \
+        "slices must be computed with the same value)" \
         % (chunk_len, K)
     ncls = tables.ncls
     W = tables.warmup
     n = full_len
-    C = -(-n // K)                       # global real chunks
     bb = block_bytes(K)
+    n_loc = len(local_bytes)
+    assert n_loc > 0, "every process must hold a non-empty slice"
 
-    # local prep; non-last processes must be block-exact (a partially
-    # filled block would interleave pad lanes between processes and
-    # break the global chunk ordering)
-    if pid < nproc - 1:
-        assert len(local_bytes) % bb == 0, \
-            "non-last process slice must be block-exact (host_slices)"
     prepared = prepare_auto(tables, local_bytes, K)
     data, C_loc, _K, J, B_loc = prepared
-    if pid < nproc - 1:
-        assert B_loc * LANES == C_loc, "prep left pad lanes in-block"
+    meta = mhu.process_allgather(
+        np.array([B_loc, C_loc, n_loc], np.int64))
+    Bs = meta[:, 0].astype(np.int64)
+    Cs = meta[:, 1].astype(np.int64)
+    Ns = meta[:, 2].astype(np.int64)
+    assert int(Ns.sum()) == n, \
+        "slices cover %d bytes, corpus is %d" % (int(Ns.sum()), n)
+    ndev = mesh.devices.size
 
-    # every process must contribute the same number of blocks, and
-    # the global block count must shard evenly over the mesh
-    b_all = mhu.process_allgather(np.array([B_loc]))
-    assert int(b_all.min()) == int(b_all.max()), \
-        "uneven block counts across processes: %r" % (b_all.ravel(),)
-    B_glob = int(b_all.sum())
-    assert B_glob % mesh.devices.size == 0, \
-        "global blocks (%d) must divide over %d devices (host_slices)" \
-        % (B_glob, mesh.devices.size)
+    uniform = (int(Bs.min()) == int(Bs.max())
+               and int(Bs.sum()) % ndev == 0
+               and all(int(Ns[p]) % bb == 0 for p in range(nproc - 1)))
+    if uniform:
+        B_glob = int(Bs.sum())
+        C_kernel = -(-n // K)              # global real chunks
+        bad_tail = (C_kernel - 1) \
+            if C_kernel * K > n and (n - (C_kernel - 1) * K) != K \
+            else -1
+    else:
+        # RAGGED: pad every process to a common block count that
+        # shards evenly; pad lanes scan zero classes and the fold
+        # ignores them via the lane map
+        B_tgt = int(Bs.max())
+        ndev_loc = max(1, ndev // nproc)
+        while B_tgt % ndev_loc or (nproc * B_tgt) % ndev:
+            B_tgt += 1
+        if B_loc < B_tgt:
+            d = np.asarray(data)
+            pad = np.zeros((B_tgt - B_loc,) + d.shape[1:], d.dtype)
+            data = np.concatenate([d, pad], axis=0)
+            B_loc = B_tgt
+        B_glob = nproc * B_tgt
+        # the device summary's chain assumes lane==chunk order, which
+        # pad interleaving breaks — mark every lane "real" and let the
+        # pad-aware host fold decide; the summary is discarded
+        C_kernel = B_glob * LANES
+        bad_tail = -1
 
     sh = NamedSharding(mesh, P(axis))
     gdata = jax.make_array_from_process_local_data(
@@ -137,48 +168,107 @@ def count_multihost(tables, local_bytes, mesh, chunk_len,
     orig = getattr(tables, fused_attr)
     setattr(tables, fused_attr, _replicated(mesh, orig))
     try:
-        bad_tail = (C - 1) if C * K > n and (n - (C - 1) * K) != K \
-            else -1
-        import jax.numpy as jnp
         summary, packed = tables._scan(
-            gdata, gs0, gj0, jnp.int32(C), jnp.int32(bad_tail), J, W,
-            COUNT=True, mesh=mesh, axis=axis)
+            gdata, gs0, gj0, jnp.int32(C_kernel),
+            jnp.int32(bad_tail), J, W, COUNT=COUNT, mesh=mesh,
+            axis=axis)
     finally:
         setattr(tables, fused_attr, orig)
 
-    # replicate the outputs so every process can read them directly
     rep = jax.jit(lambda x: x,
                   out_shardings=NamedSharding(mesh, P()))
     summ = np.asarray(rep(summary)).astype(np.int64)
-    if bool(summ[0]) and n < 2 ** 31:
-        return int(summ[6]) // ncls, int(summ[7])
-    phi, cnt, swarm = _unpack(np.asarray(rep(packed)), C)
 
-    # replicated fold; the owner of a chunk's bytes repairs it and
-    # broadcasts (count, exit state) — every process walks the same
-    # control flow, so the collectives stay in lockstep
     raw = np.frombuffer(local_bytes, dtype=np.uint8) \
         if not isinstance(local_bytes, np.ndarray) else local_bytes
-    native = NativeDfa(tables.dfa)
-    chunks_per_proc = B_loc * LANES
-    my_lo = pid * chunks_per_proc            # my first global chunk
+    first_chunk = np.concatenate(
+        ([0], np.cumsum(Cs)))                   # global chunk base / p
+    slice_off = np.concatenate(([0], np.cumsum(Ns)))
+    return SimpleNamespace(
+        pid=pid, nproc=nproc, K=K, ncls=ncls, n=n,
+        uniform=uniform, summ=summ, packed=packed, rep=rep,
+        C=(C_kernel if uniform else int(Cs.sum())),
+        C_lanes=B_glob * LANES, bad_tail=bad_tail,
+        Bs=Bs, Cs=Cs, Ns=Ns, B_loc=B_loc, raw=raw,
+        first_chunk=first_chunk, slice_off=slice_off, mhu=mhu)
 
-    full = np.ones(C, dtype=bool)
-    if bad_tail >= 0:
-        full[bad_tail] = False
+
+def _lane_planes(mh):
+    """Unpack the replicated per-chunk planes and reindex them into
+    CORPUS-chunk order (pad-aware: process p's real chunks live at
+    lanes [p*B_tgt*LANES, p*B_tgt*LANES + Cs[p]))."""
+    from ..ops.pallas_scan import _unpack
+    a, b, c = _unpack(np.asarray(mh.rep(mh.packed)), mh.C_lanes)
+    per = mh.C_lanes // mh.nproc
+    lanes = np.concatenate(
+        [p * per + np.arange(int(mh.Cs[p])) for p in range(mh.nproc)])
+    return a[lanes], b[lanes], c[lanes]
+
+
+def _full_vec(mh):
+    """full[c]: corpus chunk c covers exactly K real bytes (each
+    process's last chunk is ragged iff its slice isn't K-exact)."""
+    full = np.ones(mh.C, dtype=bool)
+    for p in range(mh.nproc):
+        if int(mh.Ns[p]) % mh.K:
+            full[int(mh.first_chunk[p] + mh.Cs[p]) - 1] = False
+    return full
+
+
+def _owner_of(mh, c):
+    p = int(np.searchsorted(mh.first_chunk, c, side="right")) - 1
+    lc = c - int(mh.first_chunk[p])
+    lo = lc * mh.K
+    hi = min(lo + mh.K, int(mh.Ns[p]))
+    return p, lo, hi
+
+
+def count_multihost(tables, local_bytes, mesh, chunk_len,
+                    full_len, entry_state=0, axis="data"):
+    """Count match-ending boundaries (0..full_len-1) of the global
+    corpus, of which this process holds ``local_bytes`` (an aligned
+    host_slices range, or ANY non-empty byte range — see module
+    docstring).  Returns (final_state, count), identical on every
+    process.  EOF boundary is the caller's (tables.match_eof)."""
+    from ..native import NativeDfa
+    from ..ops.pallas_scan import _unpack
+
+    mh = _launch(tables, local_bytes, mesh, chunk_len, full_len,
+                 entry_state, axis, COUNT=True)
+    K, ncls, C = mh.K, mh.ncls, mh.C
+    native = NativeDfa(tables.dfa)
+
+    if mh.uniform:
+        summ = mh.summ
+        if bool(summ[0]) and mh.n < 2 ** 31:
+            return int(summ[6]) // ncls, int(summ[7])
+        phi, cnt, swarm = _unpack(np.asarray(mh.rep(mh.packed)), C)
+        full = np.ones(C, dtype=bool)
+        if mh.bad_tail >= 0:
+            full[mh.bad_tail] = False
+        if bool(summ[0]):
+            # count overflowed int32 summary: re-sum on host
+            return int(summ[6]) // ncls, \
+                int(np.sum(cnt, dtype=np.int64))
+        e = int(summ[2])
+        c = int(summ[1])
+        total = int(summ[7])
+    else:
+        phi, cnt, swarm = _lane_planes(mh)
+        full = _full_vec(mh)
+        e = entry_state * ncls
+        c = 0
+        total = 0
+
     cont = np.zeros(C, dtype=bool)
     if C > 1:
         cont[:C - 1] = full[1:] & (swarm[1:] == phi[:C - 1])
     breaks = np.flatnonzero(~cont)
     cum = np.cumsum(cnt.astype(np.int64))
 
-    if bool(summ[0]):
-        # count overflowed int32 summary: re-sum on host
-        return int(summ[6]) // ncls, int(cum[C - 1])
-
-    total = int(summ[7])
-    e = int(summ[2])                         # premult entry at fb
-    c = int(summ[1])
+    # replicated fold; the owner of a chunk's bytes repairs it and
+    # broadcasts (count, exit state) — every process walks the same
+    # control flow, so the collectives stay in lockstep
     while c < C:
         if full[c] and int(swarm[c]) == e:
             b = int(breaks[np.searchsorted(breaks, c)])
@@ -186,15 +276,13 @@ def count_multihost(tables, local_bytes, mesh, chunk_len,
             e = int(phi[b])
             c = b + 1
             continue
-        owner = min(c // chunks_per_proc, nproc - 1)
-        if pid == owner:
-            lo = c * K - pid * chunks_per_proc * K
-            hi = min(lo + K, len(raw))
-            k, st = native.count(raw[lo:hi].tobytes(), e // ncls)
+        owner, lo, hi = _owner_of(mh, c)
+        if mh.pid == owner:
+            k, st = native.count(mh.raw[lo:hi].tobytes(), e // ncls)
             mine = np.array([k, st * ncls], np.int64)
         else:
             mine = np.zeros(2, np.int64)
-        got = mhu.process_allgather(mine)
+        got = mh.mhu.process_allgather(mine)
         k, e = int(got[owner][0]), int(got[owner][1])
         total += k
         c += 1
@@ -209,105 +297,63 @@ def scan_multihost(tables, local_bytes, mesh, chunk_len,
     the caller's: tables.match_eof / dfa.match_eof_id of the final
     state).  On a match the state is the state AT the boundary and
     regex_id is resolved by the byte's owner (dfa.id_at needs
-    data[end], which only one process holds)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental import multihost_utils as mhu
+    data[end], which only one process holds).  ``local_bytes`` may be
+    an aligned host_slices range or ANY non-empty byte range."""
     from ..native import NativeDfa
-    from ..ops.prep import prepare_auto
     from ..ops.pallas_scan import _unpack
 
-    assert not type(tables).__name__.endswith("Pair")
-    from ..ops.pallas_scan import effective_chunk
-    pid = jax.process_index()
-    nproc = jax.process_count()
-    K = effective_chunk(tables, chunk_len)
-    assert K == chunk_len, \
-        "chunk_len %d is not prep-exact for these tables (use %d)" \
-        % (chunk_len, K)
-    ncls = tables.ncls
-    W = tables.warmup
-    n = full_len
-    C = -(-n // K)
-    bb = block_bytes(K)
-
-    if pid < nproc - 1:
-        assert len(local_bytes) % bb == 0
-    prepared = prepare_auto(tables, local_bytes, K)
-    data, C_loc, _K, J, B_loc = prepared
-    if pid < nproc - 1:
-        assert B_loc * LANES == C_loc
-
-    b_all = mhu.process_allgather(np.array([B_loc]))
-    assert int(b_all.min()) == int(b_all.max())
-    B_glob = int(b_all.sum())
-    assert B_glob % mesh.devices.size == 0
-
-    sh = NamedSharding(mesh, P(axis))
-    gdata = jax.make_array_from_process_local_data(
-        sh, np.asarray(data))
-    G = data.shape[2]
-    s0 = np.zeros((B_loc, G, 8, 128), np.int32)
-    j0 = np.zeros((B_loc, G, 8, 128), np.int32)
-    if pid == 0:
-        s0[0, 0, 0, 0] = entry_state * ncls
-        j0[0, 0, 0, 0] = W
-    gs0 = jax.make_array_from_process_local_data(sh, s0)
-    gj0 = jax.make_array_from_process_local_data(sh, j0)
-
-    fused_attr = "fused_vec" if hasattr(tables, "fused_vec") \
-        else "fused_rows"
-    orig = getattr(tables, fused_attr)
-    setattr(tables, fused_attr, _replicated(mesh, orig))
-    try:
-        bad_tail = (C - 1) if C * K > n and (n - (C - 1) * K) != K \
-            else -1
-        import jax.numpy as jnp
-        summary, packed = tables._scan(
-            gdata, gs0, gj0, jnp.int32(C), jnp.int32(bad_tail), J, W,
-            COUNT=False, mesh=mesh, axis=axis)
-    finally:
-        setattr(tables, fused_attr, orig)
-
-    rep = jax.jit(lambda x: x,
-                  out_shardings=NamedSharding(mesh, P()))
-    summ = np.asarray(rep(summary)).astype(np.int64)
-    if bool(summ[0]):
-        # every chunk validated fire-free: no interior match
-        return int(summ[6]) // ncls, -1, -1
-    phi, fm, swarm = _unpack(np.asarray(rep(packed)), C)
-
-    raw = np.frombuffer(local_bytes, dtype=np.uint8) \
-        if not isinstance(local_bytes, np.ndarray) else local_bytes
+    mh = _launch(tables, local_bytes, mesh, chunk_len, full_len,
+                 entry_state, axis, COUNT=False)
+    K, ncls, C = mh.K, mh.ncls, mh.C
     native = NativeDfa(tables.dfa)
-    chunks_per_proc = B_loc * LANES
 
-    full = np.ones(C, dtype=bool)
-    if bad_tail >= 0:
-        full[bad_tail] = False
+    if mh.uniform:
+        summ = mh.summ
+        if bool(summ[0]):
+            # every chunk validated fire-free: no interior match
+            return int(summ[6]) // ncls, -1, -1
+        phi, fm, swarm = _unpack(np.asarray(mh.rep(mh.packed)), C)
+        full = np.ones(C, dtype=bool)
+        if mh.bad_tail >= 0:
+            full[mh.bad_tail] = False
+        e = int(summ[2])
+        c = int(summ[1])
+    else:
+        phi, fm, swarm = _lane_planes(mh)
+        full = _full_vec(mh)
+        e = entry_state * ncls
+        c = 0
+
     quiet = full & (fm == 0)
     cont = np.zeros(C, dtype=bool)
     if C > 1:
         cont[:C - 1] = quiet[1:] & (swarm[1:] == phi[:C - 1])
     breaks = np.flatnonzero(~cont)
 
-    def owner_scan(c, e):
-        """Owner re-scans chunk c from premult entry e; broadcasts
+    def abs_off(cc):
+        """Global byte offset of corpus chunk cc's first byte."""
+        if mh.uniform:
+            return cc * K
+        p = int(np.searchsorted(mh.first_chunk, cc,
+                                side="right")) - 1
+        return int(mh.slice_off[p]) + (cc - int(mh.first_chunk[p])) * K
+
+    def owner_scan(cc, ee):
+        """Owner re-scans chunk cc from premult entry ee; broadcasts
         (first fire rel or -1, exit premult, regex id or -1)."""
-        owner = min(c // chunks_per_proc, nproc - 1)
-        if pid == owner:
-            lo = c * K - pid * chunks_per_proc * K
-            hi = min(lo + K, len(raw))
-            f, st = native.scan_first(raw[lo:hi].tobytes(), e // ncls)
-            rid = tables.dfa.id_at(st, raw[lo + f]) if f >= 0 else -1
+        owner, lo, hi = _owner_of(mh, cc)
+        if mh.pid == owner:
+            f, st = native.scan_first(mh.raw[lo:hi].tobytes(),
+                                      ee // ncls)
+            rid = tables.dfa.id_at(st, mh.raw[lo + f]) if f >= 0 \
+                else -1
             mine = np.array([f, st * ncls, rid], np.int64)
         else:
             mine = np.zeros(3, np.int64)
-        got = mhu.process_allgather(mine)
-        owner_row = got[owner]
-        return int(owner_row[0]), int(owner_row[1]), int(owner_row[2])
+        got = mh.mhu.process_allgather(mine)
+        row = got[owner]
+        return int(row[0]), int(row[1]), int(row[2])
 
-    e = int(summ[2])
-    c = int(summ[1])
     while c < C:
         if quiet[c] and int(swarm[c]) == e:
             b = int(breaks[np.searchsorted(breaks, c)])
@@ -316,7 +362,7 @@ def scan_multihost(tables, local_bytes, mesh, chunk_len,
             continue
         f, st, rid = owner_scan(c, e)
         if f >= 0:
-            return st // ncls, c * K + f, rid
+            return st // ncls, abs_off(c) + f, rid
         e = st
         c += 1
     return e // ncls, -1, -1

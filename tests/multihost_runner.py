@@ -102,6 +102,46 @@ def main():
         (pid, end, exp_f2, st, exp_st2, rid)
     print("pid %d scan no-match OK" % pid, flush=True)
 
+    # RAGGED first-process slice (arbitrary split, not block-exact):
+    # the pad-aware fold path — count, match-in-each-half scan, and
+    # the cross-boundary state carry all checked vs the full oracle
+    pat = b"(?:a|b)aa(?:aa|bb)cc(?:a|b)"
+    dfa = build_dfa(compile_regex(parse(pat)[0]))
+    tables = SpecTables(dfa)
+    n = 5 * bb + 1234
+    rng = random.Random(seed + 2)
+    # no 'c' in the random alphabet: the planted strings carry the
+    # only possible "cc", so the late-match case below is guaranteed
+    # to have its first match past the cut
+    full = bytearray(rng.choice(b"abx x") for _ in range(n))
+    full[2 * bb + 777:2 * bb + 777 + 8] = b"baaaacca"   # proc 0 half
+    full[4 * bb + 99:4 * bb + 99 + 8] = b"baaaacca"     # proc 1 half
+    full = bytes(full)
+    cut = 2 * bb + 31337
+    lo, hi = (0, cut) if pid == 0 else (cut, n)
+    nat = NativeDfa(dfa)
+    st, cnt = count_multihost(tables, full[lo:hi], mesh, K,
+                              full_len=n)
+    exp_cnt, exp_st = nat.count(full, 0)
+    assert (cnt, st) == (exp_cnt, exp_st), \
+        ("ragged", pid, cnt, exp_cnt, st, exp_st)
+    st, end, rid = scan_multihost(tables, full[lo:hi], mesh, K,
+                                  full_len=n)
+    exp_f, exp_rid, exp_s = nat.scan_first_id(full, 0)
+    assert (end, rid, st) == (exp_f, exp_rid, exp_s), \
+        ("ragged scan", pid, end, exp_f, rid, exp_rid)
+    # match strictly in the SECOND half: carry crosses the ragged cut
+    late = bytearray(full)
+    late[2 * bb + 777:2 * bb + 777 + 8] = b"xxxxxxxx"
+    late = bytes(late)
+    st, end, rid = scan_multihost(tables, late[lo:hi], mesh, K,
+                                  full_len=n)
+    exp_f, exp_s = nat.scan_first(late, 0)
+    assert (end, st) == (exp_f, exp_s), \
+        ("ragged late scan", pid, end, exp_f)
+    assert end >= cut, (end, cut)
+    print("pid %d ragged slices OK" % pid, flush=True)
+
     # fuzz mode: N random (pattern, corpus, size) cases, identical on
     # both processes (seeded), count + scan vs the full-corpus native
     # oracle — exercises arbitrary slice boundaries, ragged tails,
@@ -128,7 +168,12 @@ def main():
         n = 8 * bb - (frng.randrange(bb // 2) if
                       frng.random() < 0.5 else 0)
         full = bytes(frng.choice(alpha) for _ in range(n))
-        sl = host_slices(n, 2, K, mesh.devices.size)
+        if frng.random() < 0.5:
+            # arbitrary (ragged) split: exercises the pad-aware fold
+            cut = frng.randint(1, n - 1)
+            sl = [(0, cut), (cut, n)]
+        else:
+            sl = host_slices(n, 2, K, mesh.devices.size)
         lo, hi = sl[pid]
         nat = NativeDfa(dfa)
         st, cnt = count_multihost(tables, full[lo:hi], mesh, K,
