@@ -22,6 +22,15 @@ conformance:
 bench:
 	$(PY) bench.py
 
+# on-hardware smoke suite: one pattern per device tier vs host
+# oracles (~10-20 min cold on the relay); `make smoke-cpu` runs the
+# same cases on the virtual CPU mesh
+smoke:
+	$(PY) tests/smoke_tpu.py
+
+smoke-cpu:
+	$(PY) tests/smoke_tpu.py --cpu
+
 clean:
 	rm -f csrc/libsrehost.so
 	find . -name __pycache__ -type d -exec rm -rf {} +

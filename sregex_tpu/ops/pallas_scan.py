@@ -123,21 +123,28 @@ class SpecTablesWide:
     dynamically bounded row loop (measured: the 2,136-entry pattern
     runs 0.36 GB/s on the big tier)."""
 
-    # Default cap keeps the statically-unrolled chain tractable for
-    # the interpret-mode CPU tests.  On real hardware the chain keeps
-    # beating the big tier far beyond it (R=87 measured 2.86 vs
-    # 0.15 GB/s at 128 MB, ~20 s one-time compile) — production runs
-    # can raise it via SREGEX_WIDE_MAX (e.g. 16384) to displace the
-    # big tier for mid-size automata whose corpora the adaptive core
-    # can't cover.
+    # Platform-aware cap (see _wide_max): interpret-mode CPU can't
+    # trace R~100 select chains, so the CPU default stays 4096; on
+    # real TPU the chain keeps beating the big tier far beyond it
+    # (R=87 measured 2.86 vs 0.15 GB/s at 128 MB, ~20 s one-time
+    # compile), so the hardware default is 16384.  SREGEX_WIDE_MAX
+    # overrides either.
     MAX_ENTRIES = 4096
+    MAX_ENTRIES_TPU = 16384
 
     last_repair = None   # see SpecTables.last_repair
 
+    def _wide_max(self):
+        env = os.environ.get("SREGEX_WIDE_MAX")
+        if env is not None:
+            return int(env)
+        if jax.default_backend() != "cpu":
+            return self.MAX_ENTRIES_TPU
+        return self.MAX_ENTRIES
+
     def __init__(self, dfa):
         S, ncls = dfa.nstates, dfa.nclasses
-        limit = int(os.environ.get("SREGEX_WIDE_MAX",
-                                   self.MAX_ENTRIES))
+        limit = self._wide_max()
         if ncls > 256:
             raise ValueError("more than 256 byte classes (%d)" % ncls)
         if S * ncls > limit:

@@ -28,11 +28,18 @@ longer than the chunk+warmup window) returns None and the caller falls
 back to the exact multi-pass path — exactness is unconditional,
 speed is for the common case.
 
-Constraints (narrow kernel): S * nclasses <= 128, registers <= 8,
-tracked tags <= 8, regex ids <= 127.
+Constraints: S * nclasses <= 128 * ROWS (the narrow kernel is ROWS=1;
+larger automata take the WIDE variant — the four per-(state,class)
+tables span ROWS lane rows and every lookup becomes a gather +
+row-select chain, exactly how pallas_scan.py grew SpecTablesWide),
+byte classes <= 16 (4-bit packing), registers <= 8, tracked tags
+<= 8, regex ids <= 127.  The ROWS budget is platform-aware: 4 rows
+(512 entries) under interpret-mode CPU, 16 rows (2048 entries) on
+real TPU; SREGEX_TDFA_MAX overrides (in table entries).
 """
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -53,6 +60,17 @@ _C_CUR = 14
 _C_NEXT = 15
 R_MAX = 8
 T_MAX = 8
+MAX_ENTRIES = 512        # interpret-mode CPU (4 lane rows)
+MAX_ENTRIES_TPU = 2048   # real hardware (16 lane rows)
+
+
+def _tdfa_max():
+    env = os.environ.get("SREGEX_TDFA_MAX")
+    if env is not None:
+        return int(env)
+    if jax.default_backend() != "cpu":
+        return MAX_ENTRIES_TPU
+    return MAX_ENTRIES
 
 
 class TdfaSpecTables:
@@ -76,10 +94,15 @@ class TdfaSpecTables:
             raise TdfaTooLarge("too many tracked tags (%d)" % len(tags))
         if prog.nregexes > 127:
             raise TdfaTooLarge("too many regexes (%d)" % prog.nregexes)
-        t = Tdfa(prog, tags=tags, max_states=256, max_regs=R_MAX)
+        budget = _tdfa_max()
+        t = Tdfa(prog, tags=tags, max_states=max(256, budget // 2),
+                 max_regs=R_MAX)
         self.tdfa = t
         self.tags = tags
         self.ncls = t.nclasses
+        if t.nclasses > 16:
+            raise TdfaTooLarge("more than 16 byte classes (%d): "
+                               "4-bit packing only" % t.nclasses)
 
         # materialize (transitions build states lazily)
         frontier = list(range(t.nstates))
@@ -90,15 +113,16 @@ class TdfaSpecTables:
             i += 1
             for c in range(t.nclasses):
                 nsid, _, _ = t.step(sid, c)
-                if t.nstates * t.nclasses > 128:
+                if t.nstates * t.nclasses > budget:
                     raise TdfaTooLarge(
-                        "TDFA too large for the narrow kernel "
-                        "(S*ncls=%d)" % (t.nstates * t.nclasses))
+                        "TDFA too large for the device kernel "
+                        "(S*ncls=%d > %d)"
+                        % (t.nstates * t.nclasses, budget))
                 if nsid not in seen:
                     seen.add(nsid)
                     frontier.append(nsid)
         S = t.nstates
-        if S * t.nclasses > 128:
+        if S * t.nclasses > budget:
             raise TdfaTooLarge("S*ncls=%d" % (S * t.nclasses))
 
         self.nstates = S
@@ -123,13 +147,14 @@ class TdfaSpecTables:
                 return _C_NEXT
             return src          # old register id
 
-        t_next = np.zeros(128, dtype=np.int32)
+        self.rows = -(-(S * ncls) // 128)
+        t_next = np.zeros(self.rows * 128, dtype=np.int32)
         # nibble-packed planes overflow int32 (8 x code 13..15); build
         # as uint32 and reinterpret — the kernel masks (&15) after the
         # arithmetic shifts, so sign extension is harmless
-        t_regsrc = np.zeros(128, dtype=np.uint32)
-        t_csrc = np.zeros(128, dtype=np.uint32)
-        t_cmeta = np.zeros(128, dtype=np.int32)
+        t_regsrc = np.zeros(self.rows * 128, dtype=np.uint32)
+        t_csrc = np.zeros(self.rows * 128, dtype=np.uint32)
+        t_cmeta = np.zeros(self.rows * 128, dtype=np.int32)
         for s in range(S):
             for c in range(ncls):
                 nsid, ops, commit = t.step(s, c)
@@ -153,7 +178,13 @@ class TdfaSpecTables:
                     t_cmeta[idx] = 1 | (rid << 1)
 
         def bc(v):
-            return jnp.asarray(np.broadcast_to(v, (8, 128)).copy())
+            # [rows*128] -> [rows, 8, 128]: each lane row replicated
+            # across sublanes so the kernel's per-row work is one
+            # gather + one select (the SpecTablesWide layout)
+            r = v.reshape(self.rows, 128)
+            return jnp.asarray(np.ascontiguousarray(
+                np.broadcast_to(r[:, None, :],
+                                (self.rows, 8, 128)).copy()))
 
         self.t_next = bc(t_next)
         self.t_regsrc = bc(t_regsrc.view(np.int32))
@@ -181,17 +212,24 @@ def _resolve(code, regs, j_cur, j_next):
 def _tdfa_kernel(data_ref, state0_ref, j0_ref,
                  next_ref, regsrc_ref, csrc_ref, cmeta_ref,
                  phi_ref, swarm_ref, bank_ref, regs_ref, *,
-                 J, W, CPW, R, T):
+                 J, W, CPW, R, T, ROWS):
     """One grid step = one [G*TILE]-stream block.  data block
-    [1, J//CPW, G, 8, 128] packed 4-bit classes."""
+    [1, J//CPW, G, 8, 128] packed 4-bit classes.  Tables span ROWS
+    lane rows ([ROWS, 8, 128]); ROWS == 1 is the narrow fast path
+    (single gather), larger automata select the row by the index's
+    high bits (the SpecTablesWide discipline)."""
     G = GROUPS
-    tnext = next_ref[:]
-    tregsrc = regsrc_ref[:]
-    tcsrc = csrc_ref[:]
-    tcmeta = cmeta_ref[:]
+    tnext = [next_ref[r] for r in range(ROWS)]
+    tregsrc = [regsrc_ref[r] for r in range(ROWS)]
+    tcsrc = [csrc_ref[r] for r in range(ROWS)]
+    tcmeta = [cmeta_ref[r] for r in range(ROWS)]
 
-    def gath(tab, idx):
-        return jnp.take_along_axis(tab, idx & 127, axis=1)
+    def gath(rows, idx, lane, hi):
+        e = jnp.take_along_axis(rows[0], lane, axis=1)
+        for r in range(1, ROWS):
+            er = jnp.take_along_axis(rows[r], lane, axis=1)
+            e = jnp.where(hi == r, er, e)
+        return e
 
     def one_byte(j, g, state, regs, bank, live):
         """live: traced bool — False freezes (warmup of the true-entry
@@ -201,10 +239,12 @@ def _tdfa_kernel(data_ref, state0_ref, j0_ref,
         word = data_ref[0, wi, g]
         cls = (word >> (4 * b)) & 15
         idx = state + cls
-        e = gath(tnext, idx)
-        rs = gath(tregsrc, idx)
-        cs = gath(tcsrc, idx)
-        cm = gath(tcmeta, idx)
+        lane = idx & 127
+        hi = idx >> 7
+        e = gath(tnext, idx, lane, hi)
+        rs = gath(tregsrc, idx, lane, hi)
+        cs = gath(tcsrc, idx, lane, hi)
+        cm = gath(tcmeta, idx, lane, hi)
         newregs = tuple(
             _resolve((rs >> (4 * k)) & 15, regs, j, j + 1)
             for k in range(R))
@@ -280,9 +320,10 @@ def _tdfa_kernel(data_ref, state0_ref, j0_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("J", "W", "CPW", "R", "T"))
+                   static_argnames=("J", "W", "CPW", "R", "T",
+                                    "ROWS"))
 def _tdfa_scan(data, state0, j0, t_next, t_regsrc, t_csrc, t_cmeta,
-               C, dead_val, *, J, W, CPW, R, T):
+               C, dead_val, *, J, W, CPW, R, T, ROWS=1):
     """Returns (summary int32 [10 + T+1 + R], bank planes, regs planes).
 
     Device-side validation and result extraction:
@@ -300,7 +341,7 @@ def _tdfa_scan(data, state0, j0, t_next, t_regsrc, t_csrc, t_cmeta,
     G = GROUPS
     Jw = J // CPW
     kernel = functools.partial(_tdfa_kernel, J=J, W=W, CPW=CPW, R=R,
-                               T=T)
+                               T=T, ROWS=ROWS)
     interpret = jax.default_backend() == "cpu"
     small = pl.BlockSpec((1, G, 8, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -310,7 +351,7 @@ def _tdfa_scan(data, state0, j0, t_next, t_regsrc, t_csrc, t_cmeta,
     planeR = pl.BlockSpec((R, 1, G, 8, 128),
                           lambda i: (0, i, 0, 0, 0),
                           memory_space=pltpu.VMEM)
-    tab = pl.BlockSpec((8, 128), lambda i: (0, 0),
+    tab = pl.BlockSpec((ROWS, 8, 128), lambda i: (0, 0, 0),
                        memory_space=pltpu.VMEM)
     phi, swarm, bank, regs = pl.pallas_call(
         kernel,
@@ -556,7 +597,7 @@ def tdfa_spec_find(tables, data_np, chunk_len=2048, prepared=None):
         jnp.asarray(j0.reshape(B, G, 8, 128)),
         tables.t_next, tables.t_regsrc, tables.t_csrc, tables.t_cmeta,
         jnp.int32(full_C), jnp.int32(tables.dead_premult),
-        J=J, W=W, CPW=tables.cpw, R=R, T=T)
+        J=J, W=W, CPW=tables.cpw, R=R, T=T, ROWS=tables.rows)
     summ = np.asarray(summary).astype(np.int64)
     if not bool(summ[0]):
         # chunk-wise repair: validate the chain on host per chunk,

@@ -1,0 +1,224 @@
+"""Curated ON-HARDWARE smoke suite: one pattern per device tier,
+each checked against a host oracle on a small corpus.
+
+    python tests/smoke_tpu.py            # runs on the real TPU
+    python tests/smoke_tpu.py --cpu      # virtual CPU mesh (debug)
+
+Covers the tier classes that have historically broken only on real
+hardware (the round-2 VMEM OOM hit every ncls>16 pattern, invisible
+in interpret mode): pair-narrow, byte-narrow, 4-bit wide, 8-bit-packed
+wide (ncls>16), big, adaptive core, 3-bit packing, the tagged-DFA
+one-pass find, finditer via the reverse index, and the segmented
+stream pipeline.  ~10-20 min total on the relay when kernel shapes
+are cold; minutes when warm.  Prints one PASS line per case and
+SMOKE_OK at the end (exit 0)."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+if "--cpu" in sys.argv:
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+else:
+    import jax
+
+import random
+import re
+
+import numpy as np
+
+
+def log(msg):
+    print("smoke: %s" % msg, flush=True)
+
+
+_t0 = None
+
+
+def case(name):
+    global _t0
+    _t0 = time.time()
+    log("== %s" % name)
+
+
+def ok(name):
+    log("PASS %s (%.1fs)" % (name, time.time() - _t0))
+
+
+def corpus(rng, alphabet, mb, plants):
+    data = bytearray(rng.choice(alphabet)
+                     for _ in range(mb << 20))
+    for frac, s in plants:
+        pos = int(len(data) * frac)
+        data[pos:pos + len(s)] = s
+    return bytes(data)
+
+
+def main():
+    from sregex_tpu import parse, compile_regex, parse_multi
+    from sregex_tpu.dfa import build_dfa
+    from sregex_tpu.native import NativeDfa
+    from sregex_tpu.stream import Scanner, compile_pattern
+
+    log("backend: %s (%d devices)"
+        % (jax.default_backend(), len(jax.devices())))
+    rng = random.Random(42)
+
+    def scanner_case(name, pattern, alphabet, plant, mb=16,
+                     expect_tier=None, env=None):
+        """Scanner count+scan vs the native oracle; asserts the
+        expected device tier actually served it."""
+        case(name)
+        saved = {}
+        if env:
+            for k, v in env.items():
+                saved[k] = os.environ.get(k)
+                os.environ[k] = v
+        try:
+            ast, _ = parse(pattern)
+            prog = compile_regex(ast)
+            sc = Scanner(prog, use_device=True, ast=ast)
+            data = corpus(rng, alphabet, mb, [(0.7, plant)])
+            exp_c, exp_st = sc._native.count(data, 0)
+            exp_c += int(sc.dfa.match_eof[exp_st])
+            got = sc.count(data)
+            assert got == exp_c, (name, got, exp_c)
+            st = sc.stats()
+            log("   tier %s, %d chunks, %d repaired"
+                % (st.tier, st.chunks, st.repaired))
+            if expect_tier:
+                assert st.tier == expect_tier, (name, st.tier,
+                                                expect_tier)
+            exp_f, _ = sc._native.scan_first(data, 0)
+            got_scan = sc.scan(data)
+            if exp_f >= 0:
+                assert got_scan is not None and got_scan[1] == exp_f, \
+                    (name, got_scan, exp_f)
+            ok(name)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
+    # 1. pair-narrow (the production default for tiny automata:
+    # S*ncls^2 <= 128)
+    scanner_case("pair-narrow", "ab", b"acb x", b"ab",
+                 expect_tier="SpecTablesPair")
+
+    # 2. byte-narrow (pair disabled)
+    scanner_case("byte-narrow", "(?:a|b)aa(?:aa|bb)cc(?:a|b)",
+                 b"abc x", b"baaaacca", expect_tier="SpecTables",
+                 env={"SREGEX_PAIR": "0", "SREGEX_CORE": "0"})
+
+    # 3. wide 4-bit — also pins the raised TPU default cap
+    scanner_case("wide-4bit", "a{60,120}b", b"aab x",
+                 b"x" + b"a" * 80 + b"b",
+                 expect_tier="SpecTablesWide",
+                 env={"SREGEX_CORE": "0"})
+
+    # 4. wide 8-bit packing (ncls > 16 — the round-2 VMEM OOM class)
+    case("wide-8bit-multi")
+    words = [w.encode() for w in
+             ("alpha bravo charlie delta echo foxtrot golf hotel "
+              "india juliet kilo lima mike november oscar papa "
+              "quebec romeo").split()]
+    ast, _ = parse_multi(words)
+    prog = compile_regex(ast)
+    os.environ["SREGEX_CORE"] = "0"
+    try:
+        sc = Scanner(prog, use_device=True, ast=ast)
+        assert sc.dfa.nclasses > 16, sc.dfa.nclasses
+        data = corpus(rng, b"abcdefgh ", 8,
+                      [(0.5, b" kilo "), (0.8, b" romeo ")])
+        exp_c, exp_st = sc._native.count(data, 0)
+        exp_c += int(sc.dfa.match_eof[exp_st])
+        got = sc.count(data)
+        assert got == exp_c, (got, exp_c)
+        st = sc.stats()
+        log("   tier %s (8-bit words)" % st.tier)
+        assert st.tier in ("SpecTablesWide", "SpecTablesBig"), st.tier
+    finally:
+        os.environ.pop("SREGEX_CORE", None)
+    ok("wide-8bit-multi")
+
+    # 5. big tier (S*ncls past even the TPU wide cap)
+    case("big-tier")
+    from sregex_tpu.ops.pallas_big import SpecTablesBig
+    from sregex_tpu.ops.pallas_scan import spec_count_bytes
+    ast, _ = parse(b"(x|y|z[QW]){1,5}(longish|loquatious)")
+    dfa = build_dfa(compile_regex(ast), max_states=65536)
+    big = SpecTablesBig(dfa)
+    native = NativeDfa(dfa)
+    data = corpus(rng, b"xyzQWlong ", 8, [(0.6, b"zQxylongish")])
+    exp_c, exp_st = native.count(data, 0)
+    st_got, c_got = spec_count_bytes(big, data)
+    assert (c_got, st_got) == (exp_c, exp_st), (c_got, exp_c)
+    ok("big-tier")
+
+    # 6. adaptive core tier over the same big machine
+    case("core-tier")
+    from sregex_tpu.ops.pallas_core import CoreTables, core_count_bytes
+    ct = CoreTables(dfa, data[: 1 << 20])
+    st_got, c_got = core_count_bytes(ct, data)
+    assert (c_got, st_got) == (exp_c, exp_st), (c_got, exp_c)
+    ok("core-tier")
+
+    # 7. 3-bit packing (<= 8 classes)
+    scanner_case("narrow-3bit", "(?:a|b)aa(?:aa|bb)cc(?:a|b)",
+                 b"abc x", b"baaaacca", mb=8,
+                 env={"SREGEX_PACK_BITS": "3", "SREGEX_PAIR": "0",
+                      "SREGEX_CORE": "0"})
+
+    # 8. tagged-DFA one-pass find (captures from device registers)
+    case("tdfa-find")
+    sc = compile_pattern(rb"(\w+)@(\w+)", use_device=True)
+    data = corpus(rng, b"ab @. ", 8, [(0.65, b" user@host ")])
+    got = sc.find(data)
+    m = re.search(rb"(\w+)@(\w+)", data)
+    assert m is not None and got is not None
+    rid, ovec = got
+    assert (ovec[0], ovec[1]) == (m.start(), m.end()), (ovec, m.span())
+    assert (ovec[2], ovec[3]) == m.span(1)
+    assert (ovec[4], ovec[5]) == m.span(2)
+    ok("tdfa-find")
+
+    # 9. finditer via the reverse index (teleport across gaps)
+    case("finditer-index")
+    sc = compile_pattern(b"(?:a|b)aa(?:aa|bb)cc(?:a|b)",
+                         use_device=True)
+    data = corpus(rng, b"ab x", 8,
+                  [(0.2, b"baaaacca"), (0.8, b"xaaabbccb")])
+    idx = sc.make_index(data)
+    spans = [(m[1][0], m[1][1]) for m in sc.finditer(data, index=idx)]
+    exp = [m.span() for m in
+           re.finditer(rb"(?:a|b)aa(?:aa|bb)cc(?:a|b)", data)]
+    assert spans == exp, (spans[:3], exp[:3])
+    ok("finditer-index")
+
+    # 10. segmented stream pipeline (uploads overlap kernels)
+    case("pipeline-stream")
+    sc = compile_pattern(b"(?:a|b)aa(?:aa|bb)cc(?:a|b)",
+                         use_device=True)
+    data = corpus(rng, b"abc x", 32, [(0.5, b"baaaacca")])
+    segs = [data[i:i + (5 << 20)] for i in range(0, len(data),
+                                                 5 << 20)]
+    exp = sc.count(data)
+    got = sc.count_stream(iter(segs))
+    assert got == exp, (got, exp)
+    log("   stream stats: %r" % (sc.stats().as_dict(),))
+    ok("pipeline-stream")
+
+    print("SMOKE_OK", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

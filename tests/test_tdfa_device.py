@@ -196,3 +196,64 @@ def test_device_find_chunk_repair_on_window_exceeding_start():
     ctx = PikeCtx(prog, exact=True)
     rc, _ = ctx.exec(data, True)
     assert (r[0], list(r[1])) == (rc, [int(v) for v in ctx.ovector])
+
+
+WIDE_CASES = [
+    # patterns whose TDFA exceeds 128 table entries (ROWS > 1): the
+    # wide kernel selects the table row by the index's high bits
+    (rb"(foo|bar)(baz|qux)x", b"fobarqz x", b"barquxx"),
+    (rb"(GET|POST|PUT)x(HTTP|FTP)", b"GEPOSTUFH ", b"PUTxFTP"),
+]
+
+
+@pytest.mark.parametrize("pat,alpha,plant", WIDE_CASES,
+                         ids=[repr(p) for p, _, _ in WIDE_CASES])
+def test_tdfa_device_wide_rows(pat, alpha, plant):
+    """ROWS > 1 capture kernel: one-pass device find byte-equal to
+    exact-mode Pike, with the match planted deep in the corpus."""
+    import random
+    sc = compile_pattern(pat)
+    t = TdfaSpecTables(sc.program)
+    assert t.rows > 1, (pat, t.nstates * t.ncls)
+    rng = random.Random(13)
+    data = bytearray(rng.choice(alpha) for _ in range(200_000))
+    at = 150_000
+    data[at:at + len(plant)] = plant
+    data = bytes(data)
+    r = tdfa_spec_find(t, data)
+    assert r not in (None, "fallback"), r
+    want = _oracle(sc.program, data)
+    assert (r[0], list(r[1])) == want
+    # no-match corpus certifies None
+    calm = bytes(rng.choice(alpha[:4]) for _ in range(100_000))
+    got = tdfa_spec_find(t, calm)
+    want = _oracle(sc.program, calm)
+    if got != "fallback":
+        assert got == want
+
+
+def test_tdfa_device_wide_fuzz():
+    """Randomized wide-kernel fuzz: random corpora (with planted
+    matches at random offsets) through the ROWS>1 one-pass find vs
+    the Pike oracle; every certified result must byte-equal it."""
+    import random
+    pat = rb"(foo|bar)(baz|qux)x"
+    sc = compile_pattern(pat)
+    t = TdfaSpecTables(sc.program)
+    assert t.rows > 1
+    rng = random.Random(21)
+    certified = 0
+    for i in range(8):
+        n = rng.randrange(3000, 40000)
+        data = bytearray(rng.choice(b"fobarquxz x")
+                         for _ in range(n))
+        if rng.random() < 0.7:
+            at = rng.randrange(0, n - 8)
+            data[at:at + 7] = rng.choice([b"fooquxx", b"barbazx"])
+        data = bytes(data)
+        got = tdfa_spec_find(t, data, chunk_len=2048)
+        want = _oracle(sc.program, data)
+        if got != "fallback":
+            assert got == want, (i, got, want)
+            certified += 1
+    assert certified >= 4   # the kernel must actually serve most runs
