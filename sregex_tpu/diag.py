@@ -32,16 +32,17 @@ class ScanStats:
     """One completed scan's record (see module docstring)."""
 
     __slots__ = ("api", "tier", "nbytes", "chunks", "repaired",
-                 "recore_events", "elapsed_ms")
+                 "recore_events", "warm_events", "elapsed_ms")
 
     def __init__(self, api, tier, nbytes, chunks=0, repaired=0,
-                 recore_events=0, elapsed_ms=0.0):
+                 recore_events=0, warm_events=0, elapsed_ms=0.0):
         self.api = api
         self.tier = tier
         self.nbytes = nbytes
         self.chunks = chunks
         self.repaired = repaired
         self.recore_events = recore_events
+        self.warm_events = warm_events
         self.elapsed_ms = elapsed_ms
 
     def as_dict(self):

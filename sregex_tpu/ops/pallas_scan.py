@@ -511,6 +511,33 @@ def _unpack(outs, C):
     return phi, fmcnt, swarm
 
 
+def with_warmup(tables, W):
+    """Tables variant with a LONGER speculation warmup window.
+
+    Bounded-history automata (counted repetitions a{n,m}...: the run
+    counter saturates at the max bound) converge through a warmup of
+    W >= their history bound on ANY corpus — so a corpus whose run
+    lengths defeat the default 32-byte window (measured: 74% of
+    chunks repaired natively on a{60,120}b over long-run data) scans
+    clean once W exceeds the bound (1 ragged-tail repair).  The copy
+    shares every fused table; only the window length (and therefore
+    the prep layout and the kernel trace) changes.  Returns None when
+    the tables can't host the window: byte-unit 4-bit tiers only
+    (8-bit words already saturate the VMEM budget at K=1920, and the
+    pair tier's tiny machines are never history-bounded past 32).
+    W=512 at K=2048 keeps the double-buffered data block ~10.5 MB,
+    inside the 16 MB scoped-VMEM limit."""
+    import copy
+    if getattr(tables, "bpu", 1) != 1 or tables.bits != 4:
+        return None
+    if W % tables.cpw or not (tables.warmup < W <= 512):
+        return None
+    t = copy.copy(tables)
+    t.warmup = int(W)
+    t.last_repair = None
+    return t
+
+
 def effective_chunk(tables, chunk_len):
     """The chunk length the prep actually uses: rounded down to the
     packing quantum and clamped to the tables' VMEM budget

@@ -391,6 +391,7 @@ class Scanner:
         self.last_stats = ScanStats(
             api, name, nbytes, chunks=chunks, repaired=nat,
             recore_events=recore,
+            warm_events=getattr(self, "_warm_escalations", 0),
             elapsed_ms=(time.perf_counter() - t0) * 1e3)
 
     def stats(self):
@@ -401,6 +402,36 @@ class Scanner:
         report chunks=repaired=0 (their fold exits at the match, so
         coverage fractions would be meaningless)."""
         return getattr(self, "last_stats", None)
+
+    # adaptive warmup escalation: a corpus whose run lengths exceed
+    # the speculation window repairs natively chunk-by-chunk; for
+    # bounded-history automata (counted reps — the state saturates
+    # within the max bound) a longer warmup converges on ANY corpus.
+    # Two consecutive completed static-tier scans with >25% repaired
+    # chunks rebuild the tier with the next window in the ladder
+    # (one-time recompile per W; exactness never at stake).
+    WARM_LADDER = (128, 512)
+
+    def _spec_note(self):
+        sp = self._spec
+        if sp is None or sp.last_repair is None:
+            return
+        nat, C = sp.last_repair
+        if C >= 16 and nat > C * self.CORE_DRIFT_FRAC:
+            s = getattr(self, "_warm_strikes", 0) + 1
+            self._warm_strikes = s
+            if s >= 2:
+                self._warm_strikes = 0
+                from .ops.pallas_scan import with_warmup
+                nxt = next((w for w in self.WARM_LADDER
+                            if w > sp.warmup), None)
+                t = with_warmup(sp, nxt) if nxt is not None else None
+                if t is not None:
+                    self._spec = t
+                    self._warm_escalations = getattr(
+                        self, "_warm_escalations", 0) + 1
+        else:
+            self._warm_strikes = 0
 
     def _rev_core_tables(self, data):
         """Core tier for the REVERSE machine (find()'s start scan and
@@ -449,6 +480,7 @@ class Scanner:
                 prepared=prepared.for_tables(self._spec)
                 if prepared else None, mesh=self.mesh)
             self._note_stats("scan", self._spec, len(data), t0)
+            self._spec_note()
             return first, state
         r = self._native.scan_first(data, 0)
         self._note_stats("scan", None, len(data), t0)
@@ -537,6 +569,7 @@ class Scanner:
                 prepared=prepared.for_tables(self._spec)
                 if prepared else None, mesh=self.mesh)
             self._note_stats("count", self._spec, len(data), t0)
+            self._spec_note()
         else:
             c, state = self._native.count(data, 0)
             self._note_stats("count", None, len(data), t0)
@@ -603,6 +636,8 @@ class Scanner:
                     in_flight=in_flight, mesh=self.mesh)
                 if note is not None:
                     self._core_note(tables, note)
+                elif tables is self._spec:
+                    self._spec_note()
                 self._note_stats(
                     "count_stream", tables,
                     getattr(tables, "last_fold_bytes", -1), t0)
@@ -652,6 +687,8 @@ class Scanner:
                     # streaming workload on a drifted corpus must
                     # still trigger the re-core/decline logic
                     self._core_note(tables, note)
+                elif tables is self._spec:
+                    self._spec_note()
                 self._note_stats("scan_stream", tables, nbytes, t0)
                 eng = self.dfa if self.dfa is not None \
                     else self._lazy_dfa()

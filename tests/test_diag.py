@@ -125,3 +125,41 @@ def test_recore_events_surface_in_stats():
     sc._coret_rebuilds = 2       # simulate two drift re-cores
     sc.count(b"xxabxx")
     assert sc.stats().recore_events == 2
+
+
+def test_warmup_escalation_on_hostile_corpus():
+    """Bounded-counting automata over long-run corpora defeat the
+    32-byte speculation window (most chunks repair natively); two
+    consecutive hostile scans escalate the static tier's warmup, after
+    which the same corpus scans clean — counts exact throughout."""
+    import os
+    from sregex_tpu.dfa import build_dfa
+    from sregex_tpu.native import NativeDfa
+
+    os.environ["SREGEX_CORE"] = "0"   # pin the static tier
+    try:
+        ast, _ = parse(b"a{60,120}b")
+        prog = compile_regex(ast)
+        sc = Scanner(prog, use_device=True, ast=ast)
+        sc.DEVICE_THRESHOLD = 1 << 12
+        assert sc._spec is not None and sc._spec.warmup == 32
+        rng = random.Random(3)
+        data = bytearray()
+        while len(data) < 400_000:
+            data += b"a" * rng.randrange(40, 200) \
+                + rng.choice([b"b", b"x", b" "])
+        data = bytes(data[:400_000])
+        native = NativeDfa(sc.dfa)
+        exp_c, exp_st = native.count(data, 0)
+        exp = exp_c + int(sc.dfa.match_eof[exp_st])
+        assert sc.count(data) == exp
+        st1 = sc.stats()
+        assert st1.repaired > st1.chunks * 0.25   # hostile indeed
+        assert sc.count(data) == exp              # strike 2 escalates
+        assert sc._spec.warmup == 128, sc._spec.warmup
+        assert sc.count(data) == exp              # now clean
+        st3 = sc.stats()
+        assert st3.repaired <= 1, st3.as_dict()   # ragged tail only
+        assert st3.warm_events == 1
+    finally:
+        os.environ.pop("SREGEX_CORE", None)
