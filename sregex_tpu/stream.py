@@ -210,8 +210,12 @@ class PreparedCorpus:
         key = id(tables)
         p = self._by_tables.get(key)
         if p is None:
-            from .ops.prep import prepare_auto
-            p = prepare_auto(tables, self.data, self.chunk_len)
+            if hasattr(tables, "nseg"):     # φ tier: own layout
+                from .ops.pallas_phi import _phi_prepare
+                p = _phi_prepare(tables, self.data, self.chunk_len)
+            else:
+                from .ops.prep import prepare_auto
+                p = prepare_auto(tables, self.data, self.chunk_len)
             self._by_tables[key] = p
         return p
 
@@ -430,8 +434,30 @@ class Scanner:
                     self._spec = t
                     self._warm_escalations = getattr(
                         self, "_warm_escalations", 0) + 1
+                elif self._phi_tables() is not None:
+                    # warmup ladder exhausted (or the tier can't host
+                    # a window): never-converging machine — switch to
+                    # the exact transfer-composition kernel (zero
+                    # speculation, zero repair, corpus-independent)
+                    self._phi_active = True
+                    self._warm_escalations = getattr(
+                        self, "_warm_escalations", 0) + 1
         else:
             self._warm_strikes = 0
+
+    def _phi_tables(self):
+        """Exact φ-composition tier (ops/pallas_phi.py) for S <= 128
+        plain-state machines; activated by _spec_note when the warmup
+        ladder can't make the corpus converge.  None = ineligible."""
+        if getattr(self, "_phi", None) is None:
+            self._phi = False
+            if self.dfa is not None:
+                try:
+                    from .ops.pallas_phi import PhiTables
+                    self._phi = PhiTables(self.dfa)
+                except ValueError:
+                    self._phi = False
+        return self._phi or None
 
     def _rev_core_tables(self, data):
         """Core tier for the REVERSE machine (find()'s start scan and
@@ -473,6 +499,15 @@ class Scanner:
                 self._core_note(ct)
                 self._note_stats("scan", ct, len(data), t0)
                 return first, state
+        if getattr(self, "_phi_active", False) \
+                and len(data) >= self.DEVICE_THRESHOLD:
+            from .ops.pallas_phi import phi_scan_bytes
+            pt = self._phi_tables()
+            state, first = phi_scan_bytes(
+                pt, data, prepared=prepared.for_tables(pt)
+                if prepared else None)
+            self._note_stats("scan", pt, len(data), t0)
+            return first, state
         if self._spec is not None and len(data) >= self.DEVICE_THRESHOLD:
             from .ops.pallas_scan import spec_scan_bytes
             state, first = spec_scan_bytes(
@@ -561,6 +596,14 @@ class Scanner:
                 if prepared else None, mesh=self.mesh)
             self._core_note(ct)
             self._note_stats("count", ct, len(data), t0)
+        elif getattr(self, "_phi_active", False) \
+                and len(data) >= self.DEVICE_THRESHOLD:
+            from .ops.pallas_phi import phi_count_bytes
+            pt = self._phi_tables()
+            state, c = phi_count_bytes(
+                pt, data, prepared=prepared.for_tables(pt)
+                if prepared else None)
+            self._note_stats("count", pt, len(data), t0)
         elif self._spec is not None \
                 and len(data) >= self.DEVICE_THRESHOLD:
             from .ops.pallas_scan import spec_count_bytes
