@@ -140,3 +140,50 @@ def turn_char_class_caseless(ranges):
             ranges.insert(i, [max(from_, 97) - 32, min(to, 122) - 32])
         i += 1
     return ranges
+
+
+def max_match_len(node):
+    """Maximum number of bytes one match of ``node`` can span, or
+    None when unbounded (STAR/PLUS — counted repetitions are already
+    desugared into CAT/QUEST chains at parse time, so a{n,m} is
+    bounded and a{n,} is not).  Pass the INNER pattern (the wrapped
+    root's .right: the TOPLEVEL chain) — the ``.*?`` scan wrapper is
+    the unanchored-search prefix, not part of the match.  Iterative
+    (desugared reps nest thousands of CATs deep)."""
+    memo = {}
+    stack = [(node, False)]
+    while stack:
+        nd, ready = stack.pop()
+        if nd is None:
+            continue
+        key = id(nd)
+        if key in memo and not ready:
+            continue
+        t = nd.type
+        if t in (LIT, DOT, CLASS, NCLASS):
+            memo[key] = 1
+            continue
+        if t in (NIL, ASSERT):
+            memo[key] = 0
+            continue
+        if t in (STAR, PLUS):
+            memo[key] = None
+            continue
+        if not ready:
+            stack.append((nd, True))
+            stack.append((nd.left, False))
+            if t in (CAT, ALT):
+                stack.append((nd.right, False))
+            continue
+        left = memo.get(id(nd.left), 0)
+        if t == CAT:
+            right = memo.get(id(nd.right), 0)
+            memo[key] = None if (left is None or right is None) \
+                else left + right
+        elif t == ALT:
+            right = memo.get(id(nd.right), 0)
+            memo[key] = None if (left is None or right is None) \
+                else max(left, right)
+        else:  # PAREN, TOPLEVEL, QUEST wrap their child in .left
+            memo[key] = left
+    return memo[id(node)] if node is not None else 0

@@ -206,7 +206,8 @@ class Dfa:
     start = 0; the dead state (if any) self-loops with no matches.
     """
 
-    def __init__(self, prog, trans, match_id, match_eof_id, class_map):
+    def __init__(self, prog, trans, match_id, match_eof_id, class_map,
+                 sterile=None):
         self.program = prog
         self.trans = trans
         self.match_id = match_id
@@ -216,6 +217,15 @@ class Dfa:
         self.class_map = class_map
         self.nstates = trans.shape[0]
         self.nclasses = trans.shape[1]
+        # sterile[s]: every live NFA thread in state s is still inside
+        # the unanchored `.*?` scan loop (no byte of any potential
+        # match consumed, no capture committed) — so a FRESH Pike ctx
+        # with the boundary carry is exactly equivalent to the true
+        # engine there.  The streaming events engine teleports across
+        # fire-free gaps only at sterile boundaries (unbounded
+        # patterns) — see stream.py.  None = unknown (loaded tables):
+        # no sterile teleports, still exact.
+        self.sterile = sterile
         self._trans_bytes = None
         self._match_bytes = None
         self._match_id_bytes = None
@@ -277,6 +287,15 @@ def minimize_dfa(dfa):
     n = int(cls.max()) + 1
     if n == S:
         return dfa
+    # sterility must survive merging CONSERVATIVELY: behavioral (fire)
+    # equivalence does NOT imply Pike-thread equivalence — a state
+    # holding a progress thread can fire identically to the fresh
+    # state (e.g. `(?:ab)*c` after "ab") yet yield a different chosen
+    # match start.  A merged state is sterile only if EVERY member is.
+    sterile_merged = None
+    if dfa.sterile is not None:
+        sterile_merged = np.ones(n, dtype=bool)
+        np.logical_and.at(sterile_merged, cls, dfa.sterile)
     # renumber classes in first-seen state order (start -> 0)
     order = np.full(n, -1, dtype=np.int32)
     reps = np.zeros(n, dtype=np.int64)
@@ -291,8 +310,11 @@ def minimize_dfa(dfa):
     trans = np.ascontiguousarray(newid[dfa.trans[reps]])
     match_id = np.ascontiguousarray(dfa.match_id[reps])
     match_eof_id = np.ascontiguousarray(dfa.match_eof_id[reps])
+    sterile = None
+    if sterile_merged is not None:
+        sterile = np.ascontiguousarray(sterile_merged[cls[reps]])
     return Dfa(dfa.program, trans, match_id, match_eof_id,
-               dfa.class_map)
+               dfa.class_map, sterile=sterile)
 
 
 def build_core_dfa(dfa, hot_states):
@@ -367,6 +389,35 @@ def core_from_rows(program, class_map, ct, m, eof_hot):
                class_map_core)
 
 
+def _sterile_pendings(insts):
+    """Pending NFA positions a thread can hold WITHOUT having consumed
+    a byte of any potential match: {pc+1 for consuming pc reachable
+    from pc 0 through JMP/SPLIT only}.  The parse drivers wrap every
+    pattern as `.*?(re)` and entering re always crosses its SAVE 0
+    (sre_yyparser.y's `.*?` wrap; compiler.py emits split/any/jmp
+    before the TOPLEVEL save), so stopping the walk at SAVE (and at
+    assertions/match, conservatively) leaves exactly the scan-loop
+    positions.  A pending set within this family means every live
+    thread is indistinguishable from a freshly seeded one."""
+    ok = {0}
+    seen = set()
+    stack = [0]
+    while stack:
+        pc = stack.pop()
+        if pc in seen or pc >= len(insts):
+            continue
+        seen.add(pc)
+        op = insts[pc].opcode
+        if op == OP_JMP:
+            stack.append(insts[pc].x)
+        elif op == OP_SPLIT:
+            stack.append(insts[pc].x)
+            stack.append(insts[pc].y)
+        elif op in (OP_CHAR, OP_ANY, OP_IN, OP_NOTIN):
+            ok.add(pc + 1)
+    return ok
+
+
 def build_dfa(prog, max_states=8192):
     """Subset construction.  Raises DfaTooLarge beyond max_states.
     The result is Moore-minimized (SREGEX_MINIMIZE=0 disables)."""
@@ -423,8 +474,14 @@ def build_dfa(prog, max_states=8192):
 
     trans = np.stack(trans_rows)
     match = np.stack(match_rows)
+    st_ok = _sterile_pendings(insts)
+    # empty pending = the dead state: NOT fresh-equivalent (a fresh
+    # ctx would resurrect threads a dead anchored scan has lost)
+    sterile = np.array([bool(k[0]) and all(pc in st_ok for pc in k[0])
+                        for k in keys], dtype=bool)
     dfa = Dfa(prog, trans, match,
-              np.array(match_eof, dtype=np.int32), class_map)
+              np.array(match_eof, dtype=np.int32), class_map,
+              sterile=sterile)
     if os.environ.get("SREGEX_MINIMIZE") != "0":
         dfa = minimize_dfa(dfa)
     return dfa

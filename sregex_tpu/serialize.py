@@ -87,6 +87,8 @@ def save_compiled(path, scanner_or_prog, dfa=None):
         arrays.update(
             trans=dfa.trans, match_id=dfa.match_id,
             match_eof_id=dfa.match_eof_id, class_map=dfa.class_map)
+        if dfa.sterile is not None:
+            arrays.update(sterile=dfa.sterile)
     if hasattr(path, "write"):
         np.savez_compressed(path, **arrays)
     else:
@@ -113,5 +115,7 @@ def load_compiled(path, use_device=False):
             dfa = Dfa(prog, z["trans"].copy(),
                       z["match_id"].copy(),
                       z["match_eof_id"].copy(),
-                      z["class_map"].copy())
+                      z["class_map"].copy(),
+                      sterile=z["sterile"].copy()
+                      if "sterile" in z else None)
     return Scanner(prog, use_device=use_device, ast=None, dfa=dfa)
