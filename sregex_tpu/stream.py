@@ -1116,8 +1116,150 @@ class Scanner:
     def editor(self, repl, count=0):
         """Streaming substitution: returns a StreamEditor over this
         pattern set (chunk-in/chunk-out replace filter; see
-        StreamEditor)."""
+        StreamEditor).  For throughput over large segmented streams
+        use sub_stream (device fire map + Pike teleports); the editor
+        optimizes latency (flushes as early as provably final)."""
         return StreamEditor(self, repl, count=count)
+
+    def _events_engine(self, chunk_len, map_window):
+        if self.dfa is None:
+            return None
+        from .events import StreamEvents
+        return StreamEvents(self, chunk_len=chunk_len,
+                            map_window=map_window)
+
+    def finditer_stream(self, segments, chunk_len=2048,
+                        map_window=8 << 20):
+        """finditer over a segmented/unbounded stream: yields
+        (regex_id, ovector) with ABSOLUTE stream offsets, identical to
+        finditer(b"".join(segments)) for every segmentation, in
+        O(map_window + teleport lookback) memory.
+
+        Device fast path (events.py): a forward per-chunk fire map
+        (one validated kernel pass per window) locates every chunk
+        that can contain a match end; the Pike VM runs only around
+        those fires and teleports across fire-free gaps — bounded
+        patterns seed max_match_len before a fire, unbounded ones at
+        sterile chunk boundaries (dfa.sterile).  Patterns past the
+        eager DFA budget stream through the Pike re-arm loop
+        directly."""
+        eng = self._events_engine(chunk_len, map_window)
+        if eng is None:
+            yield from self._finditer_stream_pike(segments)
+            return
+        for seg in segments:
+            yield from eng.push(seg)
+        yield from eng.push(b"", eof=True)
+
+    def _finditer_stream_pike(self, segments):
+        """Monster-pattern fallback: the bare streaming re-arm loop
+        (sre_vm_pike.c:624-635 as a stream consumer).  Memory is the
+        pending-match bound, like StreamEditor."""
+        ctx = self._pike_ctx()
+        held = bytearray()
+        hb = 0          # absolute offset of held[0] == ctx feed point
+        total = 0
+        segs = iter(segments)
+        eof = False
+        piece = b""
+        while True:
+            if not piece and not eof:
+                nxt = next(segs, None)
+                if nxt is None:
+                    eof = True
+                    piece = b""
+                else:
+                    piece = bytes(nxt)
+                    held += piece
+                    total += len(piece)
+            rc, pending = ctx.exec(piece, eof, want_pending=True)
+            piece = b""
+            if rc >= 0:
+                ov = [int(v) for v in ctx.ovector]
+                yield rc, ov
+                if ov[1] >= total and ov[0] == ov[1] and eof:
+                    return
+                del held[:ov[1] - hb]
+                hb = ov[1]
+                piece = bytes(held)
+                if not piece and eof:
+                    # drain the re-armed engine at eof
+                    continue
+            elif rc == SRE_AGAIN:
+                if eof:
+                    return
+                # release bytes no future re-feed can need: re-feeds
+                # start at match ends >= any pending/candidate start
+                bound = total
+                t0 = int(ctx.ovector[0])
+                if t0 >= 0:
+                    bound = min(bound, t0)
+                if pending is not None:
+                    bound = min(bound, int(pending[0]))
+                if bound > hb:
+                    del held[:bound - hb]
+                    hb = bound
+            else:
+                return
+
+    def sub_stream(self, repl, segments, count=0, chunk_len=2048,
+                   map_window=8 << 20):
+        """Streaming replace over a segmented stream: yields output
+        byte pieces whose concatenation equals
+        sub(repl, b"".join(segments)) for every segmentation — the
+        reference's production replace filter
+        (README.markdown:609-611) at device rate (the fire-map events
+        engine of finditer_stream).  repl: template or callable as
+        Scanner.sub; count limits replacements (0 = all), after which
+        the stream passes through verbatim."""
+        eng = self._events_engine(chunk_len, map_window)
+        if eng is None:
+            ed = StreamEditor(self, repl, count=count)
+            for seg in segments:
+                out = ed.feed(seg)
+                if out:
+                    yield out
+            if not ed.finished:
+                out = ed.feed(b"", eof=True)
+                if out:
+                    yield out
+            return
+        emitted = 0
+        done = 0
+        passthrough = False
+        eng.keep_from = 0
+
+        def render(events, eof):
+            nonlocal emitted, done, passthrough
+            out = []
+            for rid, ov in events:
+                if passthrough:
+                    continue
+                out.append(eng.read(emitted, ov[0]))
+                window = eng.read(ov[0], ov[1])
+                rel = [v - ov[0] if v >= 0 else -1 for v in ov]
+                if callable(repl):
+                    out.append(repl(rid, rel, window))
+                else:
+                    out.append(_expand_template(repl, rel, window))
+                emitted = ov[1]
+                done += 1
+                if count and done >= count:
+                    passthrough = True
+            bound = eng.total if (eof or passthrough) else eng.final
+            if bound > emitted:
+                out.append(eng.read(emitted, bound))
+                emitted = bound
+            eng.keep_from = emitted
+            return b"".join(out)
+
+        for seg in segments:
+            out = render(eng.push(seg), False)
+            if out:
+                yield out
+        out = render(eng.push(b"", eof=True), True)
+        if out:
+            yield out
 
     def split(self, data, maxsplit=0, index=None):
         """Split ``data`` around matches (re.split analogue without
