@@ -118,6 +118,90 @@ int64_t sre_find_first_byte(const uint8_t* accept, const uint8_t* data,
 
 extern "C" {
 
+// ---- Lazy-DFA resumable walkers ------------------------------------
+//
+// The lazy machine (sregex_tpu/dfa.py LazyDfa) materializes subset
+// states on demand in Python; these walkers run the hot loop over a
+// DENSE int64 mirror of the already-materialized transitions and stop
+// at the first unmaterialized entry, returning control to Python to
+// materialize that one entry and resume.  Past-the-eager-budget
+// patterns thus scan at table-walk C speed once their hot set has
+// materialized — the lazy analogue of the reference JIT's
+// universality (sre_vm_thompson_jit.c:39 compiles every program).
+//
+// Dense entry encoding: -1 = unmaterialized, else
+// (next_sid << 32) | (match_id + 1) — the match ends at the boundary
+// BEFORE the byte (0 = no match), matching LazyDfa._step.
+//
+// Each walker returns the number of bytes consumed (== n when the
+// buffer completed; < n means tab[state*ncls + cmap[data[consumed]]]
+// needs materializing, with *state_io the state at that point).
+
+int64_t sre_lazy_count(const int64_t* tab, int32_t ncls,
+                       const uint8_t* cmap, const uint8_t* data,
+                       int64_t n, int32_t* state_io,
+                       int64_t* count_io) {
+    int32_t s = *state_io;
+    int64_t cnt = 0, i = 0;
+    for (; i < n; i++) {
+        int64_t e = tab[(int64_t) s * ncls + cmap[data[i]]];
+        if (e < 0) break;
+        cnt += (e & 0xffffffffLL) != 0;
+        s = (int32_t)(e >> 32);
+    }
+    *state_io = s;
+    *count_io += cnt;
+    return i;
+}
+
+// Stops at the first match boundary: *found_io = its offset within
+// THIS call's data and *state_io = the state AT the boundary
+// (id_at-compatible), or *found_io = -1 when the consumed span holds
+// no match boundary.
+int64_t sre_lazy_scan_first(const int64_t* tab, int32_t ncls,
+                            const uint8_t* cmap, const uint8_t* data,
+                            int64_t n, int32_t* state_io,
+                            int64_t* found_io) {
+    int32_t s = *state_io;
+    int64_t i = 0;
+    *found_io = -1;
+    for (; i < n; i++) {
+        int64_t e = tab[(int64_t) s * ncls + cmap[data[i]]];
+        if (e < 0) break;
+        if ((e & 0xffffffffLL) != 0) {
+            *found_io = i;
+            *state_io = s;
+            return i;
+        }
+        s = (int32_t)(e >> 32);
+    }
+    *state_io = s;
+    return i;
+}
+
+// Records the LAST match boundary within this call's consumed span
+// into *last_io (offset within this call's data; untouched when none
+// — the caller pre-sets -1 and rebases across resumes).
+int64_t sre_lazy_scan_last(const int64_t* tab, int32_t ncls,
+                           const uint8_t* cmap, const uint8_t* data,
+                           int64_t n, int32_t* state_io,
+                           int64_t* last_io) {
+    int32_t s = *state_io;
+    int64_t i = 0;
+    for (; i < n; i++) {
+        int64_t e = tab[(int64_t) s * ncls + cmap[data[i]]];
+        if (e < 0) break;
+        if ((e & 0xffffffffLL) != 0) *last_io = i;
+        s = (int32_t)(e >> 32);
+    }
+    *state_io = s;
+    return i;
+}
+
+}  // extern "C"
+
+extern "C" {
+
 // Corpus preparation for the speculative device kernel
 // (sregex_tpu/ops/pallas_scan.py): class-map each byte, window each
 // K-byte chunk with W warmup bytes from its predecessor, pack CPW

@@ -512,6 +512,100 @@ class LazyDfa:
         self._trans = {}      # (sid, cls) -> (next_sid, match_bool)
         self._eof = {}        # sid -> match_eof bool
         self._closure_cache = {}
+        # native-walk mirror (csrc/sre_host.cpp sre_lazy_*): a dense
+        # int64 [cap, ncls] copy of materialized transitions, -1 =
+        # not yet materialized; the C walker stops on -1 and Python
+        # fills that one entry and resumes
+        self._dense = None
+        self._nat = None      # None = untried, False = unavailable
+        self._cmap_u8 = None
+
+    # past this many dense-table bytes the pattern is a true monster:
+    # free the mirror and stay on the Python walk
+    MAX_DENSE_BYTES = 128 << 20
+
+    def _native(self):
+        if self._nat is None:
+            from .native import get_lib
+            lib = get_lib()
+            self._nat = lib if lib is not None else False
+            if lib is not None:
+                self._cmap_u8 = np.ascontiguousarray(
+                    self.class_map.astype(np.uint8))
+        return self._nat or None
+
+    def _dense_row_cap(self):
+        return 0 if self._dense is None else self._dense.shape[0]
+
+    def _grow_dense(self, need):
+        """Ensure the dense mirror covers >= need states; returns
+        False (and disables the native walk) past the byte budget."""
+        cap = max(64, self._dense_row_cap())
+        while cap < need:
+            cap *= 2
+        if cap * self.nclasses * 8 > self.MAX_DENSE_BYTES:
+            self._nat = False
+            self._dense = None
+            return False
+        if self._dense is None or cap > self._dense.shape[0]:
+            nd = np.full((cap, self.nclasses), -1, dtype=np.int64)
+            if self._dense is not None:
+                nd[:self._dense.shape[0]] = self._dense
+            self._dense = nd
+        return True
+
+    def _fill_dense(self, sid, c):
+        """Materialize one (sid, cls) entry into the mirror (the
+        native walkers' miss handler)."""
+        nxt, mid = self._step(sid, c)
+        if not self._grow_dense(max(sid, nxt) + 1):
+            return False
+        self._dense[sid, c] = (nxt << 32) | np.int64(mid + 1)
+        return True
+
+    def _nat_loop(self, fn, data, state, mode):
+        """Resumable driver for one native lazy walker.  mode:
+        'count' -> (count, state); 'first' -> (boundary|-1, state AT
+        boundary / after); 'last' -> (last boundary|-1, state after).
+        Returns None when native is unavailable or the dense budget
+        blows mid-walk (caller redoes the whole call in Python)."""
+        import ctypes
+        if not isinstance(data, (bytes, bytearray)):
+            data = bytes(data)
+        buf = np.frombuffer(data, dtype=np.uint8)
+        n = len(buf)
+        if not self._grow_dense(self.nstates):
+            return None
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        st = np.array([state], dtype=np.int32)
+        out = np.array([0 if mode == "count" else -1], dtype=np.int64)
+        i = 0
+        last = -1
+        while i < n:
+            consumed = fn(
+                self._dense.ctypes.data_as(i64p), self.nclasses,
+                self._cmap_u8.ctypes.data_as(u8p),
+                buf[i:].ctypes.data_as(u8p), n - i,
+                st.ctypes.data_as(i32p), out.ctypes.data_as(i64p))
+            if mode == "first" and out[0] >= 0:
+                return int(out[0]) + i, int(st[0])
+            if mode == "last":
+                if out[0] >= 0:
+                    last = int(out[0]) + i
+                out[0] = -1
+            i += consumed
+            if i < n:
+                # miss: materialize exactly this entry and resume
+                c = int(self._cmap_u8[buf[i]])
+                if not self._fill_dense(int(st[0]), c):
+                    return None   # budget blown mid-walk: redo in py
+        if mode == "count":
+            return int(out[0]), int(st[0])
+        if mode == "first":
+            return -1, int(st[0])
+        return last, int(st[0])
 
     @property
     def nstates(self):
@@ -565,6 +659,12 @@ class LazyDfa:
         0..n-1 — EOF acceptance is match_eof(state), the caller's.
         On a match the returned state is the state AT the boundary
         (id_at-compatible: _step(state, cls)[1] is the regex id)."""
+        nat = self._native()
+        if nat is not None:
+            r = self._nat_loop(nat.sre_lazy_scan_first, data, state,
+                               "first")
+            if r is not None:
+                return r
         cmap = self.class_map
         step = self._step
         s = state
@@ -585,6 +685,12 @@ class LazyDfa:
 
     def count(self, data, state=0):
         """(number of match-ending boundaries in 0..n-1, state after)."""
+        nat = self._native()
+        if nat is not None:
+            r = self._nat_loop(nat.sre_lazy_count, data, state,
+                               "count")
+            if r is not None:
+                return r
         cmap = self.class_map
         step = self._step
         s = state
@@ -601,6 +707,12 @@ class LazyDfa:
     def scan_last(self, data, state=0):
         """(LAST match-ending boundary in 0..n-1 or -1, state after);
         the reverse-scan primitive, lazy flavor."""
+        nat = self._native()
+        if nat is not None:
+            r = self._nat_loop(nat.sre_lazy_scan_last, data, state,
+                               "last")
+            if r is not None:
+                return r
         cmap = self.class_map
         step = self._step
         s = state

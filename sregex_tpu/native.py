@@ -64,6 +64,12 @@ def get_lib():
                                        i32p, i64p]
         lib.sre_find_first_byte.restype = ctypes.c_int64
         lib.sre_find_first_byte.argtypes = [u8p, u8p, ctypes.c_int64]
+        for name in ("sre_lazy_count", "sre_lazy_scan_first",
+                     "sre_lazy_scan_last"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [i64p, ctypes.c_int32, u8p, u8p,
+                           ctypes.c_int64, i32p, i64p]
         lib.sre_pack_prepare.restype = None
         lib.sre_pack_prepare.argtypes = [
             u8p, ctypes.c_int64, u8p, ctypes.c_int32, ctypes.c_int32,
