@@ -88,6 +88,25 @@ def _core_requirement(spec):
     return None
 
 
+def _core_band(spec):
+    """Core-vs-static decision band for the Scanner (VERDICT r2 #9):
+    'static' = the core tier stays out (short chains measured faster:
+    R=2 static 8.5 vs core 3.4 GB/s), 'core' = clear core win (R=17
+    wide measured 0.76; big tier 0.15-0.6), 'ab' = the ambiguous
+    mid-band (R=20 measured core-wins 9.5 vs 7.3 but mid-range sits
+    within ~1.5x either way, docs/PERFORMANCE.md) — measure both arms
+    on the first large scan and stick with the winner."""
+    from .ops.pallas_scan import SpecTablesWide
+    from .ops.pallas_big import SpecTablesBig
+    if spec is None or isinstance(spec, SpecTablesBig):
+        return "core"
+    if isinstance(spec, SpecTablesWide):
+        if spec.rows <= 2:
+            return "static"
+        return "core" if spec.rows > 16 else "ab"
+    return "static"
+
+
 class StreamScanner:
     """Resumable boolean scanner over one stream (Thompson-equivalent
     semantics: reports the earliest boundary where any match ends)."""
@@ -320,12 +339,26 @@ class Scanner:
         return b"".join(bytes(data[c:c + w]) for c in cuts)
 
     def _core_eligible(self, spec):
-        """Adaptive-core eligibility (see _core_requirement): None
-        when the core tier must stay out, else the require_fast flag
-        for CoreTables."""
+        """Adaptive-core eligibility: None when the core tier must
+        stay out, else the require_fast flag for CoreTables.  The
+        Scanner uses the measured decision bands (_core_band): clear
+        cases short-circuit, the ambiguous mid-band builds the core
+        AND schedules a first-scan A/B (_maybe_tier_ab) whose loser
+        is declined for the Scanner's lifetime.  SREGEX_TIER_AB=0
+        restores the legacy rows>4 heuristic."""
+        import os
         if not self.use_device:
             return None
-        return _core_requirement(spec)
+        if os.environ.get("SREGEX_TIER_AB") == "0" \
+                or os.environ.get("SREGEX_CORE") == "0":
+            return _core_requirement(spec)
+        band = _core_band(spec)
+        if band == "static":
+            return None
+        from .ops.pallas_big import SpecTablesBig
+        # over a surviving wide tier only a pair/narrow core helps;
+        # over the big tier (or no static tier) anything goes
+        return not (spec is None or isinstance(spec, SpecTablesBig))
 
     def _core_tables(self, data):
         """Adaptive hot-core tier (ops/pallas_core.py): when the
@@ -345,9 +378,69 @@ class Scanner:
                     self._coret = CoreTables(self.dfa,
                                              self._core_sample(data),
                                              require_fast=req)
+                    import os
+                    if os.environ.get("SREGEX_TIER_AB") != "0" \
+                            and _core_band(self._spec) == "ab":
+                        self._ab_pending = True
                 except ValueError:
                     self._coret = False
         return self._coret or None
+
+    # first-scan core-vs-wide A/B (VERDICT r2 #9): arm bytes cap and
+    # the displacement margin (static must beat the already-built
+    # core by >10% to win — relay noise is ~1.5x run-to-run, so arms
+    # interleave in ONE process and take min-of-2, docs/PERFORMANCE.md)
+    TIER_AB_BYTES = 32 << 20
+    TIER_AB_MARGIN = 1.1
+
+    def _maybe_tier_ab(self, data):
+        """Mid-band wide tiers: measure core vs static on the corpus
+        actually being scanned (once per Scanner) and decline the
+        loser.  Both arms run a full count over the same slice with
+        value readback; a warmup rep per arm absorbs compiles."""
+        if not getattr(self, "_ab_pending", False):
+            return
+        ct = self._coret
+        if ct in (None, False) or self._spec is None:
+            self._ab_pending = False
+            return
+        if len(data) < self.DEVICE_THRESHOLD:
+            return                  # wait for a production-size scan
+        self._ab_pending = False
+        ab = bytes(data[:self.TIER_AB_BYTES])
+        from .ops.pallas_core import core_count_bytes
+        from .ops.pallas_scan import spec_count_bytes
+
+        def core_arm():
+            return core_count_bytes(ct, ab, mesh=self.mesh)
+
+        def static_arm():
+            return spec_count_bytes(self._spec, ab, mesh=self.mesh)
+
+        r_s = static_arm()          # untimed: compiles/caches
+        r_c = core_arm()
+        if r_s != r_c:              # exactness guard (never expected)
+            degraded("tier-ab", "core/static disagree on the A/B "
+                     f"slice ({r_c} vs {r_s}); keeping the core")
+            return
+        ts, tc = [], []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            static_arm()
+            ts.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            core_arm()
+            tc.append(time.perf_counter() - t0)
+        s, c = min(ts), min(tc)
+        winner = "static" if s * self.TIER_AB_MARGIN < c else "core"
+        self.tier_ab = {
+            "bytes": len(ab), "static_s": s, "core_s": c,
+            "winner": winner,
+            "static_gbps": len(ab) / s / 1e9,
+            "core_gbps": len(ab) / c / 1e9,
+        }
+        if winner == "static":
+            self._coret = False     # measured loser: decline for life
 
     # re-core on drift: a cached core built from one corpus degrades
     # to repair-heavy scans on differently-distributed data (measured
@@ -468,8 +561,11 @@ class Scanner:
         if getattr(self, "_rev_coret", None) is None:
             self._rev_coret = False
             rev = self._rev_dfa()
-            req = (self._core_eligible(self._rev_spec)
-                   if rev is not None else None)
+            # reverse machine: legacy heuristic only — the first-scan
+            # A/B measures the FORWARD machine and its outcome does
+            # not transfer (different automaton, different rows)
+            req = (_core_requirement(self._rev_spec)
+                   if rev is not None and self.use_device else None)
             if req is not None:
                 try:
                     from .ops.pallas_core import CoreTables
@@ -498,6 +594,7 @@ class Scanner:
                     if prepared else None, mesh=self.mesh)
                 self._core_note(ct)
                 self._note_stats("scan", ct, len(data), t0)
+                self._maybe_tier_ab(data)
                 return first, state
         if getattr(self, "_phi_active", False) \
                 and len(data) >= self.DEVICE_THRESHOLD:
@@ -596,6 +693,7 @@ class Scanner:
                 if prepared else None, mesh=self.mesh)
             self._core_note(ct)
             self._note_stats("count", ct, len(data), t0)
+            self._maybe_tier_ab(data)
         elif getattr(self, "_phi_active", False) \
                 and len(data) >= self.DEVICE_THRESHOLD:
             from .ops.pallas_phi import phi_count_bytes
