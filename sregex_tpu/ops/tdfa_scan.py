@@ -54,12 +54,16 @@ from .pallas_scan import GROUPS, TILE, WORDS_PER_ITER, _prepare
 
 _BAD = np.int32(-(2 ** 30))
 
-# nibble source codes
+# nibble source codes: register ids 0..12, then the three specials —
+# the 4-bit code space caps registers/tags at 13; machines past that
+# take the exact multi-pass path.  Slots 8..12 live in a SECOND
+# nibble plane (t_regsrc2/t_csrc2) gathered only when R > 8 / T > 8,
+# so small machines keep the 4-gather hot loop
 _C_UNSET = 13
 _C_CUR = 14
 _C_NEXT = 15
-R_MAX = 8
-T_MAX = 8
+R_MAX = 13
+T_MAX = 13
 MAX_ENTRIES = 512        # interpret-mode CPU (4 lane rows)
 MAX_ENTRIES_TPU = 2048   # real hardware (16 lane rows)
 
@@ -152,8 +156,8 @@ class TdfaSpecTables:
         # nibble-packed planes overflow int32 (8 x code 13..15); build
         # as uint32 and reinterpret — the kernel masks (&15) after the
         # arithmetic shifts, so sign extension is harmless
-        t_regsrc = np.zeros(self.rows * 128, dtype=np.uint32)
-        t_csrc = np.zeros(self.rows * 128, dtype=np.uint32)
+        t_regsrc = np.zeros(self.rows * 128, dtype=np.uint64)
+        t_csrc = np.zeros(self.rows * 128, dtype=np.uint64)
         t_cmeta = np.zeros(self.rows * 128, dtype=np.int32)
         for s in range(S):
             for c in range(ncls):
@@ -187,8 +191,16 @@ class TdfaSpecTables:
                                 (self.rows, 8, 128)).copy()))
 
         self.t_next = bc(t_next)
-        self.t_regsrc = bc(t_regsrc.view(np.int32))
-        self.t_csrc = bc(t_csrc.view(np.int32))
+        # lo plane: slots 0..7; hi plane: slots 8..12 (gathered only
+        # when nregs/ntags > 8 — the R/T static args gate it)
+        self.t_regsrc = bc((t_regsrc & np.uint64(0xffffffff))
+                           .astype(np.uint32).view(np.int32))
+        self.t_regsrc2 = bc((t_regsrc >> np.uint64(32))
+                            .astype(np.uint32).view(np.int32))
+        self.t_csrc = bc((t_csrc & np.uint64(0xffffffff))
+                         .astype(np.uint32).view(np.int32))
+        self.t_csrc2 = bc((t_csrc >> np.uint64(32))
+                          .astype(np.uint32).view(np.int32))
         self.t_cmeta = bc(t_cmeta)
 
         # reuse the boolean kernel's data prep (same packing/layout)
@@ -210,7 +222,8 @@ def _resolve(code, regs, j_cur, j_next):
 
 
 def _tdfa_kernel(data_ref, state0_ref, j0_ref,
-                 next_ref, regsrc_ref, csrc_ref, cmeta_ref,
+                 next_ref, regsrc_ref, regsrc2_ref, csrc_ref,
+                 csrc2_ref, cmeta_ref,
                  phi_ref, swarm_ref, bank_ref, regs_ref, *,
                  J, W, CPW, R, T, ROWS):
     """One grid step = one [G*TILE]-stream block.  data block
@@ -221,7 +234,9 @@ def _tdfa_kernel(data_ref, state0_ref, j0_ref,
     G = GROUPS
     tnext = [next_ref[r] for r in range(ROWS)]
     tregsrc = [regsrc_ref[r] for r in range(ROWS)]
+    tregsrc2 = [regsrc2_ref[r] for r in range(ROWS)]
     tcsrc = [csrc_ref[r] for r in range(ROWS)]
+    tcsrc2 = [csrc2_ref[r] for r in range(ROWS)]
     tcmeta = [cmeta_ref[r] for r in range(ROWS)]
 
     def gath(rows, idx, lane, hi):
@@ -245,12 +260,21 @@ def _tdfa_kernel(data_ref, state0_ref, j0_ref,
         rs = gath(tregsrc, idx, lane, hi)
         cs = gath(tcsrc, idx, lane, hi)
         cm = gath(tcmeta, idx, lane, hi)
+        # hi nibble planes (slots 8..12) cost a gather ONLY when the
+        # machine actually uses them (static R/T gate)
+        rs2 = gath(tregsrc2, idx, lane, hi) if R > 8 else None
+        cs2 = gath(tcsrc2, idx, lane, hi) if T > 8 else None
+
+        def nib(lo, hi_plane, k):
+            return ((lo >> (4 * k)) & 15) if k < 8 \
+                else ((hi_plane >> (4 * (k - 8))) & 15)
+
         newregs = tuple(
-            _resolve((rs >> (4 * k)) & 15, regs, j, j + 1)
+            _resolve(nib(rs, rs2, k), regs, j, j + 1)
             for k in range(R))
         has = (cm & 1) == 1
         newbank = tuple(
-            jnp.where(has, _resolve((cs >> (4 * t)) & 15, regs, j, j + 1),
+            jnp.where(has, _resolve(nib(cs, cs2, t), regs, j, j + 1),
                       bank[t])
             for t in range(T))
         newrid = jnp.where(has, cm >> 1, bank[T])
@@ -322,7 +346,8 @@ def _tdfa_kernel(data_ref, state0_ref, j0_ref,
 @functools.partial(jax.jit,
                    static_argnames=("J", "W", "CPW", "R", "T",
                                     "ROWS"))
-def _tdfa_scan(data, state0, j0, t_next, t_regsrc, t_csrc, t_cmeta,
+def _tdfa_scan(data, state0, j0, t_next, t_regsrc, t_regsrc2,
+               t_csrc, t_csrc2, t_cmeta,
                C, dead_val, *, J, W, CPW, R, T, ROWS=1):
     """Returns (summary int32 [10 + T+1 + R], bank planes, regs planes).
 
@@ -359,7 +384,7 @@ def _tdfa_scan(data, state0, j0, t_next, t_regsrc, t_csrc, t_cmeta,
         in_specs=[
             pl.BlockSpec((1, Jw, G, 8, 128), lambda i: (i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            small, small, tab, tab, tab, tab,
+            small, small, tab, tab, tab, tab, tab, tab,
         ],
         out_specs=[small, small, planeT, planeR],
         out_shape=[
@@ -369,7 +394,8 @@ def _tdfa_scan(data, state0, j0, t_next, t_regsrc, t_csrc, t_cmeta,
             jax.ShapeDtypeStruct((R, B, G, 8, 128), jnp.int32),
         ],
         interpret=interpret,
-    )(data, state0, j0, t_next, t_regsrc, t_csrc, t_cmeta)
+    )(data, state0, j0, t_next, t_regsrc, t_regsrc2, t_csrc,
+      t_csrc2, t_cmeta)
 
     Cp = phi.size
     phi_f = phi.reshape(Cp)
@@ -595,7 +621,8 @@ def tdfa_spec_find(tables, data_np, chunk_len=2048, prepared=None):
         data if isinstance(data, jax.Array) else jnp.asarray(data),
         jnp.asarray(state0.reshape(B, G, 8, 128)),
         jnp.asarray(j0.reshape(B, G, 8, 128)),
-        tables.t_next, tables.t_regsrc, tables.t_csrc, tables.t_cmeta,
+        tables.t_next, tables.t_regsrc, tables.t_regsrc2,
+        tables.t_csrc, tables.t_csrc2, tables.t_cmeta,
         jnp.int32(full_C), jnp.int32(tables.dead_premult),
         J=J, W=W, CPW=tables.cpw, R=R, T=T, ROWS=tables.rows)
     summ = np.asarray(summary).astype(np.int64)

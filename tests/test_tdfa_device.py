@@ -40,6 +40,11 @@ CASES = [
     ("^x", lambda n: b"x" + b"y" * (n - 1)),
     ("q\\b", lambda n: (b"mmmm" * (n // 4))[: n - 3] + b"q, "),
     ("z$", lambda n: (b"aaaa" * (n // 4))[: n - 1] + b"z"),
+    # > 8 tags / > 8 registers: the second nibble plane (slots 8..12)
+    ("(\\d+)-(\\d+)-(\\d+) (\\w+):(\\w+)",
+     lambda n: (b";;;;" * (n // 4))[: n - 16] + b"12-34-56 ab:cd;;"),
+    ("(\\w+)=(\\w+);(\\w+)=(\\w+)",
+     lambda n: (b"- - " * (n // 4))[: n - 12] + b"aa=bb;cc=dd "),
 ]
 
 
@@ -58,6 +63,16 @@ def test_tdfa_device_find_exact(pat, mk):
     # these cases the kernel is expected to certify
     assert got != "fallback", pat
     assert got == want
+
+
+def test_tdfa_hi_plane_engaged():
+    """The 5-group case really exercises the hi nibble plane (it
+    would previously raise TdfaTooLarge at 8 tags)."""
+    sc = compile_pattern("(\\d+)-(\\d+)-(\\d+) (\\w+):(\\w+)")
+    t = TdfaSpecTables(sc.program)
+    assert t.ntags > 8 and t.nregs > 8, (t.ntags, t.nregs)
+    assert np.asarray(t.t_csrc2).any()
+    assert np.asarray(t.t_regsrc2).any()
 
 
 def test_tdfa_device_no_match_certified():
