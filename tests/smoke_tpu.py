@@ -216,6 +216,97 @@ def main():
     log("   stream stats: %r" % (sc.stats().as_dict(),))
     ok("pipeline-stream")
 
+    # 11. exact φ transfer-composition tier (speculation-hostile
+    # corpora; round-3).  The escalation LADDER is CPU-tested
+    # (test_pallas_phi) — here we validate the kernel on hardware.
+    case("phi-exact")
+    sc = compile_pattern(rb"b(?:aa)*b", use_device=True)
+    data = bytearray(b"a" * (8 << 20))
+    data[4 << 20:(4 << 20) + 6] = b"baaaab"
+    data = bytes(data)
+    exp_c, exp_st = sc._native.count(data, 0)
+    exp_c += int(sc.dfa.match_eof[exp_st])
+    sc._phi_active = True
+    assert sc._phi_tables() is not None
+    got = sc.count(data)
+    assert got == exp_c, (got, exp_c)
+    assert sc.stats().tier == "PhiTables", sc.stats().tier
+    ok("phi-exact")
+
+    # 12. wide tagged-DFA find (ROWS > 1 capture kernel; round-3)
+    case("tdfa-wide-find")
+    pat = rb"(GET|POST|PUT)x(HTTP|FTP)"
+    sc = compile_pattern(pat, use_device=True)
+    from sregex_tpu.ops.tdfa_scan import TdfaSpecTables
+    sc._tdfa_spec = TdfaSpecTables(sc.program)
+    assert sc._tdfa_spec.rows > 1
+    data = corpus(rng, b"GEPOSTUFH ", 8, [(0.7, b" PUTxFTP ")])
+    got = sc.find(data)
+    m = re.search(pat, data)
+    assert got is not None and m is not None
+    assert (got[1][0], got[1][1]) == (m.start(), m.end()), got
+    assert (got[1][2], got[1][3]) == m.span(1)
+    ok("tdfa-wide-find")
+
+    # 13. tagged-DFA hi nibble plane (>8 regs/tags; round-3)
+    case("tdfa-hi-plane")
+    pat = rb"([a-z]{2,12})=([0-9]{2,8})"
+    sc = compile_pattern(pat, use_device=True)
+    sc._tdfa_spec = TdfaSpecTables(sc.program)
+    assert sc._tdfa_spec.nregs > 8, sc._tdfa_spec.nregs
+    data = corpus(rng, b"xy09=. ", 8, [(0.6, b" key=1234 ")])
+    got = sc.find(data)
+    m = re.search(pat, data)
+    assert got is not None and m is not None
+    assert (got[1][0], got[1][1]) == (m.start(), m.end()), got
+    assert (got[1][2], got[1][3]) == m.span(1)
+    assert (got[1][4], got[1][5]) == m.span(2)
+    ok("tdfa-hi-plane")
+
+    # 14. streaming events engine (finditer_stream/sub_stream on the
+    # device fire map; round-3) — logs rates vs count_stream for
+    # docs/PERFORMANCE.md (relay variance: no hard rate assert)
+    case("events-stream")
+    pat = rb"ERROR[^\n]*"
+    sc = compile_pattern(pat, use_device=True)
+    data = corpus(rng, b"log lines go here\n", 32,
+                  [(f, b"ERROR boom %d\n" % i)
+                   for i, f in enumerate((0.1, 0.4, 0.7, 0.95))])
+    segs = [data[i:i + (8 << 20)] for i in range(0, len(data),
+                                                 8 << 20)]
+    t0 = time.time()
+    evs = list(sc.finditer_stream(iter(segs)))
+    t_ev = time.time() - t0
+    exp = [(m.start(), m.end()) for m in re.finditer(pat, data)]
+    assert [(ov[0], ov[1]) for _, ov in evs] == exp, (len(evs),
+                                                      len(exp))
+    t0 = time.time()
+    sc.count_stream(iter(segs))
+    t_cs = time.time() - t0
+    log("   finditer_stream %.2fs vs count_stream %.2fs (%.1fx)"
+        % (t_ev, t_cs, t_ev / max(t_cs, 1e-9)))
+    out = b"".join(sc.sub_stream(b"<cut>", iter(segs)))
+    assert out == re.sub(pat, b"<cut>", data)
+    ok("events-stream")
+
+    # 15. mid-band tier A/B (measurement-driven selection; round-3;
+    # production config — SREGEX_TIER_AB unset/on outside pytest)
+    case("tier-ab")
+    pat = rb"(foo|bar|baz|qux)=[0-9a-f]{2,8}"
+    sc = compile_pattern(pat, use_device=True)
+    data = corpus(rng, b"0123 456 789 -- ", 8, [])
+    exp_c, exp_st = sc._native.count(data, 0)
+    exp_c += int(sc.dfa.match_eof[exp_st])
+    got = sc.count(data)
+    assert got == exp_c, (got, exp_c)
+    ab = getattr(sc, "tier_ab", None)
+    log("   tier_ab: %r" % (ab,))
+    if ab is not None:
+        got2 = sc.count(data)
+        assert got2 == exp_c
+        log("   post-pick tier %s" % sc.stats().tier)
+    ok("tier-ab")
+
     print("SMOKE_OK", flush=True)
     return 0
 
