@@ -22,6 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 os.environ.setdefault("XLA_FLAGS",
                       "--xla_force_host_platform_device_count=8")
+# the sweep lowers DEVICE_THRESHOLD to 1 KiB, which would trigger the
+# mid-band tier A/B (5 timed kernel reps) for every eligible pattern;
+# the sweep's job is dispatch EXACTNESS — the A/B has its own
+# coverage (tests/test_tier_ab.py, smoke case 15)
+os.environ.setdefault("SREGEX_TIER_AB", "0")
 import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
