@@ -77,6 +77,95 @@ def _tdfa_max():
     return MAX_ENTRIES
 
 
+def _src_code(src):
+    if src == SRC_UNSET:
+        return _C_UNSET
+    if src == SRC_CUR:
+        return _C_CUR
+    if src == SRC_NEXT:
+        return _C_NEXT
+    if src > 12:
+        raise TdfaTooLarge("register id %d exceeds the 4-bit code "
+                           "space (12)" % src)
+    return src              # old register id
+
+
+def _pack_planes(t, kernel_sids, full2k, ncls, esc=None):
+    """Pack the nibble planes for the kernel over a state subset.
+
+    kernel_sids[k] = full sid of kernel state k; full2k maps full sid
+    -> kernel id.  esc (kernel id or None): transitions leaving the
+    subset go to the ESC sink (its own row: self-loop, no rebuilds,
+    no commits) — the hot-core projection.  Returns (rows, planes)."""
+    n_k = len(kernel_sids) + (1 if esc is not None else 0)
+    rows = -(-(n_k * ncls) // 128)
+    t_next = np.zeros(rows * 128, dtype=np.int32)
+    # nibble-packed planes overflow int32 (codes 13..15 in high
+    # slots); build as uint64 (13 slots x 4 bits) and split into
+    # lo/hi uint32 planes — the kernel masks (&15) after the
+    # arithmetic shifts, so sign extension is harmless
+    t_regsrc = np.zeros(rows * 128, dtype=np.uint64)
+    t_csrc = np.zeros(rows * 128, dtype=np.uint64)
+    t_cmeta = np.zeros(rows * 128, dtype=np.int32)
+    unset_all = 0
+    for k in range(R_MAX):
+        unset_all |= _C_UNSET << (4 * k)
+    for k, s in enumerate(kernel_sids):
+        for c in range(ncls):
+            nsid, ops, commit = t.step(s, c)
+            idx = k * ncls + c
+            nk = full2k.get(nsid, esc)
+            t_next[idx] = nk * ncls
+            rs = 0
+            filled = 0
+            for d, src in ops:
+                if d > 12:
+                    raise TdfaTooLarge("register slot %d exceeds "
+                                       "the 4-bit packing" % d)
+                rs |= _src_code(src) << (4 * d)
+                filled |= 1 << d
+            for j in range(R_MAX):
+                if not (filled >> j) & 1:
+                    rs |= _C_UNSET << (4 * j)
+            t_regsrc[idx] = rs
+            if commit is not None:
+                srcs, rid = commit
+                cs = 0
+                for ti, src in enumerate(srcs):
+                    cs |= _src_code(src) << (4 * ti)
+                t_csrc[idx] = cs
+                t_cmeta[idx] = 1 | (rid << 1)
+    if esc is not None:
+        for c in range(ncls):
+            idx = esc * ncls + c
+            t_next[idx] = esc * ncls
+            t_regsrc[idx] = unset_all
+
+    def bc(v):
+        # [rows*128] -> [rows, 8, 128]: each lane row replicated
+        # across sublanes so the kernel's per-row work is one
+        # gather + one select (the SpecTablesWide layout)
+        r = v.reshape(rows, 128)
+        return jnp.asarray(np.ascontiguousarray(
+            np.broadcast_to(r[:, None, :], (rows, 8, 128)).copy()))
+
+    planes = (
+        bc(t_next),
+        # lo plane: slots 0..7; hi plane: slots 8..12 (gathered only
+        # when nregs/ntags > 8 — the R/T static args gate it)
+        bc((t_regsrc & np.uint64(0xffffffff))
+           .astype(np.uint32).view(np.int32)),
+        bc((t_regsrc >> np.uint64(32)).astype(np.uint32)
+           .view(np.int32)),
+        bc((t_csrc & np.uint64(0xffffffff))
+           .astype(np.uint32).view(np.int32)),
+        bc((t_csrc >> np.uint64(32)).astype(np.uint32)
+           .view(np.int32)),
+        bc(t_cmeta),
+    )
+    return rows, planes
+
+
 class TdfaSpecTables:
     """Host-side compilation of a (lazy) Tdfa into dense nibble tables
     for the device kernel.  Materializes every reachable state by BFS
@@ -142,72 +231,152 @@ class TdfaSpecTables:
         self.seed_premult = t.seed_state(CTX_BOS) * ncls
         self.seed_nregs = t.nregs(t.seed_state(CTX_BOS))
 
-        def code(src):
-            if src == SRC_UNSET:
-                return _C_UNSET
-            if src == SRC_CUR:
-                return _C_CUR
-            if src == SRC_NEXT:
-                return _C_NEXT
-            return src          # old register id
-
-        self.rows = -(-(S * ncls) // 128)
-        t_next = np.zeros(self.rows * 128, dtype=np.int32)
-        # nibble-packed planes overflow int32 (8 x code 13..15); build
-        # as uint32 and reinterpret — the kernel masks (&15) after the
-        # arithmetic shifts, so sign extension is harmless
-        t_regsrc = np.zeros(self.rows * 128, dtype=np.uint64)
-        t_csrc = np.zeros(self.rows * 128, dtype=np.uint64)
-        t_cmeta = np.zeros(self.rows * 128, dtype=np.int32)
-        for s in range(S):
-            for c in range(ncls):
-                nsid, ops, commit = t.step(s, c)
-                idx = s * ncls + c
-                t_next[idx] = nsid * ncls
-                rs = 0
-                filled = 0
-                for d, src in ops:
-                    rs |= code(src) << (4 * d)
-                    filled |= 1 << d
-                for k in range(R_MAX):
-                    if not (filled >> k) & 1:
-                        rs |= _C_UNSET << (4 * k)
-                t_regsrc[idx] = rs
-                if commit is not None:
-                    srcs, rid = commit
-                    cs = 0
-                    for ti, src in enumerate(srcs):
-                        cs |= code(src) << (4 * ti)
-                    t_csrc[idx] = cs
-                    t_cmeta[idx] = 1 | (rid << 1)
-
-        def bc(v):
-            # [rows*128] -> [rows, 8, 128]: each lane row replicated
-            # across sublanes so the kernel's per-row work is one
-            # gather + one select (the SpecTablesWide layout)
-            r = v.reshape(self.rows, 128)
-            return jnp.asarray(np.ascontiguousarray(
-                np.broadcast_to(r[:, None, :],
-                                (self.rows, 8, 128)).copy()))
-
-        self.t_next = bc(t_next)
-        # lo plane: slots 0..7; hi plane: slots 8..12 (gathered only
-        # when nregs/ntags > 8 — the R/T static args gate it)
-        self.t_regsrc = bc((t_regsrc & np.uint64(0xffffffff))
-                           .astype(np.uint32).view(np.int32))
-        self.t_regsrc2 = bc((t_regsrc >> np.uint64(32))
-                            .astype(np.uint32).view(np.int32))
-        self.t_csrc = bc((t_csrc & np.uint64(0xffffffff))
-                         .astype(np.uint32).view(np.int32))
-        self.t_csrc2 = bc((t_csrc >> np.uint64(32))
-                          .astype(np.uint32).view(np.int32))
-        self.t_cmeta = bc(t_cmeta)
+        self.rows, planes = _pack_planes(
+            t, list(range(S)), {s: s for s in range(S)}, ncls,
+            esc=None)
+        (self.t_next, self.t_regsrc, self.t_regsrc2,
+         self.t_csrc, self.t_csrc2, self.t_cmeta) = planes
 
         # reuse the boolean kernel's data prep (same packing/layout)
         self.bits = 4
         self.cpw = 8
         self.warmup = 4 * self.cpw
         self.class_map = t.class_map.astype(np.uint8)
+
+    # kernel <-> full state id mapping (identity for the full tables;
+    # the hot-core projection overrides both)
+    is_core = False
+
+    def to_kernel_premult(self, sid):
+        return sid * self.ncls
+
+    def from_kernel_premult(self, premult):
+        return premult // self.ncls
+
+
+class TdfaCoreTables(TdfaSpecTables):
+    """Hot-core projection of a tagged DFA for the capture kernel —
+    the tagged analogue of ops/pallas_core.CoreTables (VERDICT r2 #1:
+    'core-sampled variants ... the way pallas_scan.py grew
+    CoreTables').
+
+    The full (lazy) Tdfa materializes only the states a corpus sample
+    actually visits; the kernel tables cover that hot set plus an ESC
+    sink absorbing every transition that leaves it.  A chunk whose
+    walk stays in-core rebuilds registers and commits banks EXACTLY
+    like the full machine (the nibble codes are state-local, so the
+    projection changes only the next-state ids); a chunk that hits
+    ESC simply fails chain validation and re-walks on the host TDFA
+    inside the standard chunk-repair fold — exactness is
+    unconditional, the sample only sets the escape rate.
+
+    One-pass device captures thus extend past the dense budget
+    (S*ncls <= 2048 on TPU) to any tagged machine whose HOT set fits,
+    e.g. counted-repetition capture patterns whose state count
+    explodes but whose corpus-visited core is small."""
+
+    MAX_ESCAPE_FRAC = 1e-5      # sampled visit mass allowed off-core
+
+    def __init__(self, prog, sample, tags=None, chunk_len=2048,
+                 max_escape_frac=None):
+        if max_escape_frac is None:
+            max_escape_frac = self.MAX_ESCAPE_FRAC
+        if tags is None:
+            if prog.ovecsize <= T_MAX:
+                tags = tuple(range(prog.ovecsize))
+            else:
+                tags = []
+                ofs = 0
+                for i in range(prog.nregexes):
+                    tags += [ofs, ofs + 1]
+                    ofs += 2 * (prog.multi_ncaps[i] + 1)
+                tags = tuple(tags)
+        if len(tags) > T_MAX:
+            raise TdfaTooLarge("too many tracked tags (%d)"
+                               % len(tags))
+        if prog.nregexes > 127:
+            raise TdfaTooLarge("too many regexes (%d)" % prog.nregexes)
+        # registers are UNBOUNDED on the full machine — host re-walks
+        # handle any count; only the HOT transitions must fit the
+        # kernel's code space (checked below / in _pack_planes)
+        t = Tdfa(prog, tags=tags, max_states=1 << 14, max_regs=None)
+        self.tdfa = t
+        self.tags = tags
+        self.ncls = t.nclasses
+        if t.nclasses > 16:
+            raise TdfaTooLarge("more than 16 byte classes (%d)"
+                               % t.nclasses)
+        if not isinstance(sample, (bytes, bytearray)):
+            sample = bytes(sample)
+        if not sample:
+            raise TdfaTooLarge("empty sample")
+
+        # sample walk: visit counts per full sid (materializes states)
+        seed = t.seed_state(CTX_BOS)
+        counts = {}
+        sid = seed
+        arr = t.class_map[np.frombuffer(sample, dtype=np.uint8)]
+        for c in arr:
+            counts[sid] = counts.get(sid, 0) + 1
+            sid, _, _ = t.step(sid, int(c))
+        counts[seed] = counts.get(seed, 0) + 1
+        total = float(sum(counts.values()))
+
+        budget = _tdfa_max()
+        ncls = t.nclasses
+        h_cap = budget // ncls - 1          # ESC takes one row block
+        order = sorted(counts, key=lambda s: -counts[s])
+        if seed in order:
+            order.remove(seed)
+        order = [seed] + order
+        hot = order[:h_cap]
+        off = sum(counts[s] for s in order[h_cap:])
+        if off > max_escape_frac * total:
+            raise TdfaTooLarge(
+                "sampled hot set exceeds the core budget "
+                "(%d visited, %d allowed, %.2g off-core mass)"
+                % (len(order), h_cap, off / total))
+        H = len(hot)
+        self.hot2full = list(hot)
+        self.full2core = {s: k for k, s in enumerate(hot)}
+        self.H = H
+        self.esc_k = H
+        self.nstates = H + 1
+
+        self.nregs = max(t.nregs(s) for s in hot)
+        if self.nregs > R_MAX:
+            raise TdfaTooLarge("hot states need %d registers (> %d)"
+                               % (self.nregs, R_MAX))
+        self.ntags = len(tags)
+        self.seed_premult = self.full2core[seed] * ncls
+        self.seed_nregs = t.nregs(seed)
+        dead = -1
+        for s in hot:
+            if t.is_dead(s):
+                dead = self.full2core[s] * ncls
+        self.dead_premult = dead            # -1: never triggers
+
+        self.rows, planes = _pack_planes(t, hot, self.full2core,
+                                         ncls, esc=self.esc_k)
+        if self.rows * 128 > budget:
+            raise TdfaTooLarge("core rows exceed the budget")
+        (self.t_next, self.t_regsrc, self.t_regsrc2,
+         self.t_csrc, self.t_csrc2, self.t_cmeta) = planes
+
+        self.bits = 4
+        self.cpw = 8
+        self.warmup = 4 * self.cpw
+        self.class_map = t.class_map.astype(np.uint8)
+
+    is_core = True
+
+    def to_kernel_premult(self, sid):
+        k = self.full2core.get(sid)
+        return None if k is None else k * self.ncls
+
+    def from_kernel_premult(self, premult):
+        k = premult // self.ncls
+        return None if k >= self.H else self.hot2full[k]
 
 
 def _resolve(code, regs, j_cur, j_next):
@@ -527,13 +696,14 @@ def _chunk_repair(tables, phi_f, swarm_f, bank_f, regs_f, data_np,
                   full_C, K, W, n):
     """Per-chunk repair of a speculation-missed TDFA scan: walk the
     chunk chain exactly on host, decoding TRUSTED chunks (speculated
-    entry == true entry) from the kernel's per-chunk planes — their
-    post-warmup register rebuilds are provably the true machine's
-    (docs/TDFA_DESIGN.md "Certification soundness"), and any value
-    still BAD-tainted (traces to the entry or the warmup) forces a
-    host re-walk of that one chunk.  Returns (rid, bank) | None-match
-    | None when more than ~6% of chunks need host walks (the caller
-    then prefers the multi-pass device path)."""
+    entry == true entry; in-core exit for hot-core tables) from the
+    kernel's per-chunk planes — their post-warmup register rebuilds
+    are provably the true machine's (docs/TDFA_DESIGN.md
+    "Certification soundness"), and any value still BAD-tainted
+    (traces to the entry or the warmup) forces a host re-walk of that
+    one chunk.  Returns (rid, bank) | None (certified no-match) |
+    "fallback" when more than ~6% of chunks need host walks (the
+    caller then prefers the multi-pass device path)."""
     t = tables.tdfa
     ncls = tables.ncls
     T = tables.ntags
@@ -548,8 +718,13 @@ def _chunk_repair(tables, phi_f, swarm_f, bank_f, regs_f, data_np,
     c = 0
     while c < full_C:
         dead = False
-        if int(swarm_f[c]) == sid * ncls:
-            exit_sid = int(phi_f[c]) // ncls
+        kp = tables.to_kernel_premult(sid)
+        # trusted only when the kernel's converged entry state equals
+        # the true one AND the exit stayed in-core (an ESC exit's
+        # planes are garbage past the escape point)
+        exit_sid = tables.from_kernel_premult(int(phi_f[c])) \
+            if kp is not None and int(swarm_f[c]) == kp else None
+        if exit_sid is not None:
             nk = t.nregs(exit_sid)
             vals = [int(regs_f[k, c]) for k in range(nk)]
             crid = int(bank_f[T, c])
@@ -570,7 +745,7 @@ def _chunk_repair(tables, phi_f, swarm_f, bank_f, regs_f, data_np,
                 continue
         walked += 1
         if walked > budget:
-            return None
+            return "fallback"       # too many misses (None = no-match)
         sid, regs, bank, rid = _walk_chunk(
             t, sid, regs, bank, rid, raw, c * K, min((c + 1) * K, n))
         c += 1
@@ -626,15 +801,25 @@ def tdfa_spec_find(tables, data_np, chunk_len=2048, prepared=None):
         jnp.int32(full_C), jnp.int32(tables.dead_premult),
         J=J, W=W, CPW=tables.cpw, R=R, T=T, ROWS=tables.rows)
     summ = np.asarray(summary).astype(np.int64)
-    if not bool(summ[0]):
+    if tables.is_core or not bool(summ[0]):
         # chunk-wise repair: validate the chain on host per chunk,
         # decoding trusted chunks from the per-chunk planes and
         # re-walking the rest on the host TDFA.  Bounded; None means
         # too many misses (caller falls back to the multi-pass path).
-        r = _chunk_repair(tables, np.asarray(phi_f),
-                          np.asarray(swarm_f), np.asarray(bank_f),
-                          np.asarray(regs_f), data_np, full_C, K, W, n)
-        return r if r is not None else "fallback"
+        # Core tables ALWAYS take this fold: the device chain cannot
+        # distinguish a genuine validation from two streams meeting
+        # at the ESC sink, so trust is decided host-side per chunk.
+        # (A lazy full machine can exhaust max_states mid-walk —
+        # that is a fallback, not an error.)
+        try:
+            r = _chunk_repair(tables, np.asarray(phi_f),
+                              np.asarray(swarm_f), np.asarray(bank_f),
+                              np.asarray(regs_f), data_np, full_C,
+                              K, W, n)
+        except TdfaTooLarge:
+            return "fallback"
+        return r                    # (rid,bank) | None | "fallback"
+
     dead_chunk, lc = int(summ[2]), int(summ[3])
     bank_vals = summ[10:10 + T + 1]
     exit_regs = summ[10 + T + 1:10 + T + 1 + R]
@@ -655,10 +840,14 @@ def tdfa_spec_find(tables, data_np, chunk_len=2048, prepared=None):
         bank = [to_corpus(v, lc) for v in bank_vals[:T]]
 
     def repair():
-        r = _chunk_repair(tables, np.asarray(phi_f),
-                          np.asarray(swarm_f), np.asarray(bank_f),
-                          np.asarray(regs_f), data_np, full_C, K, W, n)
-        return r if r is not None else "fallback"
+        try:
+            r = _chunk_repair(tables, np.asarray(phi_f),
+                              np.asarray(swarm_f), np.asarray(bank_f),
+                              np.asarray(regs_f), data_np, full_C,
+                              K, W, n)
+        except TdfaTooLarge:
+            return "fallback"
+        return r                    # (rid,bank) | None | "fallback"
 
     if dead_chunk < full_C:
         # the scan ended inside the covered region

@@ -956,7 +956,7 @@ class Scanner:
                     self._rev_lz_coret = False
         return self._rev_lz_coret or None
 
-    def _tdfa_find(self, data, prepared=None):
+    def _tdfa_find(self, data, prepared=None, tables=None):
         """Device tagged-DFA find: one kernel pass yields the span,
         regex id, and tracked capture slots (ops/tdfa_scan.py).
 
@@ -966,7 +966,8 @@ class Scanner:
         the caller then runs the exact multi-pass path.
         """
         from .ops.tdfa_scan import tdfa_spec_find
-        tables = self._tdfa_spec
+        if tables is None:
+            tables = self._tdfa_spec
         r = tdfa_spec_find(tables, data,
                            prepared=prepared.for_tables(tables)
                            if prepared else None)
@@ -1004,6 +1005,28 @@ class Scanner:
             return None
         return rc, [int(v) for v in ctx.ovector]
 
+    def _tdfa_core_tables(self, data):
+        """Hot-core TDFA projection (ops/tdfa_scan.TdfaCoreTables)
+        for tagged machines past the dense kernel budget: sampled
+        from the corpus, cached per Scanner (False = declined).
+        Exactness never depends on the sample — ESC escapes re-walk
+        on the host TDFA in the chunk-repair fold."""
+        if getattr(self, "_tdfa_coret", None) is None:
+            self._tdfa_coret = False
+            if self.use_device:
+                try:
+                    from .ops.tdfa_scan import TdfaCoreTables
+                    self._tdfa_coret = TdfaCoreTables(
+                        self.program, self._core_sample(data))
+                except (DfaTooLarge, ValueError):
+                    self._tdfa_coret = False
+                except Exception as e:
+                    degraded("tdfa-core-tier",
+                             f"tagged hot-core construction failed "
+                             f"({e!r})")
+                    self._tdfa_coret = False
+        return self._tdfa_coret or None
+
     def find(self, data, prepared=None):
         """Leftmost-first match with captures (Pike semantics).
 
@@ -1024,6 +1047,17 @@ class Scanner:
             if r is not None:
                 rc, ov = r
                 return (rc, ov) if rc >= 0 else None
+        elif self.use_device and n >= self.DEVICE_THRESHOLD:
+            # tagged machine past the dense kernel budget: the hot-
+            # core TDFA projection (sampled from this corpus) keeps
+            # the one-pass path; escapes repair chunk-wise on host,
+            # and an uncertifiable result falls through as usual
+            ct = self._tdfa_core_tables(data)
+            if ct is not None:
+                r = self._tdfa_find(data, prepared, tables=ct)
+                if r is not None:
+                    rc, ov = r
+                    return (rc, ov) if rc >= 0 else None
         if self.dfa is not None:
             # DFA prefilter: no match end anywhere => no match at all
             first, state = self._scan_first(data, prepared)
