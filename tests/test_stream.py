@@ -154,6 +154,8 @@ def test_find_device_reverse_path():
     sc._tdfa_spec = None   # force the reverse-scan path (the one-pass
     # tagged-DFA kernel would otherwise answer first; it has its own
     # tests in test_tdfa_device.py)
+    sc._tdfa_coret = False  # ... and so would the hot-core tagged
+    # tier that backs find() past the dense budget (test_tdfa_core.py)
     data = b"hay " * 800 + b"u@h" + b" more" * 10
     got = sc.find(data)
     assert got is not None
