@@ -32,10 +32,13 @@ Constraints: S * nclasses <= 128 * ROWS (the narrow kernel is ROWS=1;
 larger automata take the WIDE variant — the four per-(state,class)
 tables span ROWS lane rows and every lookup becomes a gather +
 row-select chain, exactly how pallas_scan.py grew SpecTablesWide),
-byte classes <= 16 (4-bit packing), registers <= 8, tracked tags
-<= 8, regex ids <= 127.  The ROWS budget is platform-aware: 4 rows
-(512 entries) under interpret-mode CPU, 16 rows (2048 entries) on
-real TPU; SREGEX_TDFA_MAX overrides (in table entries).
+byte classes <= 16 ride 4-bit packed data words; 17..256 classes use
+8-bit packing (cpw=4, chunk clamped to 1920 — the same VMEM
+discipline as the untagged tiers' 8-bit mode), registers <= 8,
+tracked tags <= 8, regex ids <= 127.  The ROWS budget is
+platform-aware: 4 rows (512 entries) under interpret-mode CPU, 16
+rows (2048 entries) on real TPU; SREGEX_TDFA_MAX overrides (in table
+entries).
 """
 
 import functools
@@ -193,9 +196,10 @@ class TdfaSpecTables:
         self.tdfa = t
         self.tags = tags
         self.ncls = t.nclasses
-        if t.nclasses > 16:
-            raise TdfaTooLarge("more than 16 byte classes (%d): "
-                               "4-bit packing only" % t.nclasses)
+        if t.nclasses > 256:
+            raise TdfaTooLarge("more than 256 byte classes (%d): "
+                               "class ids must fit the 8-bit data "
+                               "words" % t.nclasses)
 
         # materialize (transitions build states lazily)
         frontier = list(range(t.nstates))
@@ -237,9 +241,16 @@ class TdfaSpecTables:
         (self.t_next, self.t_regsrc, self.t_regsrc2,
          self.t_csrc, self.t_csrc2, self.t_cmeta) = planes
 
-        # reuse the boolean kernel's data prep (same packing/layout)
-        self.bits = 4
-        self.cpw = 8
+        # reuse the boolean kernel's data prep (same packing/layout);
+        # >16 classes take 8-bit words with the untagged tiers' VMEM
+        # chunk clamp (pallas_scan.py effective_chunk)
+        if ncls > 16:
+            self.bits = 8
+            self.cpw = 4
+            self.max_chunk = 1920
+        else:
+            self.bits = 4
+            self.cpw = 8
         self.warmup = 4 * self.cpw
         self.class_map = t.class_map.astype(np.uint8)
 
@@ -303,8 +314,8 @@ class TdfaCoreTables(TdfaSpecTables):
         self.tdfa = t
         self.tags = tags
         self.ncls = t.nclasses
-        if t.nclasses > 16:
-            raise TdfaTooLarge("more than 16 byte classes (%d)"
+        if t.nclasses > 256:
+            raise TdfaTooLarge("more than 256 byte classes (%d)"
                                % t.nclasses)
         if not isinstance(sample, (bytes, bytearray)):
             sample = bytes(sample)
@@ -363,8 +374,13 @@ class TdfaCoreTables(TdfaSpecTables):
         (self.t_next, self.t_regsrc, self.t_regsrc2,
          self.t_csrc, self.t_csrc2, self.t_cmeta) = planes
 
-        self.bits = 4
-        self.cpw = 8
+        if ncls > 16:
+            self.bits = 8
+            self.cpw = 4
+            self.max_chunk = 1920
+        else:
+            self.bits = 4
+            self.cpw = 8
         self.warmup = 4 * self.cpw
         self.class_map = t.class_map.astype(np.uint8)
 
@@ -394,7 +410,7 @@ def _tdfa_kernel(data_ref, state0_ref, j0_ref,
                  next_ref, regsrc_ref, regsrc2_ref, csrc_ref,
                  csrc2_ref, cmeta_ref,
                  phi_ref, swarm_ref, bank_ref, regs_ref, *,
-                 J, W, CPW, R, T, ROWS):
+                 J, W, CPW, BITS, R, T, ROWS):
     """One grid step = one [G*TILE]-stream block.  data block
     [1, J//CPW, G, 8, 128] packed 4-bit classes.  Tables span ROWS
     lane rows ([ROWS, 8, 128]); ROWS == 1 is the narrow fast path
@@ -421,7 +437,7 @@ def _tdfa_kernel(data_ref, state0_ref, j0_ref,
         wi = j // CPW
         b = j % CPW
         word = data_ref[0, wi, g]
-        cls = (word >> (4 * b)) & 15
+        cls = (word >> (BITS * b)) & ((1 << BITS) - 1)
         idx = state + cls
         lane = idx & 127
         hi = idx >> 7
@@ -513,11 +529,11 @@ def _tdfa_kernel(data_ref, state0_ref, j0_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("J", "W", "CPW", "R", "T",
+                   static_argnames=("J", "W", "CPW", "BITS", "R", "T",
                                     "ROWS"))
 def _tdfa_scan(data, state0, j0, t_next, t_regsrc, t_regsrc2,
                t_csrc, t_csrc2, t_cmeta,
-               C, dead_val, *, J, W, CPW, R, T, ROWS=1):
+               C, dead_val, *, J, W, CPW, BITS, R, T, ROWS=1):
     """Returns (summary int32 [10 + T+1 + R], bank planes, regs planes).
 
     Device-side validation and result extraction:
@@ -534,8 +550,8 @@ def _tdfa_scan(data, state0, j0, t_next, t_regsrc, t_regsrc2,
     B = data.shape[0]
     G = GROUPS
     Jw = J // CPW
-    kernel = functools.partial(_tdfa_kernel, J=J, W=W, CPW=CPW, R=R,
-                               T=T, ROWS=ROWS)
+    kernel = functools.partial(_tdfa_kernel, J=J, W=W, CPW=CPW,
+                               BITS=BITS, R=R, T=T, ROWS=ROWS)
     interpret = jax.default_backend() == "cpu"
     small = pl.BlockSpec((1, G, 8, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -799,7 +815,8 @@ def tdfa_spec_find(tables, data_np, chunk_len=2048, prepared=None):
         tables.t_next, tables.t_regsrc, tables.t_regsrc2,
         tables.t_csrc, tables.t_csrc2, tables.t_cmeta,
         jnp.int32(full_C), jnp.int32(tables.dead_premult),
-        J=J, W=W, CPW=tables.cpw, R=R, T=T, ROWS=tables.rows)
+        J=J, W=W, CPW=tables.cpw, BITS=tables.bits, R=R, T=T,
+        ROWS=tables.rows)
     summ = np.asarray(summary).astype(np.int64)
     if tables.is_core or not bool(summ[0]):
         # chunk-wise repair: validate the chain on host per chunk,

@@ -307,6 +307,35 @@ def main():
         log("   post-pick tier %s" % sc.stats().tier)
     ok("tier-ab")
 
+    # 16. 8-bit-packed tagged-DFA find (ncls > 16 capture machines;
+    # round-3) — the Mosaic compile path for the 8-bit data words
+    # (cpw=4, K clamped to 1920) differs from interpret mode, so the
+    # case must run on hardware
+    case("tdfa-8bit-find")
+    pat = rb"(money|parted|fool|kilo|victor|zebra)x([0-9]+)"
+    sc = compile_pattern(pat, use_device=True)
+    # 693 table entries: inside the TPU budget (2048), past the
+    # conservative interpret-mode default (512) — raise it so the
+    # case also runs under `make smoke-cpu`
+    _save = os.environ.get("SREGEX_TDFA_MAX")
+    os.environ["SREGEX_TDFA_MAX"] = "4096"
+    try:
+        sc._tdfa_spec = TdfaSpecTables(sc.program)
+    finally:
+        if _save is None:
+            del os.environ["SREGEX_TDFA_MAX"]
+        else:
+            os.environ["SREGEX_TDFA_MAX"] = _save
+    assert sc._tdfa_spec.bits == 8, sc._tdfa_spec.bits
+    data = corpus(rng, b"abcdefgz 0189 ", 8, [(0.7, b" zebrax77 ")])
+    got = sc.find(data)
+    m = re.search(pat, data)
+    assert got is not None and m is not None
+    assert (got[1][0], got[1][1]) == (m.start(), m.end()), got
+    assert (got[1][2], got[1][3]) == m.span(1)
+    assert (got[1][4], got[1][5]) == m.span(2)
+    ok("tdfa-8bit-find")
+
     print("SMOKE_OK", flush=True)
     return 0
 

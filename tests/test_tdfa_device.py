@@ -272,3 +272,63 @@ def test_tdfa_device_wide_fuzz():
             assert got == want, (i, got, want)
             certified += 1
     assert certified >= 4   # the kernel must actually serve most runs
+
+
+EIGHT_BIT_PAT = rb"(money|parted|fool|kilo|victor|zebra)x([0-9]+)"
+
+
+def test_tdfa_device_8bit_classes(monkeypatch):
+    """ncls > 16 machines ride 8-bit packed data words (cpw=4,
+    max_chunk 1920 — the untagged tiers' VMEM discipline): one-pass
+    device find byte-equal to exact-mode Pike."""
+    import random
+    monkeypatch.setenv("SREGEX_TDFA_MAX", "4096")
+    sc = compile_pattern(EIGHT_BIT_PAT)
+    t = TdfaSpecTables(sc.program)
+    assert t.bits == 8 and t.cpw == 4 and t.ncls > 16, \
+        (t.bits, t.ncls)
+    rng = random.Random(31)
+    alpha = b"abcdefghijklmnopqrstuvwxyz0123456789 "
+    certified = 0
+    for i in range(6):
+        n = rng.randrange(4000, 30000)
+        data = bytearray(rng.choice(alpha) for _ in range(n))
+        if i % 2:
+            at = rng.randrange(0, n - 16)
+            data[at:at + 12] = b"partedx31415"
+        data = bytes(data)
+        got = tdfa_spec_find(t, data)
+        want = _oracle(sc.program, data)
+        if got != "fallback":
+            got = None if got is None else (got[0], list(got[1]))
+            assert got == want, (i, got, want)
+            certified += 1
+    assert certified >= 4
+
+
+def test_tdfa_core_8bit_classes(monkeypatch):
+    """Hot-core tagged projection with 8-bit class words: sampled
+    core on a >16-class machine stays byte-equal (escapes re-walk in
+    the chunk-repair fold)."""
+    import random
+    from sregex_tpu.ops.tdfa_scan import TdfaCoreTables
+    monkeypatch.setenv("SREGEX_TDFA_MAX", "4096")
+    sc = compile_pattern(EIGHT_BIT_PAT)
+    rng = random.Random(32)
+    alpha = b"abcdefghijklmnopqrstuvwxyz0123456789 "
+    sample = bytes(rng.choice(alpha) for _ in range(4000)) \
+        + b"zebrax77 " * 3
+    t = TdfaCoreTables(sc.program, sample)
+    assert t.bits == 8 and t.ncls > 16
+    for i in range(4):
+        n = rng.randrange(4000, 20000)
+        data = bytearray(rng.choice(alpha) for _ in range(n))
+        if i % 2:
+            at = rng.randrange(0, n - 16)
+            data[at:at + 12] = b"victorx27182"
+        data = bytes(data)
+        got = tdfa_spec_find(t, data)
+        want = _oracle(sc.program, data)
+        if got != "fallback":
+            got = None if got is None else (got[0], list(got[1]))
+            assert got == want, (i, got, want)
