@@ -5,9 +5,12 @@ Pike) on the same corpus.  Both arms must return the exact-mode Pike
 answer.  Relay timings are only honest interleaved in one process
 with a value readback inside the timed region (docs/PERFORMANCE.md).
 
-Usage: python bench/ab_tdfa.py [pattern] [MB] [reps]
+Usage: python bench/ab_tdfa.py [pattern] [MB] [reps] [plant] [alpha]
 Default pattern: (GET|POST|PUT)x(HTTP|FTP)  (TDFA rows=2 — past the
-narrow 128-entry budget), 64 MB, 3 reps.
+narrow 128-entry budget), 64 MB, 3 reps; plant/alpha default to the
+default pattern's (pass both when overriding the pattern, e.g.
+'2026-08-19T12:34:56.789' 'abc 0123456789-:.T' for the 7-group
+byte-code-plane timestamp pattern).
 """
 
 import os
@@ -35,10 +38,11 @@ def main():
           (pat, t.nstates, t.ncls, t.nstates * t.ncls, t.rows))
 
     rng = np.random.default_rng(0)
-    alphabet = b"GEPOSTUFHXabc "
+    plant = sys.argv[4].encode() if len(sys.argv) > 4 else b"PUTxFTP"
+    alphabet = sys.argv[5].encode() if len(sys.argv) > 5 \
+        else b"GEPOSTUFHXabc "
     data = bytes(rng.choice(np.frombuffer(alphabet, np.uint8),
                             size=mb << 20))
-    plant = b"PUTxFTP"
     at = int(len(data) * 0.9)
     data = data[:at] + plant + data[at + len(plant):]
 

@@ -34,11 +34,11 @@ tables span ROWS lane rows and every lookup becomes a gather +
 row-select chain, exactly how pallas_scan.py grew SpecTablesWide),
 byte classes <= 16 ride 4-bit packed data words; 17..256 classes use
 8-bit packing (cpw=4, chunk clamped to 1920 — the same VMEM
-discipline as the untagged tiers' 8-bit mode), registers <= 8,
-tracked tags <= 8, regex ids <= 127.  The ROWS budget is
-platform-aware: 4 rows (512 entries) under interpret-mode CPU, 16
-rows (2048 entries) on real TPU; SREGEX_TDFA_MAX overrides (in table
-entries).
+discipline as the untagged tiers' 8-bit mode), registers/tags <= 13
+with 4-bit source codes or <= 24 (R_MAX8/T_MAX8) with byte codes,
+regex ids <= 127.  The ROWS budget is platform-aware: 4 rows (512
+entries) under interpret-mode CPU, 16 rows (2048 entries) on real
+TPU; SREGEX_TDFA_MAX overrides (in table entries).
 """
 
 import functools
@@ -57,16 +57,16 @@ from .pallas_scan import GROUPS, TILE, WORDS_PER_ITER, _prepare
 
 _BAD = np.int32(-(2 ** 30))
 
-# nibble source codes: register ids 0..12, then the three specials —
-# the 4-bit code space caps registers/tags at 13; machines past that
-# take the exact multi-pass path.  Slots 8..12 live in a SECOND
-# nibble plane (t_regsrc2/t_csrc2) gathered only when R > 8 / T > 8,
-# so small machines keep the 4-gather hot loop
-_C_UNSET = 13
-_C_CUR = 14
-_C_NEXT = 15
+# source codes: register ids, then the three specials (UNSET, CUR,
+# NEXT) at the top of the code space.  Machines with regs/tags <= 13
+# pack 4-bit codes (8 slots per int32 plane — the hot path gathers
+# ONE regsrc plane when R <= 8); larger machines switch to 8-bit
+# codes (4 slots per plane, more gathers and a longer resolve chain)
+# up to R_MAX8/T_MAX8.  Past that, the exact multi-pass path covers.
 R_MAX = 13
 T_MAX = 13
+R_MAX8 = 24     # byte-code planes: 11-group patterns one-pass
+T_MAX8 = 24
 MAX_ENTRIES = 512        # interpret-mode CPU (4 lane rows)
 MAX_ENTRIES_TPU = 2048   # real hardware (16 lane rows)
 
@@ -80,90 +80,99 @@ def _tdfa_max():
     return MAX_ENTRIES
 
 
-def _src_code(src):
+def _specials(code_bits):
+    """(UNSET, CUR, NEXT) codes: the top three of the code space, so
+    register ids run 0 .. 2^bits - 4."""
+    top = (1 << code_bits) - 1
+    return top - 2, top - 1, top
+
+
+def _src_code(src, code_bits):
+    c_unset, c_cur, c_next = _specials(code_bits)
     if src == SRC_UNSET:
-        return _C_UNSET
+        return c_unset
     if src == SRC_CUR:
-        return _C_CUR
+        return c_cur
     if src == SRC_NEXT:
-        return _C_NEXT
-    if src > 12:
-        raise TdfaTooLarge("register id %d exceeds the 4-bit code "
-                           "space (12)" % src)
+        return c_next
+    if src >= c_unset:
+        raise TdfaTooLarge("register id %d exceeds the %d-bit code "
+                           "space" % (src, code_bits))
     return src              # old register id
 
 
-def _pack_planes(t, kernel_sids, full2k, ncls, esc=None):
-    """Pack the nibble planes for the kernel over a state subset.
+def _pack_planes(t, kernel_sids, full2k, ncls, esc=None, R=R_MAX,
+                 T=T_MAX, code_bits=4):
+    """Pack the source-code planes for the kernel over a state subset.
 
     kernel_sids[k] = full sid of kernel state k; full2k maps full sid
     -> kernel id.  esc (kernel id or None): transitions leaving the
     subset go to the ESC sink (its own row: self-loop, no rebuilds,
-    no commits) — the hot-core projection.  Returns (rows, planes)."""
+    no commits) — the hot-core projection.  Returns (rows, planes)
+    with planes = (t_next [rows,8,128], t_regsrc [PR,rows,8,128],
+    t_csrc [PT,rows,8,128], t_cmeta [rows,8,128]); PR/PT =
+    ceil(R/slots-per-plane) stacked int32 code planes (slot k lives
+    in plane k//spp at bit code_bits*(k%spp))."""
     n_k = len(kernel_sids) + (1 if esc is not None else 0)
     rows = -(-(n_k * ncls) // 128)
+    spp = 32 // code_bits
+    c_unset, _, _ = _specials(code_bits)
     t_next = np.zeros(rows * 128, dtype=np.int32)
-    # nibble-packed planes overflow int32 (codes 13..15 in high
-    # slots); build as uint64 (13 slots x 4 bits) and split into
-    # lo/hi uint32 planes — the kernel masks (&15) after the
-    # arithmetic shifts, so sign extension is harmless
-    t_regsrc = np.zeros(rows * 128, dtype=np.uint64)
-    t_csrc = np.zeros(rows * 128, dtype=np.uint64)
+    # per-slot code arrays; packed into int32 planes at the end (the
+    # kernel masks after arithmetic shifts, so codes landing in the
+    # sign bit are harmless)
+    reg_codes = np.full((rows * 128, max(1, R)), c_unset,
+                        dtype=np.uint32)
+    bank_codes = np.zeros((rows * 128, max(1, T)), dtype=np.uint32)
     t_cmeta = np.zeros(rows * 128, dtype=np.int32)
-    unset_all = 0
-    for k in range(R_MAX):
-        unset_all |= _C_UNSET << (4 * k)
     for k, s in enumerate(kernel_sids):
         for c in range(ncls):
             nsid, ops, commit = t.step(s, c)
             idx = k * ncls + c
             nk = full2k.get(nsid, esc)
             t_next[idx] = nk * ncls
-            rs = 0
-            filled = 0
             for d, src in ops:
-                if d > 12:
-                    raise TdfaTooLarge("register slot %d exceeds "
-                                       "the 4-bit packing" % d)
-                rs |= _src_code(src) << (4 * d)
-                filled |= 1 << d
-            for j in range(R_MAX):
-                if not (filled >> j) & 1:
-                    rs |= _C_UNSET << (4 * j)
-            t_regsrc[idx] = rs
+                if d >= R:
+                    # only reachable for a hot-core projection: the
+                    # target state is off-core (nk == esc), so its
+                    # extra registers are never trusted — drop them
+                    if esc is None or nk != esc:
+                        raise TdfaTooLarge(
+                            "register slot %d exceeds the packing "
+                            "(R=%d)" % (d, R))
+                    continue
+                reg_codes[idx, d] = _src_code(src, code_bits)
             if commit is not None:
                 srcs, rid = commit
-                cs = 0
                 for ti, src in enumerate(srcs):
-                    cs |= _src_code(src) << (4 * ti)
-                t_csrc[idx] = cs
+                    bank_codes[idx, ti] = _src_code(src, code_bits)
                 t_cmeta[idx] = 1 | (rid << 1)
     if esc is not None:
         for c in range(ncls):
             idx = esc * ncls + c
             t_next[idx] = esc * ncls
-            t_regsrc[idx] = unset_all
+            # reg_codes rows are pre-filled UNSET
 
     def bc(v):
-        # [rows*128] -> [rows, 8, 128]: each lane row replicated
-        # across sublanes so the kernel's per-row work is one
-        # gather + one select (the SpecTablesWide layout)
-        r = v.reshape(rows, 128)
-        return jnp.asarray(np.ascontiguousarray(
-            np.broadcast_to(r[:, None, :], (rows, 8, 128)).copy()))
+        # [..., rows*128] -> [..., rows, 8, 128]: each lane row
+        # replicated across sublanes so the kernel's per-row work is
+        # one gather + one select (the SpecTablesWide layout)
+        r = v.reshape(v.shape[:-1] + (rows, 128))
+        return jnp.asarray(np.ascontiguousarray(np.broadcast_to(
+            r[..., None, :], r.shape[:-1] + (8, 128)).copy()))
+
+    def pack(codes, n):
+        P = max(1, -(-n // spp))
+        out = np.zeros((P, rows * 128), dtype=np.uint32)
+        for k in range(codes.shape[1]):
+            out[k // spp] |= codes[:, k] << np.uint32(
+                code_bits * (k % spp))
+        return out.view(np.int32)
 
     planes = (
         bc(t_next),
-        # lo plane: slots 0..7; hi plane: slots 8..12 (gathered only
-        # when nregs/ntags > 8 — the R/T static args gate it)
-        bc((t_regsrc & np.uint64(0xffffffff))
-           .astype(np.uint32).view(np.int32)),
-        bc((t_regsrc >> np.uint64(32)).astype(np.uint32)
-           .view(np.int32)),
-        bc((t_csrc & np.uint64(0xffffffff))
-           .astype(np.uint32).view(np.int32)),
-        bc((t_csrc >> np.uint64(32)).astype(np.uint32)
-           .view(np.int32)),
+        bc(pack(reg_codes, R)),
+        bc(pack(bank_codes, T)),
         bc(t_cmeta),
     )
     return rows, planes
@@ -177,7 +186,7 @@ class TdfaSpecTables:
 
     def __init__(self, prog, tags=None, chunk_len=2048):
         if tags is None:
-            if prog.ovecsize <= T_MAX:
+            if prog.ovecsize <= T_MAX8:
                 tags = tuple(range(prog.ovecsize))
             else:
                 tags = []
@@ -186,13 +195,13 @@ class TdfaSpecTables:
                     tags += [ofs, ofs + 1]
                     ofs += 2 * (prog.multi_ncaps[i] + 1)
                 tags = tuple(tags)
-        if len(tags) > T_MAX:
+        if len(tags) > T_MAX8:
             raise TdfaTooLarge("too many tracked tags (%d)" % len(tags))
         if prog.nregexes > 127:
             raise TdfaTooLarge("too many regexes (%d)" % prog.nregexes)
         budget = _tdfa_max()
         t = Tdfa(prog, tags=tags, max_states=max(256, budget // 2),
-                 max_regs=R_MAX)
+                 max_regs=R_MAX8)
         self.tdfa = t
         self.tags = tags
         self.ncls = t.nclasses
@@ -235,11 +244,17 @@ class TdfaSpecTables:
         self.seed_premult = t.seed_state(CTX_BOS) * ncls
         self.seed_nregs = t.nregs(t.seed_state(CTX_BOS))
 
+        # 4-bit codes when regs AND tags fit 13; byte codes (more
+        # gathers + longer resolve chains — only the machines that
+        # need them pay) up to R_MAX8/T_MAX8
+        self.code_bits = 4 if (self.nregs <= R_MAX
+                               and self.ntags <= T_MAX) else 8
         self.rows, planes = _pack_planes(
             t, list(range(S)), {s: s for s in range(S)}, ncls,
-            esc=None)
-        (self.t_next, self.t_regsrc, self.t_regsrc2,
-         self.t_csrc, self.t_csrc2, self.t_cmeta) = planes
+            esc=None, R=self.nregs, T=self.ntags,
+            code_bits=self.code_bits)
+        (self.t_next, self.t_regsrc, self.t_csrc,
+         self.t_cmeta) = planes
 
         # reuse the boolean kernel's data prep (same packing/layout);
         # >16 classes take 8-bit words with the untagged tiers' VMEM
@@ -293,7 +308,7 @@ class TdfaCoreTables(TdfaSpecTables):
         if max_escape_frac is None:
             max_escape_frac = self.MAX_ESCAPE_FRAC
         if tags is None:
-            if prog.ovecsize <= T_MAX:
+            if prog.ovecsize <= T_MAX8:
                 tags = tuple(range(prog.ovecsize))
             else:
                 tags = []
@@ -302,7 +317,7 @@ class TdfaCoreTables(TdfaSpecTables):
                     tags += [ofs, ofs + 1]
                     ofs += 2 * (prog.multi_ncaps[i] + 1)
                 tags = tuple(tags)
-        if len(tags) > T_MAX:
+        if len(tags) > T_MAX8:
             raise TdfaTooLarge("too many tracked tags (%d)"
                                % len(tags))
         if prog.nregexes > 127:
@@ -355,9 +370,9 @@ class TdfaCoreTables(TdfaSpecTables):
         self.nstates = H + 1
 
         self.nregs = max(t.nregs(s) for s in hot)
-        if self.nregs > R_MAX:
+        if self.nregs > R_MAX8:
             raise TdfaTooLarge("hot states need %d registers (> %d)"
-                               % (self.nregs, R_MAX))
+                               % (self.nregs, R_MAX8))
         self.ntags = len(tags)
         self.seed_premult = self.full2core[seed] * ncls
         self.seed_nregs = t.nregs(seed)
@@ -367,12 +382,15 @@ class TdfaCoreTables(TdfaSpecTables):
                 dead = self.full2core[s] * ncls
         self.dead_premult = dead            # -1: never triggers
 
-        self.rows, planes = _pack_planes(t, hot, self.full2core,
-                                         ncls, esc=self.esc_k)
+        self.code_bits = 4 if (self.nregs <= R_MAX
+                               and self.ntags <= T_MAX) else 8
+        self.rows, planes = _pack_planes(
+            t, hot, self.full2core, ncls, esc=self.esc_k,
+            R=self.nregs, T=self.ntags, code_bits=self.code_bits)
         if self.rows * 128 > budget:
             raise TdfaTooLarge("core rows exceed the budget")
-        (self.t_next, self.t_regsrc, self.t_regsrc2,
-         self.t_csrc, self.t_csrc2, self.t_cmeta) = planes
+        (self.t_next, self.t_regsrc, self.t_csrc,
+         self.t_cmeta) = planes
 
         if ncls > 16:
             self.bits = 8
@@ -395,33 +413,39 @@ class TdfaCoreTables(TdfaSpecTables):
         return None if k >= self.H else self.hot2full[k]
 
 
-def _resolve(code, regs, j_cur, j_next):
-    """Select-chain resolution of a nibble source code."""
+def _resolve(code, regs, j_cur, j_next, code_bits):
+    """Select-chain resolution of a source code."""
+    c_unset, c_cur, c_next = _specials(code_bits)
     v = jnp.full(code.shape, _BAD, jnp.int32)
     for k in range(len(regs)):
         v = jnp.where(code == k, regs[k], v)
-    v = jnp.where(code == _C_UNSET, jnp.int32(-1), v)
-    v = jnp.where(code == _C_CUR, jnp.int32(j_cur), v)
-    v = jnp.where(code == _C_NEXT, jnp.int32(j_next), v)
+    v = jnp.where(code == c_unset, jnp.int32(-1), v)
+    v = jnp.where(code == c_cur, jnp.int32(j_cur), v)
+    v = jnp.where(code == c_next, jnp.int32(j_next), v)
     return v
 
 
 def _tdfa_kernel(data_ref, state0_ref, j0_ref,
-                 next_ref, regsrc_ref, regsrc2_ref, csrc_ref,
-                 csrc2_ref, cmeta_ref,
+                 next_ref, regsrc_ref, csrc_ref, cmeta_ref,
                  phi_ref, swarm_ref, bank_ref, regs_ref, *,
-                 J, W, CPW, BITS, R, T, ROWS):
+                 J, W, CPW, BITS, CODE, R, T, ROWS):
     """One grid step = one [G*TILE]-stream block.  data block
-    [1, J//CPW, G, 8, 128] packed 4-bit classes.  Tables span ROWS
-    lane rows ([ROWS, 8, 128]); ROWS == 1 is the narrow fast path
-    (single gather), larger automata select the row by the index's
-    high bits (the SpecTablesWide discipline)."""
+    [1, J//CPW, G, 8, 128] packed classes (BITS per class).  Tables
+    span ROWS lane rows ([ROWS, 8, 128]); ROWS == 1 is the narrow
+    fast path (single gather), larger automata select the row by the
+    index's high bits (the SpecTablesWide discipline).  regsrc/csrc
+    are stacked code planes [P, ROWS, 8, 128] (CODE bits per slot,
+    32 // CODE slots per plane); only the planes a machine's R/T
+    actually reach cost a gather (static gate)."""
     G = GROUPS
+    spp = 32 // CODE
+    PR = max(1, -(-R // spp))
+    PT = max(1, -(-T // spp))
     tnext = [next_ref[r] for r in range(ROWS)]
-    tregsrc = [regsrc_ref[r] for r in range(ROWS)]
-    tregsrc2 = [regsrc2_ref[r] for r in range(ROWS)]
-    tcsrc = [csrc_ref[r] for r in range(ROWS)]
-    tcsrc2 = [csrc2_ref[r] for r in range(ROWS)]
+    tregsrc = [[regsrc_ref[p, r] for r in range(ROWS)]
+               for p in range(PR)]
+    tcsrc = [[csrc_ref[p, r] for r in range(ROWS)]
+             for p in range(PT)]
     tcmeta = [cmeta_ref[r] for r in range(ROWS)]
 
     def gath(rows, idx, lane, hi):
@@ -442,24 +466,21 @@ def _tdfa_kernel(data_ref, state0_ref, j0_ref,
         lane = idx & 127
         hi = idx >> 7
         e = gath(tnext, idx, lane, hi)
-        rs = gath(tregsrc, idx, lane, hi)
-        cs = gath(tcsrc, idx, lane, hi)
         cm = gath(tcmeta, idx, lane, hi)
-        # hi nibble planes (slots 8..12) cost a gather ONLY when the
-        # machine actually uses them (static R/T gate)
-        rs2 = gath(tregsrc2, idx, lane, hi) if R > 8 else None
-        cs2 = gath(tcsrc2, idx, lane, hi) if T > 8 else None
+        rs = [gath(tregsrc[p], idx, lane, hi) for p in range(PR)]
+        cs = [gath(tcsrc[p], idx, lane, hi) for p in range(PT)]
 
-        def nib(lo, hi_plane, k):
-            return ((lo >> (4 * k)) & 15) if k < 8 \
-                else ((hi_plane >> (4 * (k - 8))) & 15)
+        def codeof(planes, k):
+            return (planes[k // spp] >> (CODE * (k % spp))) \
+                & ((1 << CODE) - 1)
 
         newregs = tuple(
-            _resolve(nib(rs, rs2, k), regs, j, j + 1)
+            _resolve(codeof(rs, k), regs, j, j + 1, CODE)
             for k in range(R))
         has = (cm & 1) == 1
         newbank = tuple(
-            jnp.where(has, _resolve(nib(cs, cs2, t), regs, j, j + 1),
+            jnp.where(has,
+                      _resolve(codeof(cs, t), regs, j, j + 1, CODE),
                       bank[t])
             for t in range(T))
         newrid = jnp.where(has, cm >> 1, bank[T])
@@ -529,11 +550,10 @@ def _tdfa_kernel(data_ref, state0_ref, j0_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("J", "W", "CPW", "BITS", "R", "T",
-                                    "ROWS"))
-def _tdfa_scan(data, state0, j0, t_next, t_regsrc, t_regsrc2,
-               t_csrc, t_csrc2, t_cmeta,
-               C, dead_val, *, J, W, CPW, BITS, R, T, ROWS=1):
+                   static_argnames=("J", "W", "CPW", "BITS", "CODE",
+                                    "R", "T", "ROWS"))
+def _tdfa_scan(data, state0, j0, t_next, t_regsrc, t_csrc, t_cmeta,
+               C, dead_val, *, J, W, CPW, BITS, CODE, R, T, ROWS=1):
     """Returns (summary int32 [10 + T+1 + R], bank planes, regs planes).
 
     Device-side validation and result extraction:
@@ -551,7 +571,8 @@ def _tdfa_scan(data, state0, j0, t_next, t_regsrc, t_regsrc2,
     G = GROUPS
     Jw = J // CPW
     kernel = functools.partial(_tdfa_kernel, J=J, W=W, CPW=CPW,
-                               BITS=BITS, R=R, T=T, ROWS=ROWS)
+                               BITS=BITS, CODE=CODE, R=R, T=T,
+                               ROWS=ROWS)
     interpret = jax.default_backend() == "cpu"
     small = pl.BlockSpec((1, G, 8, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -563,13 +584,20 @@ def _tdfa_scan(data, state0, j0, t_next, t_regsrc, t_regsrc2,
                           memory_space=pltpu.VMEM)
     tab = pl.BlockSpec((ROWS, 8, 128), lambda i: (0, 0, 0),
                        memory_space=pltpu.VMEM)
+
+    def codetab(planes):
+        return pl.BlockSpec((planes.shape[0], ROWS, 8, 128),
+                            lambda i: (0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
     phi, swarm, bank, regs = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, Jw, G, 8, 128), lambda i: (i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            small, small, tab, tab, tab, tab, tab, tab,
+            small, small, tab, codetab(t_regsrc), codetab(t_csrc),
+            tab,
         ],
         out_specs=[small, small, planeT, planeR],
         out_shape=[
@@ -579,8 +607,7 @@ def _tdfa_scan(data, state0, j0, t_next, t_regsrc, t_regsrc2,
             jax.ShapeDtypeStruct((R, B, G, 8, 128), jnp.int32),
         ],
         interpret=interpret,
-    )(data, state0, j0, t_next, t_regsrc, t_regsrc2, t_csrc,
-      t_csrc2, t_cmeta)
+    )(data, state0, j0, t_next, t_regsrc, t_csrc, t_cmeta)
 
     Cp = phi.size
     phi_f = phi.reshape(Cp)
@@ -812,11 +839,11 @@ def tdfa_spec_find(tables, data_np, chunk_len=2048, prepared=None):
         data if isinstance(data, jax.Array) else jnp.asarray(data),
         jnp.asarray(state0.reshape(B, G, 8, 128)),
         jnp.asarray(j0.reshape(B, G, 8, 128)),
-        tables.t_next, tables.t_regsrc, tables.t_regsrc2,
-        tables.t_csrc, tables.t_csrc2, tables.t_cmeta,
+        tables.t_next, tables.t_regsrc, tables.t_csrc,
+        tables.t_cmeta,
         jnp.int32(full_C), jnp.int32(tables.dead_premult),
-        J=J, W=W, CPW=tables.cpw, BITS=tables.bits, R=R, T=T,
-        ROWS=tables.rows)
+        J=J, W=W, CPW=tables.cpw, BITS=tables.bits,
+        CODE=tables.code_bits, R=R, T=T, ROWS=tables.rows)
     summ = np.asarray(summary).astype(np.int64)
     if tables.is_core or not bool(summ[0]):
         # chunk-wise repair: validate the chain on host per chunk,

@@ -336,6 +336,24 @@ def main():
     assert (got[1][4], got[1][5]) == m.span(2)
     ok("tdfa-8bit-find")
 
+    # 17. byte-code source planes (>13 regs/tags; round-3) — a
+    # 7-group timestamp pattern (16 tags) rides 8-bit source codes
+    # (4 stacked planes); the Mosaic path differs from interpret mode
+    case("tdfa-bytecode-find")
+    pat = rb"(\d+)-(\d+)-(\d+)T(\d+):(\d+):(\d+)\.(\d+)"
+    sc = compile_pattern(pat, use_device=True)
+    sc._tdfa_spec = TdfaSpecTables(sc.program)
+    assert sc._tdfa_spec.code_bits == 8, sc._tdfa_spec.code_bits
+    data = corpus(rng, b"abc 0189-:.T ", 8,
+                  [(0.7, b" 2026-08-19T12:34:56.789 ")])
+    got = sc.find(data)
+    m = re.search(pat, data)
+    assert got is not None and m is not None
+    assert (got[1][0], got[1][1]) == (m.start(), m.end()), got
+    for gi in range(1, 8):
+        assert (got[1][2 * gi], got[1][2 * gi + 1]) == m.span(gi), gi
+    ok("tdfa-bytecode-find")
+
     print("SMOKE_OK", flush=True)
     return 0
 

@@ -66,13 +66,16 @@ def test_tdfa_device_find_exact(pat, mk):
 
 
 def test_tdfa_hi_plane_engaged():
-    """The 5-group case really exercises the hi nibble plane (it
-    would previously raise TdfaTooLarge at 8 tags)."""
+    """The 5-group case really exercises the second nibble plane (it
+    would previously raise TdfaTooLarge at 8 tags) while staying on
+    4-bit codes."""
     sc = compile_pattern("(\\d+)-(\\d+)-(\\d+) (\\w+):(\\w+)")
     t = TdfaSpecTables(sc.program)
     assert t.ntags > 8 and t.nregs > 8, (t.ntags, t.nregs)
-    assert np.asarray(t.t_csrc2).any()
-    assert np.asarray(t.t_regsrc2).any()
+    assert t.code_bits == 4
+    assert t.t_regsrc.shape[0] == 2 and t.t_csrc.shape[0] == 2
+    assert np.asarray(t.t_csrc[1]).any()
+    assert np.asarray(t.t_regsrc[1]).any()
 
 
 def test_tdfa_device_no_match_certified():
@@ -304,6 +307,64 @@ def test_tdfa_device_8bit_classes(monkeypatch):
             assert got == want, (i, got, want)
             certified += 1
     assert certified >= 4
+
+
+BYTECODE_PAT = rb"(\d+)-(\d+)-(\d+)T(\d+):(\d+):(\d+)\.(\d+)"
+
+
+def test_tdfa_device_bytecode_planes():
+    """> 13 tags/regs switch the source planes to 8-bit codes
+    (4 slots per int32 plane): a 7-group timestamp pattern (16 tags)
+    gets one-pass device captures, byte-equal to exact-mode Pike."""
+    import random
+    sc = compile_pattern(BYTECODE_PAT)
+    t = TdfaSpecTables(sc.program)
+    assert t.code_bits == 8 and t.ntags == 16, (t.code_bits, t.ntags)
+    assert t.t_csrc.shape[0] == 4    # ceil(16 / 4) byte-code planes
+    rng = random.Random(41)
+    alpha = b"abc 0123456789-:.T"
+    certified = 0
+    for i in range(6):
+        n = rng.randrange(4000, 30000)
+        data = bytearray(rng.choice(alpha) for _ in range(n))
+        if i % 2:
+            at = rng.randrange(0, n - 30)
+            data[at:at + 23] = b"2026-08-19T12:34:56.789"
+        data = bytes(data)
+        got = tdfa_spec_find(t, data)
+        want = _oracle(sc.program, data)
+        if got != "fallback":
+            got = None if got is None else (got[0], list(got[1]))
+            assert got == want, (i, got, want)
+            certified += 1
+    assert certified >= 4
+
+
+def test_tdfa_core_bytecode_planes():
+    """Hot-core projection with byte-code planes: a sampled core of a
+    >13-tag machine stays byte-equal (escapes re-walk in the
+    chunk-repair fold)."""
+    import random
+    from sregex_tpu.ops.tdfa_scan import TdfaCoreTables
+    sc = compile_pattern(BYTECODE_PAT)
+    rng = random.Random(42)
+    alpha = b"abc 0123456789-:.T"
+    sample = bytes(rng.choice(alpha) for _ in range(4000)) \
+        + b" 2026-08-19T12:34:56.789 " * 2
+    t = TdfaCoreTables(sc.program, sample)
+    assert t.code_bits == 8 and t.ntags == 16
+    for i in range(4):
+        n = rng.randrange(4000, 20000)
+        data = bytearray(rng.choice(alpha) for _ in range(n))
+        if i % 2:
+            at = rng.randrange(0, n - 30)
+            data[at:at + 23] = b"1999-12-31T23:59:59.001"
+        data = bytes(data)
+        got = tdfa_spec_find(t, data)
+        want = _oracle(sc.program, data)
+        if got != "fallback":
+            got = None if got is None else (got[0], list(got[1]))
+            assert got == want, (i, got, want)
 
 
 def test_tdfa_core_8bit_classes(monkeypatch):
