@@ -32,6 +32,24 @@ import shutil
 import pytest
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _release_jax_executables():
+    """Free compiled XLA:CPU executables between test modules.
+
+    The full suite compiles hundreds of Pallas/XLA programs in one
+    process; the accumulated JIT code eventually crashes a LATER
+    compile inside LLVM (observed deterministically as SIGSEGV/
+    SIGABRT in backend_compile_and_load at ~450 tests, while every
+    half-suite subset passes).  Dropping the jit caches at module
+    boundaries keeps the resident executable count bounded; within a
+    module everything stays cached."""
+    yield
+    import gc
+    import jax
+    jax.clear_caches()
+    gc.collect()
+
+
 def _have_perl():
     return shutil.which("perl") is not None
 
