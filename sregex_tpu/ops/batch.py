@@ -1,0 +1,220 @@
+"""Batched multi-document scan: ONE kernel dispatch over a whole set
+of corpora.
+
+The production serving shape is many independent documents (log
+files, requests, records), each far too small to amortize a device
+dispatch on its own — through this environment's relay a dispatch
+plus readback costs ~26 ms, so a per-document loop over 512 x 256 KB
+documents pays ~13 s of pure RTT before any scanning happens.  The
+reference's answer is simply the host loop (sregex-cli processes one
+buffer per call, sregex.h exec per ctx); a TPU framework can do
+better: pack EVERY document into one chunk stream and let a single
+kernel pass scan them all.
+
+How it stays exact with ZERO kernel changes: the speculative kernel
+(pallas_scan.py) already treats every chunk independently — each
+chunk speculates from state 0 through a warmup window and the chain
+is validated on host.  A document boundary is exactly the "chunk 0"
+situation, and chunk 0 is handled by the per-chunk (state0, j0)
+planes: j0 = W freezes the stream through its warmup so it starts
+LIVE at the true entry (the seed).  Batching therefore:
+
+  - rounds each document up to whole chunks (pad bytes are chosen so
+    their CLASS is 0 — bit-identical to the historical zero-class
+    tail pad every tier already certifies against);
+  - scatters j0 = W at every document-start chunk (the warmup window,
+    which physically contains the previous document's tail, is frozen
+    and irrelevant);
+  - folds the validation chain PER DOCUMENT on host: entries restart
+    at the seed, trusted full chunks decode from the kernel planes,
+    missed chunks and each document's ragged tail chunk re-walk
+    natively (pad bytes are never trusted).
+
+Exactness is unconditional — the same speculation-validation contract
+as the single-buffer path, applied per document.  Documents shorter
+than one chunk fold natively (their only chunk is ragged); pass a
+smaller chunk_len (the packing quantum is 16 bytes) to give small
+documents device coverage.
+
+Reference analog: none — sregex scans one buffer per exec call
+(src/sregex/sre_vm_pike.c sre_vm_pike_exec).  This is TPU-native
+batch affinity applied to the reference's workload.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .pallas_scan import (GROUPS, TILE, DEFAULT_K, _prepare, _unpack,
+                          effective_chunk)
+
+
+class BatchUnsupported(Exception):
+    """The tier cannot serve a batched scan (no zero-class pad byte
+    exists: every byte of the alphabet is structurally significant to
+    the pattern)."""
+
+
+def _pad_byte(tables):
+    z = np.where(np.asarray(tables.class_map) == 0)[0]
+    if len(z) == 0:
+        raise BatchUnsupported("no zero-class byte to pad with")
+    return int(z[0])
+
+
+def _batch_entry_planes(w, starts, *, B):
+    """state0/j0 planes with the warmup frozen (j0 = W) at every
+    document-start chunk; all entries are the seed (premult 0), so
+    state0 stays zero."""
+    G = GROUPS
+    total = B * G * TILE
+    s0 = jnp.zeros(total, jnp.int32)
+    j0 = jnp.zeros(total, jnp.int32).at[
+        jnp.asarray(np.asarray(starts, dtype=np.int32))].set(w)
+    return (s0.reshape(B, G, 8, 128), j0.reshape(B, G, 8, 128))
+
+
+class PreparedBatch:
+    """Pack/upload of a document SET done once (the batch analogue of
+    PreparedCorpus): reuse across count_many/scan_many calls on the
+    SAME Scanner and document list — the pad/upload cost is paid once
+    and every subsequent batch scan runs at kernel rate.  The handle
+    is bound to the tables' packing (chunk length, class map); pass
+    it only with the documents it was built from."""
+
+    __slots__ = ("K", "spans", "prepared", "nbytes", "_key")
+
+    def __init__(self, K, spans, prepared, nbytes, key):
+        self.K = K
+        self.spans = spans
+        self.prepared = prepared
+        self.nbytes = nbytes
+        self._key = key
+
+
+def _pack_key(tables):
+    return (type(tables).__name__, tables.ncls,
+            getattr(tables, "bits", 4), getattr(tables, "bpu", 1),
+            tables.warmup)
+
+
+def batch_prepare(tables, docs, chunk_len=DEFAULT_K):
+    """Pack the document set into one chunk stream and upload it.
+    spans[d] = (chunk_ofs, nchunks, len(doc))."""
+    K = effective_chunk(tables, chunk_len)
+    pad = bytes([_pad_byte(tables)])
+    spans = []
+    parts = []
+    c = 0
+    nbytes = 0
+    for d in docs:
+        if not isinstance(d, (bytes, bytearray)):
+            d = bytes(d)
+        n = len(d)
+        nbytes += n
+        cd = max(1, -(-n // K))
+        spans.append((c, cd, n))
+        parts.append(d)
+        if cd * K > n:
+            parts.append(pad * (cd * K - n))
+        c += cd
+    buf = b"".join(parts)
+    prepared = _prepare(tables, buf, K)
+    assert prepared[2] == K and prepared[1] == c, (prepared[1:4], K, c)
+    return PreparedBatch(K, spans, prepared, nbytes,
+                         _pack_key(tables))
+
+
+def _batch_dispatch(tables, docs, chunk_len, count, prepared=None):
+    """Pack docs into one chunk stream (or reuse a PreparedBatch),
+    run ONE kernel pass, return (K, spans, phi, cnt_or_many, swarm)
+    with spans[d] = (chunk_ofs, nchunks, len(doc))."""
+    if prepared is None or prepared._key != _pack_key(tables):
+        prepared = batch_prepare(tables, docs, chunk_len)
+    K, spans = prepared.K, prepared.spans
+    data, C, Kp, J, B = prepared.prepared
+    W = tables.warmup
+    s0p, j0p = _batch_entry_planes(jnp.int32(W),
+                                   [s for s, _, _ in spans], B=B)
+    _, packed = tables._scan(
+        data if isinstance(data, jax.Array) else jnp.asarray(data),
+        s0p, j0p, jnp.int32(C), jnp.int32(-1), J, W, COUNT=count)
+    # the whole-buffer summary is meaningless here (the chain "breaks"
+    # at every document boundary by construction); the per-document
+    # fold below reads the per-chunk planes directly
+    phi, aux, swarm = _unpack(packed, C)
+    return K, spans, phi, aux, swarm
+
+
+def spec_count_many(tables, docs, chunk_len=DEFAULT_K,
+                    prepared=None):
+    """Per-document match-boundary counts (boundaries 0..n_d-1; the
+    EOF boundary is the caller's, per document).  Returns (counts,
+    final_states, nat_chunks, total_chunks) — nat_chunks is the
+    number of chunks that needed a native re-walk (ragged tails +
+    speculation misses), for observability."""
+    from ..native import NativeDfa
+    K, spans, phi, cnt, swarm = _batch_dispatch(tables, docs,
+                                                chunk_len, True,
+                                                prepared)
+    ncls = tables.ncls
+    native = NativeDfa(tables.dfa)
+    counts = []
+    finals = []
+    nat = 0
+    for (c0, cd, n), doc in zip(spans, docs):
+        raw = doc if isinstance(doc, (bytes, bytearray)) else bytes(doc)
+        e = 0                       # seed, premultiplied
+        total = 0
+        for c in range(c0, c0 + cd):
+            lo = (c - c0) * K
+            hi = min(lo + K, n)
+            if hi - lo == K and swarm[c] == e:
+                total += int(cnt[c])
+                e = int(phi[c])
+            else:
+                k, st = native.count(bytes(raw[lo:hi]), e // ncls)
+                total += k
+                e = st * ncls
+                nat += 1
+        counts.append(total)
+        finals.append(e // ncls)
+    return counts, finals, nat, len(phi)
+
+
+def spec_scan_many(tables, docs, chunk_len=DEFAULT_K,
+                   prepared=None):
+    """Per-document first-match scan.  Returns (results, nat_chunks,
+    total_chunks); results[d] = (state_at_boundary, boundary) for a
+    match at boundaries 0..n_d-1, else (final_state, -1) — EOF
+    acceptance is the caller's (tables.match_eof), same contract as
+    spec_scan_bytes."""
+    from ..native import NativeDfa
+    K, spans, phi, many, swarm = _batch_dispatch(tables, docs,
+                                                 chunk_len, False,
+                                                 prepared)
+    ncls = tables.ncls
+    native = NativeDfa(tables.dfa)
+    results = []
+    nat = 0
+    for (c0, cd, n), doc in zip(spans, docs):
+        raw = doc if isinstance(doc, (bytes, bytearray)) else bytes(doc)
+        e = 0
+        hit = None
+        for c in range(c0, c0 + cd):
+            lo = (c - c0) * K
+            hi = min(lo + K, n)
+            trusted = hi - lo == K and swarm[c] == e
+            if trusted and not many[c]:
+                e = int(phi[c])
+                continue
+            # fired or untrusted: one native scan pins it exactly
+            f, st = native.scan_first(bytes(raw[lo:hi]), e // ncls)
+            if not trusted:
+                nat += 1
+            if f >= 0:
+                hit = (st, lo + f)
+                break
+            e = st * ncls
+        results.append(hit if hit is not None else (e // ncls, -1))
+    return results, nat, len(phi)

@@ -800,6 +800,79 @@ def _chunk_repair(tables, phi_f, swarm_f, bank_f, regs_f, data_np,
                       min(c * K, n), n)
 
 
+def tdfa_find_many(tables, docs, chunk_len=2048, prepared=None):
+    """Batched one-pass tagged find over a document SET: one kernel
+    dispatch, per-document results — the capture analogue of
+    ops/batch.py (document starts ride the per-chunk (state0, j0)
+    planes exactly like chunk 0; every document folds independently
+    through _chunk_repair, whose positions are document-local by
+    construction).  Returns a list of (rid, bank) | None (certified
+    no-match) | "fallback" per document; raises BatchUnsupported when
+    no zero-class pad byte exists."""
+    from .batch import batch_prepare, _pack_key
+    docs = [d if isinstance(d, (bytes, bytearray)) else bytes(d)
+            for d in docs]
+    t = tables.tdfa
+    W = tables.warmup
+
+    def seed_entry():
+        sid = t.seed_state(CTX_BOS)
+        return sid, [0] * t.nregs(sid)
+
+    if prepared is None or prepared._key != _pack_key(tables):
+        prepared = batch_prepare(tables, docs, chunk_len)
+    K, spans = prepared.K, prepared.spans
+    data, C, Kp, J, B = prepared.prepared
+    G = GROUPS
+    R, T = tables.nregs, tables.ntags
+    state0 = np.full((B, G * TILE), tables.seed_premult,
+                     dtype=np.int32)
+    j0 = np.zeros((B, G * TILE), dtype=np.int32)
+    j0f = j0.reshape(-1)
+    for c0, _, _ in spans:
+        j0f[c0] = W
+
+    _, phi_f, swarm_f, bank_f, regs_f = _tdfa_scan(
+        data if isinstance(data, jax.Array) else jnp.asarray(data),
+        jnp.asarray(state0.reshape(B, G, 8, 128)),
+        jnp.asarray(j0.reshape(B, G, 8, 128)),
+        tables.t_next, tables.t_regsrc, tables.t_csrc,
+        tables.t_cmeta,
+        jnp.int32(C), jnp.int32(tables.dead_premult),
+        J=J, W=W, CPW=tables.cpw, BITS=tables.bits,
+        CODE=tables.code_bits, R=R, T=T, ROWS=tables.rows)
+    # the whole-stream summary cannot serve per-document results;
+    # every document folds through the chunk-repair walk (trusted
+    # chunks decode from the planes, the rest re-walk natively)
+    phi = np.asarray(phi_f)
+    swarm = np.asarray(swarm_f)
+    bank = np.asarray(bank_f)
+    regs = np.asarray(regs_f)
+    out = []
+    for (c0, cd, n), doc in zip(spans, docs):
+        if n == 0:
+            sid, rg = seed_entry()
+            out.append(_host_walk(tables, sid, rg, None, -1, doc,
+                                  0, 0))
+            continue
+        full_C = cd if cd * K == n else cd - 1
+        if full_C == 0:
+            sid, rg = seed_entry()
+            out.append(_host_walk(tables, sid, rg, None, -1, doc,
+                                  0, n))
+            continue
+        try:
+            r = _chunk_repair(tables, phi[c0:c0 + cd],
+                              swarm[c0:c0 + cd],
+                              bank[:, c0:c0 + cd],
+                              regs[:, c0:c0 + cd],
+                              doc, full_C, K, W, n)
+        except TdfaTooLarge:
+            r = "fallback"
+        out.append(r)
+    return out
+
+
 def tdfa_spec_find(tables, data_np, chunk_len=2048, prepared=None):
     """First final match over the whole buffer: (regex_id, bank) with
     bank the tracked-tag vector in absolute corpus positions, None for

@@ -718,6 +718,100 @@ class Scanner:
             c += 1
         return c
 
+    def _batch_eligible(self, docs):
+        """The static device tier serves a batched scan when the
+        combined corpus justifies one dispatch.  Per-document device
+        gating would be wrong here — batching exists precisely so
+        documents BELOW the single-buffer threshold share a dispatch."""
+        if (self.dfa is None or self._spec is None
+                or not self.use_device):
+            return False
+        return sum(len(d) for d in docs) >= self.DEVICE_THRESHOLD
+
+    def prepare_many(self, docs, chunk_len=2048, for_find=False):
+        """Pack/upload a document set ONCE (PreparedBatch) for reuse
+        across count_many/scan_many calls — the batch analogue of
+        prepare().  ``for_find=True`` packs for the tagged-capture
+        tables instead (reusable across find_many calls; the two
+        packings differ when the machines' class maps do).  Returns
+        None when the batch cannot take the device path (then the
+        *_many calls simply loop)."""
+        docs = [d if isinstance(d, (bytes, bytearray)) else bytes(d)
+                for d in docs]
+        tables = self._tdfa_spec if for_find else self._spec
+        if tables is None or not self.use_device \
+                or sum(len(d) for d in docs) < self.DEVICE_THRESHOLD:
+            return None
+        from .ops.batch import batch_prepare, BatchUnsupported
+        try:
+            return batch_prepare(tables, docs, chunk_len)
+        except BatchUnsupported:
+            return None
+
+    def count_many(self, docs, chunk_len=2048, prepared=None):
+        """Per-document ``count()`` over a document SET in one device
+        dispatch: every document is packed into a single chunk stream
+        (document starts restart the automaton at the seed via the
+        per-chunk entry planes — no kernel changes, ops/batch.py) and
+        one kernel pass scans them all; each document's validation
+        chain folds independently, so results are exactly
+        ``[self.count(d) for d in docs]``.  Documents shorter than one
+        chunk fold natively — lower chunk_len (quantum 16 bytes) to
+        give small documents device coverage.  ``prepared`` reuses a
+        prepare_many() handle built from the SAME documents."""
+        docs = [d if isinstance(d, (bytes, bytearray)) else bytes(d)
+                for d in docs]
+        t0 = time.perf_counter()
+        if self._batch_eligible(docs):
+            from .ops.batch import spec_count_many, BatchUnsupported
+            try:
+                counts, finals, nat, C = spec_count_many(
+                    self._spec, docs, chunk_len, prepared=prepared)
+            except BatchUnsupported:
+                pass
+            else:
+                self._spec.last_repair = (nat, C)
+                self._note_stats("count_many", self._spec,
+                                 sum(len(d) for d in docs), t0)
+                eof = self.dfa.match_eof
+                return [c + (1 if eof[s] else 0)
+                        for c, s in zip(counts, finals)]
+        return [self.count(d) for d in docs]
+
+    def scan_many(self, docs, chunk_len=2048, prepared=None):
+        """Per-document ``scan()`` in one device dispatch: returns
+        ``[self.scan(d) for d in docs]`` — (regex_id, end_boundary)
+        or None per document."""
+        docs = [d if isinstance(d, (bytes, bytearray)) else bytes(d)
+                for d in docs]
+        t0 = time.perf_counter()
+        if self._batch_eligible(docs):
+            from .ops.batch import spec_scan_many, BatchUnsupported
+            try:
+                results, nat, C = spec_scan_many(
+                    self._spec, docs, chunk_len, prepared=prepared)
+            except BatchUnsupported:
+                pass
+            else:
+                self._spec.last_repair = (nat, C)
+                self._note_stats("scan_many", self._spec,
+                                 sum(len(d) for d in docs), t0)
+                out = []
+                for (st, b), d in zip(results, docs):
+                    if b >= 0:
+                        out.append((self.dfa.id_at(st, d[b]), b))
+                    else:
+                        rid = int(self.dfa.match_eof_id[st])
+                        out.append((rid, len(d)) if rid >= 0
+                                   else None)
+                return out
+        return [self.scan(d) for d in docs]
+
+    def match_many(self, docs, chunk_len=2048, prepared=None):
+        """Per-document ``match()`` in one device dispatch."""
+        return [r is not None
+                for r in self.scan_many(docs, chunk_len, prepared)]
+
     def _stream_tables(self, segments):
         """Tables + segment iterator for the pipelined stream APIs.
         Peeks segments until DEVICE_THRESHOLD bytes accumulate (below
@@ -975,6 +1069,14 @@ class Scanner:
             return None
         if r is None:
             return -1, None
+        return self._tdfa_resolve(tables, r, data)
+
+    def _tdfa_resolve(self, tables, r, data):
+        """Map a certified (rid, bank) from the tagged kernel to the
+        find() result (rid, user-ovector), resolving inner groups with
+        a windowed Pike pass when only $0 pairs are tracked.  Returns
+        None when the Pike resolution cannot certify (caller falls
+        back to the multi-pass path)."""
         rid, bank = r
         prog = self.program
         t = tables.tdfa
@@ -1004,6 +1106,44 @@ class Scanner:
         if rc < 0:
             return None
         return rc, [int(v) for v in ctx.ovector]
+
+    def find_many(self, docs, chunk_len=2048, prepared=None):
+        """Per-document ``find()`` (leftmost-first match WITH
+        captures) in one tagged-kernel dispatch (ops/tdfa_scan.py
+        tdfa_find_many): every document's chunk chain folds through
+        the standard chunk-repair walk, so results are exactly
+        ``[self.find(d) for d in docs]``; documents the kernel cannot
+        certify take their own exact multi-pass find."""
+        docs = [d if isinstance(d, (bytes, bytearray)) else bytes(d)
+                for d in docs]
+        t0 = time.perf_counter()
+        tables = self._tdfa_spec
+        total = sum(len(d) for d in docs)
+        if (tables is not None and self.use_device
+                and total >= self.DEVICE_THRESHOLD):
+            from .ops.batch import BatchUnsupported
+            from .ops.tdfa_scan import tdfa_find_many
+            try:
+                rs = tdfa_find_many(tables, docs, chunk_len,
+                                    prepared=prepared)
+            except BatchUnsupported:
+                rs = None
+            if rs is not None:
+                out = []
+                for r, d in zip(rs, docs):
+                    if r == "fallback":
+                        out.append(self.find(d))
+                    elif r is None:
+                        out.append(None)
+                    else:
+                        m = self._tdfa_resolve(tables, r, d)
+                        # None: the windowed Pike resolution could
+                        # not certify — exact multi-pass fallback
+                        out.append(m if m is not None
+                                   else self.find(d))
+                self._note_stats("find_many", tables, total, t0)
+                return out
+        return [self.find(d) for d in docs]
 
     def _tdfa_core_tables(self, data):
         """Hot-core TDFA projection (ops/tdfa_scan.TdfaCoreTables)

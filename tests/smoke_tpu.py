@@ -354,6 +354,41 @@ def main():
         assert (got[1][2 * gi], got[1][2 * gi + 1]) == m.span(gi), gi
     ok("tdfa-bytecode-find")
 
+    # 18. batched multi-document scan (ops/batch.py; round-3) — one
+    # dispatch over a document set, per-doc results vs host oracles
+    case("batch-many")
+    pat = rb"(?:a|b)aa(?:aa|bb)cc(?:a|b)"
+    sc = compile_pattern(pat, use_device=True)
+    sc.DEVICE_THRESHOLD = 1
+    host = compile_pattern(pat, use_device=False)
+    pool = corpus(rng, b"abc x", 8, [])
+    docs = []
+    for i in range(24):
+        at = rng.randrange(0, len(pool) - (1 << 18))
+        d = bytearray(pool[at:at + (1 << 18)])
+        if i % 3 != 2:
+            pat_at = rng.randrange(0, len(d) - 10)
+            d[pat_at:pat_at + 8] = b"baaaaccb"
+        docs.append(bytes(d))
+    docs += [b"", b"baaaaccb", b"x" * 2047]
+    h = sc.prepare_many(docs)
+    got_c = sc.count_many(docs, prepared=h)
+    assert got_c == [host.count(d) for d in docs]
+    assert sc.stats().api == "count_many", sc.stats()
+    got_s = sc.scan_many(docs, prepared=h)
+    assert got_s == [host.scan(d) for d in docs]
+    # batched captures: one tagged dispatch for the whole set
+    fpat = rb"(\w+)@(\w+)"
+    scf = compile_pattern(fpat, use_device=True)
+    scf.DEVICE_THRESHOLD = 1
+    hostf = compile_pattern(fpat, use_device=False)
+    fdocs = [bytes(d[:1 << 16]) + (b" ab%d@cd%d " % (i, i)
+                                   if i % 2 else b"")
+             for i, d in enumerate(docs[:8])]
+    assert scf.find_many(fdocs) == [hostf.find(d) for d in fdocs]
+    assert scf.stats().api == "find_many", scf.stats()
+    ok("batch-many")
+
     print("SMOKE_OK", flush=True)
     return 0
 

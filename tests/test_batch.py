@@ -1,0 +1,187 @@
+"""Batched multi-document scan (ops/batch.py, Scanner.count_many /
+scan_many / match_many): one kernel dispatch over a document set must
+return exactly the per-document results, for every tier the static
+chain picks and for adversarial document sizes (empty, sub-chunk,
+chunk-exact, chunk+1, multi-chunk)."""
+
+import random
+import re
+
+from sregex_tpu.stream import compile_pattern
+
+
+def _docs(rng, alpha, plant, sizes):
+    out = []
+    for n in sizes:
+        d = bytearray(rng.choice(alpha) for _ in range(n))
+        if n > 40 and rng.random() < 0.7:
+            at = rng.randrange(0, n - len(plant))
+            d[at:at + len(plant)] = plant
+        out.append(bytes(d))
+    return out
+
+
+SIZES = [0, 1, 13, 2047, 2048, 2049, 6000, 30011, 4096]
+
+
+def _check(pat, alpha, plant, seed, multi=False, chunk_len=2048):
+    rng = random.Random(seed)
+    sc = compile_pattern(pat, use_device=True)
+    sc.DEVICE_THRESHOLD = 1
+    host = compile_pattern(pat, use_device=False)
+    docs = _docs(rng, alpha, plant, SIZES)
+    want_counts = [host.count(d) for d in docs]
+    want_scans = [host.scan(d) for d in docs]
+    got_counts = sc.count_many(docs, chunk_len=chunk_len)
+    st = sc.stats()
+    got_scans = sc.scan_many(docs, chunk_len=chunk_len)
+    assert got_counts == want_counts, (pat, got_counts, want_counts)
+    assert got_scans == want_scans, (pat, got_scans, want_scans)
+    assert sc.match_many(docs) == [s is not None for s in want_scans]
+    return st
+
+
+def test_batch_narrow():
+    st = _check(rb"(?:a|b)aa(?:aa|bb)cc(?:a|b)", b"abc x", b"baaaaccb",
+                11)
+    # the one dispatch must have served the batch (not a host loop)
+    assert st is not None and st.api == "count_many", st
+    assert st.tier.startswith("SpecTables"), st.tier
+
+
+def test_batch_wide_rows():
+    _check(rb"foo[a-z]{8,18}bar", b"abfor z", b"fooabcdefghijbar", 12)
+
+
+def test_batch_8bit_classes():
+    sc = compile_pattern(rb"alpha|bravo|charlie|delta|echo|foxtrot|"
+                         rb"golf|hotel|india|juliet|kilo|lima|mike|"
+                         rb"november|oscar|papa|quebec|romeo")
+    if sc._spec is not None:
+        assert sc._spec.bits == 8     # the point of this case
+    _check(rb"alpha|bravo|charlie|delta|echo|foxtrot|golf|hotel|"
+           rb"india|juliet|kilo|lima|mike|november|oscar|papa|"
+           rb"quebec|romeo", b"abcdefghijklmnopqrstuvwxyz ",
+           b" november ", 13)
+
+
+def test_batch_multi_ids():
+    rng = random.Random(14)
+    sc = compile_pattern([b"cat", b"dog", b"bird"], use_device=True)
+    sc.DEVICE_THRESHOLD = 1
+    host = compile_pattern([b"cat", b"dog", b"bird"],
+                           use_device=False)
+    docs = _docs(rng, b"catdogbir x", b"dog", SIZES)
+    assert sc.scan_many(docs) == [host.scan(d) for d in docs]
+    assert sc.count_many(docs) == [host.count(d) for d in docs]
+
+
+def test_batch_small_chunk_small_docs():
+    """Sub-2048 documents get device coverage with a lowered
+    chunk_len (the packing quantum is 16 bytes)."""
+    _check(rb"er+or", b"erox ", b"errror", 15, chunk_len=256)
+
+
+def test_batch_eof_and_empty():
+    """EOF-boundary matches are counted per document; empty docs and
+    an empty batch behave."""
+    sc = compile_pattern(rb"ab\z", use_device=True)
+    sc.DEVICE_THRESHOLD = 1
+    host = compile_pattern(rb"ab\z", use_device=False)
+    docs = [b"", b"ab", b"xab", b"ab" * 3000, (b"x" * 2046) + b"ab"]
+    assert sc.count_many(docs) == [host.count(d) for d in docs]
+    assert sc.scan_many(docs) == [host.scan(d) for d in docs]
+    assert sc.count_many([]) == []
+
+
+def test_batch_matches_re_oracle():
+    rng = random.Random(16)
+    pat = rb"[a-f]+[0-9]{2,5}"
+    sc = compile_pattern(pat, use_device=True)
+    sc.DEVICE_THRESHOLD = 1
+    docs = _docs(rng, b"abcdef012345 xyz", b"abc123", SIZES)
+    got = sc.count_many(docs)
+    for d, g in zip(docs, got):
+        # count() counts match-ENDING boundaries (incl. EOF), not
+        # non-overlapping matches: count every boundary via the host
+        # scanner as the independent reference, and spot-check
+        # presence/absence against re
+        assert (g > 0) == (re.search(pat, d) is not None), d[:50]
+
+
+def test_batch_prepared_reuse():
+    """prepare_many() handles skip the pack/upload on reuse and
+    return identical results across count_many and scan_many."""
+    rng = random.Random(17)
+    pat = rb"(?:a|b)aa(?:aa|bb)cc(?:a|b)"
+    sc = compile_pattern(pat, use_device=True)
+    sc.DEVICE_THRESHOLD = 1
+    host = compile_pattern(pat, use_device=False)
+    docs = _docs(rng, b"abc x", b"baaaaccb", SIZES)
+    h = sc.prepare_many(docs)
+    assert h is not None and h.nbytes == sum(len(d) for d in docs)
+    assert sc.count_many(docs, prepared=h) \
+        == [host.count(d) for d in docs]
+    assert sc.scan_many(docs, prepared=h) \
+        == [host.scan(d) for d in docs]
+    # second reuse (the resident-batch production shape)
+    assert sc.count_many(docs, prepared=h) \
+        == [host.count(d) for d in docs]
+
+
+def test_batch_find_many():
+    """find_many: per-document leftmost-first captures in one tagged
+    dispatch, exactly [sc.find(d) for d in docs]."""
+    rng = random.Random(18)
+    pat = rb"(\w+)@(\w+)"
+    sc = compile_pattern(pat, use_device=True)
+    sc.DEVICE_THRESHOLD = 1
+    host = compile_pattern(pat, use_device=False)
+    docs = _docs(rng, b"abc@12 .,", b"user@host", SIZES)
+    got = sc.find_many(docs)
+    want = [host.find(d) for d in docs]
+    assert got == want, (got, want)
+    assert sc.stats().api == "find_many", sc.stats()
+    # prepared reuse (tagged packing)
+    h = sc.prepare_many(docs, for_find=True)
+    assert h is not None
+    assert sc.find_many(docs, prepared=h) == want
+
+
+def test_batch_find_many_bytecode():
+    """find_many over a >13-tag machine (byte-code planes) and over
+    multi-doc EOF/empty edges."""
+    rng = random.Random(19)
+    pat = rb"(\d+)-(\d+)-(\d+)T(\d+):(\d+):(\d+)\.(\d+)"
+    sc = compile_pattern(pat, use_device=True)
+    sc.DEVICE_THRESHOLD = 1
+    host = compile_pattern(pat, use_device=False)
+    docs = _docs(rng, b"abc 0123456789-:.T", b"2026-08-19T12:34:56.7",
+                 [0, 2048, 6000, 30011])
+    assert sc.find_many(docs) == [host.find(d) for d in docs]
+
+
+def test_batch_find_many_isolation():
+    """A capture span must never cross a document boundary."""
+    sc = compile_pattern(rb"(xy)(zw)", use_device=True)
+    sc.DEVICE_THRESHOLD = 1
+    docs = [b"a" * 2046 + b"xy", b"zw" + b"b" * 2046,
+            b"c" * 1000 + b"xyzw" + b"c" * 3000]
+    got = sc.find_many(docs)
+    assert got[0] is None and got[1] is None
+    rid, ov = got[2]
+    assert rid == 0 and ov[0] == 1000 and ov[1] == 1004, ov
+
+
+def test_batch_doc_isolation():
+    """A match STRADDLING two adjacent documents must not be
+    reported: every document restarts at the seed."""
+    sc = compile_pattern(rb"xyzw", use_device=True)
+    sc.DEVICE_THRESHOLD = 1
+    # doc 0 ends with a prefix of the pattern; doc 1 starts with the
+    # suffix; sizes chosen chunk-exact so they abut in the packed
+    # stream with zero pad between
+    docs = [b"a" * 2046 + b"xy", b"zw" + b"b" * 2046]
+    assert sc.count_many(docs) == [0, 0]
+    assert sc.scan_many(docs) == [None, None]
+    assert sc.match_many(docs) == [False, False]
