@@ -82,14 +82,17 @@ class PreparedBatch:
     is bound to the tables' packing (chunk length, class map); pass
     it only with the documents it was built from."""
 
-    __slots__ = ("K", "spans", "prepared", "nbytes", "_key")
+    __slots__ = ("K", "spans", "prepared", "nbytes", "_key",
+                 "b_multiple")
 
-    def __init__(self, K, spans, prepared, nbytes, key):
+    def __init__(self, K, spans, prepared, nbytes, key,
+                 b_multiple=1):
         self.K = K
         self.spans = spans
         self.prepared = prepared
         self.nbytes = nbytes
         self._key = key
+        self.b_multiple = b_multiple
 
 
 def _pack_key(tables):
@@ -98,9 +101,10 @@ def _pack_key(tables):
             tables.warmup)
 
 
-def batch_prepare(tables, docs, chunk_len=DEFAULT_K):
+def batch_prepare(tables, docs, chunk_len=DEFAULT_K, b_multiple=1):
     """Pack the document set into one chunk stream and upload it.
-    spans[d] = (chunk_ofs, nchunks, len(doc))."""
+    spans[d] = (chunk_ofs, nchunks, len(doc)); b_multiple pads the
+    block count so the batch shards evenly over a mesh."""
     K = effective_chunk(tables, chunk_len)
     pad = bytes([_pad_byte(tables)])
     spans = []
@@ -119,18 +123,23 @@ def batch_prepare(tables, docs, chunk_len=DEFAULT_K):
             parts.append(pad * (cd * K - n))
         c += cd
     buf = b"".join(parts)
-    prepared = _prepare(tables, buf, K)
+    prepared = _prepare(tables, buf, K, b_multiple=b_multiple)
     assert prepared[2] == K and prepared[1] == c, (prepared[1:4], K, c)
     return PreparedBatch(K, spans, prepared, nbytes,
-                         _pack_key(tables))
+                         _pack_key(tables), b_multiple)
 
 
-def _batch_dispatch(tables, docs, chunk_len, count, prepared=None):
+def _batch_dispatch(tables, docs, chunk_len, count, prepared=None,
+                    mesh=None):
     """Pack docs into one chunk stream (or reuse a PreparedBatch),
-    run ONE kernel pass, return (K, spans, phi, cnt_or_many, swarm)
-    with spans[d] = (chunk_ofs, nchunks, len(doc))."""
-    if prepared is None or prepared._key != _pack_key(tables):
-        prepared = batch_prepare(tables, docs, chunk_len)
+    run ONE kernel pass — shard_mapped over the mesh's block dim when
+    mesh is given — return (K, spans, phi, cnt_or_many, swarm) with
+    spans[d] = (chunk_ofs, nchunks, len(doc))."""
+    bm = mesh.devices.size if mesh is not None else 1
+    if (prepared is None or prepared._key != _pack_key(tables)
+            or prepared.b_multiple % bm != 0):
+        prepared = batch_prepare(tables, docs, chunk_len,
+                                 b_multiple=bm)
     K, spans = prepared.K, prepared.spans
     data, C, Kp, J, B = prepared.prepared
     W = tables.warmup
@@ -138,7 +147,8 @@ def _batch_dispatch(tables, docs, chunk_len, count, prepared=None):
                                    [s for s, _, _ in spans], B=B)
     _, packed = tables._scan(
         data if isinstance(data, jax.Array) else jnp.asarray(data),
-        s0p, j0p, jnp.int32(C), jnp.int32(-1), J, W, COUNT=count)
+        s0p, j0p, jnp.int32(C), jnp.int32(-1), J, W, COUNT=count,
+        mesh=mesh, axis="data" if mesh is not None else None)
     # the whole-buffer summary is meaningless here (the chain "breaks"
     # at every document boundary by construction); the per-document
     # fold below reads the per-chunk planes directly
@@ -147,7 +157,7 @@ def _batch_dispatch(tables, docs, chunk_len, count, prepared=None):
 
 
 def spec_count_many(tables, docs, chunk_len=DEFAULT_K,
-                    prepared=None):
+                    prepared=None, mesh=None):
     """Per-document match-boundary counts (boundaries 0..n_d-1; the
     EOF boundary is the caller's, per document).  Returns (counts,
     final_states, nat_chunks, total_chunks) — nat_chunks is the
@@ -156,7 +166,7 @@ def spec_count_many(tables, docs, chunk_len=DEFAULT_K,
     from ..native import NativeDfa
     K, spans, phi, cnt, swarm = _batch_dispatch(tables, docs,
                                                 chunk_len, True,
-                                                prepared)
+                                                prepared, mesh)
     ncls = tables.ncls
     native = NativeDfa(tables.dfa)
     counts = []
@@ -183,7 +193,7 @@ def spec_count_many(tables, docs, chunk_len=DEFAULT_K,
 
 
 def spec_scan_many(tables, docs, chunk_len=DEFAULT_K,
-                   prepared=None):
+                   prepared=None, mesh=None):
     """Per-document first-match scan.  Returns (results, nat_chunks,
     total_chunks); results[d] = (state_at_boundary, boundary) for a
     match at boundaries 0..n_d-1, else (final_state, -1) — EOF
@@ -192,7 +202,7 @@ def spec_scan_many(tables, docs, chunk_len=DEFAULT_K,
     from ..native import NativeDfa
     K, spans, phi, many, swarm = _batch_dispatch(tables, docs,
                                                  chunk_len, False,
-                                                 prepared)
+                                                 prepared, mesh)
     ncls = tables.ncls
     native = NativeDfa(tables.dfa)
     results = []

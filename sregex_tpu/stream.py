@@ -766,7 +766,8 @@ class Scanner:
             from .ops.batch import spec_count_many, BatchUnsupported
             try:
                 counts, finals, nat, C = spec_count_many(
-                    self._spec, docs, chunk_len, prepared=prepared)
+                    self._spec, docs, chunk_len, prepared=prepared,
+                    mesh=self.mesh)
             except BatchUnsupported:
                 pass
             else:
@@ -789,7 +790,8 @@ class Scanner:
             from .ops.batch import spec_scan_many, BatchUnsupported
             try:
                 results, nat, C = spec_scan_many(
-                    self._spec, docs, chunk_len, prepared=prepared)
+                    self._spec, docs, chunk_len, prepared=prepared,
+                    mesh=self.mesh)
             except BatchUnsupported:
                 pass
             else:

@@ -173,6 +173,25 @@ def test_batch_find_many_isolation():
     assert rid == 0 and ov[0] == 1000 and ov[1] == 1004, ov
 
 
+def test_batch_mesh():
+    """The batched dispatch rides the mesh: shard_map over the block
+    dim, per-document folds over the globally ordered planes."""
+    import jax
+    import pytest
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device (virtual) platform")
+    from sregex_tpu.parallel import make_mesh
+    rng = random.Random(20)
+    pat = rb"(?:a|b)aa(?:aa|bb)cc(?:a|b)"
+    sc = compile_pattern(pat, use_device=True, mesh=make_mesh())
+    sc.DEVICE_THRESHOLD = 1
+    host = compile_pattern(pat, use_device=False)
+    docs = _docs(rng, b"abc x", b"baaaaccb", SIZES)
+    assert sc.count_many(docs) == [host.count(d) for d in docs]
+    assert sc.stats().api == "count_many"
+    assert sc.scan_many(docs) == [host.scan(d) for d in docs]
+
+
 def test_batch_doc_isolation():
     """A match STRADDLING two adjacent documents must not be
     reported: every document restarts at the seed."""
