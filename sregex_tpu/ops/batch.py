@@ -137,7 +137,14 @@ def _batch_dispatch(tables, docs, chunk_len, count, prepared=None,
     spans[d] = (chunk_ofs, nchunks, len(doc))."""
     bm = mesh.devices.size if mesh is not None else 1
     if (prepared is None or prepared._key != _pack_key(tables)
-            or prepared.b_multiple % bm != 0):
+            or prepared.b_multiple % bm != 0
+            # a handle built from DIFFERENT documents would decode
+            # garbage silently — re-prep on any length mismatch (the
+            # cheap check; byte-level identity is the caller's side
+            # of the contract)
+            or len(prepared.spans) != len(docs)
+            or any(s[2] != len(d)
+                   for s, d in zip(prepared.spans, docs))):
         prepared = batch_prepare(tables, docs, chunk_len,
                                  b_multiple=bm)
     K, spans = prepared.K, prepared.spans
