@@ -55,7 +55,10 @@ class PhiTables:
     """Host-side prep of a Dfa for the φ kernel.  S <= 128 plain
     states; S * ncls <= 1024 (row-select chain like the wide tier —
     the never-converging machines this tier exists for are tiny, so
-    the cap is generous).  4-bit class packing (ncls <= 16)."""
+    the cap is generous).  4-bit class packing for ncls <= 16; wide
+    alphabets (17..256 classes, e.g. multi-regex fusions with parity
+    structure) ride 8-bit data words like the other tiers — half the
+    per-word density, same exactness."""
 
     MAX_STATES = 128
     MAX_ENTRIES = 1024
@@ -64,8 +67,8 @@ class PhiTables:
         S, ncls = dfa.nstates, dfa.nclasses
         if S > self.MAX_STATES:
             raise ValueError("more than 128 plain states (%d)" % S)
-        if ncls > 16:
-            raise ValueError("more than 16 byte classes (%d)" % ncls)
+        if ncls > 256:
+            raise ValueError("more than 256 byte classes (%d)" % ncls)
         if S * ncls > self.MAX_ENTRIES:
             raise ValueError("S*ncls = %d exceeds the phi budget"
                              % (S * ncls))
@@ -85,7 +88,8 @@ class PhiTables:
             np.broadcast_to(rows[:, None, :],
                             (self.rows, 8, 128)).copy()))
         self.class_map = dfa.class_map.astype(np.uint8)
-        self.cpw = 8
+        self.bits = 4 if ncls <= 16 else 8
+        self.cpw = 8 if self.bits == 4 else 4
         self.match_eof = dfa.match_eof
         # Scanner.stats() convention; by construction φ scans never
         # repair, so completed scans always record (0, C)
@@ -113,7 +117,7 @@ def _phi_prepare(tables, data_np, chunk_len):
     nib = cls.reshape(-1, tables.cpw)
     words = nib[:, 0].astype(np.int32)
     for k in range(1, tables.cpw):
-        words |= nib[:, k].astype(np.int32) << (4 * k)
+        words |= nib[:, k].astype(np.int32) << (tables.bits * k)
     words = words.reshape(B, G, 8, nseg, Kw)
     pad = P * WL - Kw
     if pad:
@@ -131,7 +135,7 @@ def _phi_prepare(tables, data_np, chunk_len):
 
 
 def _phi_kernel(data_ref, fused_ref, phi_ref, acc_ref, *,
-                Kw, WL, CPW, S, NSEG, NCLS, ROWS, COUNT):
+                Kw, WL, CPW, BITS, S, NSEG, NCLS, ROWS, COUNT):
     """One grid step: G x [8,128] tiles = G*8*NSEG chunk segments, S
     φ-entry states per segment.  Outputs per lane: premultiplied exit
     state and (COUNT) the match-boundary count or (scan) the first
@@ -162,7 +166,7 @@ def _phi_kernel(data_ref, fused_ref, phi_ref, acc_ref, *,
             tile = data_ref[0, plane, g]
             word = jnp.take_along_axis(tile, didx, axis=1)
             for b in range(CPW):
-                cls = (word >> (4 * b)) & 15
+                cls = (word >> (BITS * b)) & ((1 << BITS) - 1)
                 e = lookup(state + cls)
                 if COUNT:
                     acc = acc + (e >> _MATCH_SHIFT)
@@ -186,9 +190,10 @@ def _phi_kernel(data_ref, fused_ref, phi_ref, acc_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "Kw", "WL", "CPW", "S", "NSEG", "NCLS", "ROWS", "COUNT", "K"))
-def _phi_run(data, fused, C, entry_state, *, Kw, WL, CPW, S, NSEG,
-             NCLS, ROWS, COUNT, K):
+    "Kw", "WL", "CPW", "BITS", "S", "NSEG", "NCLS", "ROWS", "COUNT",
+    "K"))
+def _phi_run(data, fused, C, entry_state, *, Kw, WL, CPW, BITS, S,
+             NSEG, NCLS, ROWS, COUNT, K):
     """Kernel + on-device composition.  Returns a small summary:
 
     COUNT: [exit_plain, total_count]
@@ -197,8 +202,8 @@ def _phi_run(data, fused, C, entry_state, *, Kw, WL, CPW, S, NSEG,
     """
     B, P, G = data.shape[0], data.shape[1], data.shape[2]
     kernel = functools.partial(_phi_kernel, Kw=Kw, WL=WL, CPW=CPW,
-                               S=S, NSEG=NSEG, NCLS=NCLS, ROWS=ROWS,
-                               COUNT=COUNT)
+                               BITS=BITS, S=S, NSEG=NSEG, NCLS=NCLS,
+                               ROWS=ROWS, COUNT=COUNT)
     interpret = jax.default_backend() == "cpu"
     phi, acc = pl.pallas_call(
         kernel,
@@ -299,9 +304,9 @@ def phi_count_bytes(tables, data_np, chunk_len=2048, entry_state=0,
     summ = np.asarray(_phi_run(
         data, tables.fused_rows, jnp.int32(C),
         jnp.int32(entry_state), Kw=K // tables.cpw, WL=WL,
-        CPW=tables.cpw, S=tables.nstates, NSEG=tables.nseg,
-        NCLS=tables.ncls, ROWS=tables.rows, COUNT=True,
-        K=K)).astype(np.int64)
+        CPW=tables.cpw, BITS=tables.bits, S=tables.nstates,
+        NSEG=tables.nseg, NCLS=tables.ncls, ROWS=tables.rows,
+        COUNT=True, K=K)).astype(np.int64)
     state, total = int(summ[0]), int(summ[1])
     if C * K < n:                    # ragged tail natively
         raw = np.frombuffer(data_np, dtype=np.uint8) \
@@ -334,9 +339,9 @@ def phi_scan_bytes(tables, data_np, chunk_len=2048, entry_state=0,
         summ = np.asarray(_phi_run(
             data, tables.fused_rows, jnp.int32(C),
             jnp.int32(entry_state), Kw=K // tables.cpw, WL=WL,
-            CPW=tables.cpw, S=tables.nstates, NSEG=tables.nseg,
-            NCLS=tables.ncls, ROWS=tables.rows, COUNT=False,
-            K=K)).astype(np.int64)
+            CPW=tables.cpw, BITS=tables.bits, S=tables.nstates,
+            NSEG=tables.nseg, NCLS=tables.ncls, ROWS=tables.rows,
+            COUNT=False, K=K)).astype(np.int64)
         state, first, fch, fentry = (int(summ[0]), int(summ[1]),
                                      int(summ[2]), int(summ[3]))
         if first >= 0:

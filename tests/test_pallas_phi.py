@@ -48,6 +48,32 @@ def test_phi_count_and_scan_exact(pat, alpha):
         assert (f, st) == (exp_f, exp_st), (pat, n)
 
 
+def test_phi_8bit_wide_alphabet():
+    """17..256 byte classes ride 8-bit data words (multi-regex
+    fusions: each distinct literal byte is its own class).  Same
+    exactness contract as the 4-bit path."""
+    from sregex_tpu import parse_multi
+    pats = [bytes([c]) + b"q" for c in b"abcdefghijklmnopr"]
+    pats.append(rb"b(?:aa)*b")      # keep parity structure in the mix
+    ast, _ = parse_multi(pats)
+    dfa = build_dfa(compile_regex(ast), max_states=65536)
+    t = PhiTables(dfa)
+    assert t.bits == 8 and t.ncls > 16, (t.ncls, t.nstates)
+    native = NativeDfa(dfa)
+    rng = random.Random(11)
+    alpha = b"abcdefghijklmnopqr x"
+    for n, entry in [(200_000, 0), (4096, 1), (63, 0), (513, 2)]:
+        entry = entry % t.nstates
+        data = bytes(rng.choice(alpha) for _ in range(n))
+        assert phi_count_bytes(t, data, chunk_len=512,
+                               entry_state=entry) \
+            == native.count(data, entry)[::-1]
+        exp_f, exp_st = native.scan_first(data, entry)
+        st, f = phi_scan_bytes(t, data, chunk_len=512,
+                               entry_state=entry)
+        assert (f, st) == (exp_f, exp_st), (n, entry)
+
+
 def test_phi_prepared_reuse():
     t, native = _tables(rb"\A(?:aa)*b")
     rng = random.Random(9)
