@@ -57,7 +57,7 @@ def bench_multi(log):
     from sregex_tpu.stream import Scanner
 
     mb = int(os.environ.get("SREGEX_BENCH_MULTI_MB", "512"))
-    reps = int(os.environ.get("SREGEX_BENCH_REPS", "3"))
+    reps = int(os.environ.get("SREGEX_BENCH_REPS", "5"))
 
     pats = [w.encode() for w in MULTI_WORDS]
     ast, _ = parse_multi(pats)
@@ -142,7 +142,7 @@ def main():
 
     pattern = "(?:a|b)aa(?:aa|bb)cc(?:a|b)"
     mb = int(os.environ.get("SREGEX_BENCH_MB", "1920"))
-    reps = int(os.environ.get("SREGEX_BENCH_REPS", "3"))
+    reps = int(os.environ.get("SREGEX_BENCH_REPS", "5"))
     K = 2048
 
     ast, _ = parse(pattern)
