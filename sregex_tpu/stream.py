@@ -814,6 +814,39 @@ class Scanner:
         return [r is not None
                 for r in self.scan_many(docs, chunk_len, prepared)]
 
+    def finditer_many(self, docs, chunk_len=2048, prepared=None):
+        """Per-document ``findall()`` over a document SET: equals
+        ``[self.findall(d) for d in docs]``.
+
+        One batched scan dispatch (scan_many) filters the match-free
+        documents exactly — a document whose scan DFA never reaches a
+        match boundary (interior or EOF) has no Pike match anywhere,
+        so only the MATCHING documents run host match resolution (the
+        native TDFA walker / Pike re-arm loop).  This is the sparse
+        grep-over-many-files serving shape: the device pass touches
+        every byte once, the host only the matching documents.
+        Reference analog: none (sregex iterates one buffer per exec
+        re-arm, sre_vm_pike.c:624-635)."""
+        docs = [d if isinstance(d, (bytes, bytearray)) else bytes(d)
+                for d in docs]
+        firsts = self.scan_many(docs, chunk_len, prepared)
+        return [[] if f is None else self.findall(d)
+                for f, d in zip(firsts, docs)]
+
+    def sub_many(self, repl, docs, count=0, chunk_len=2048,
+                 prepared=None):
+        """Per-document ``sub()`` over a document SET: returns
+        ``[(new_bytes, n_replacements), ...]``.  Match-free documents
+        (the common case in sparse serving) are identified by ONE
+        batched device dispatch and returned unchanged without host
+        resolution; matching documents ride the exact sub loop."""
+        docs = [d if isinstance(d, (bytes, bytearray)) else bytes(d)
+                for d in docs]
+        firsts = self.scan_many(docs, chunk_len, prepared)
+        return [(bytes(d), 0) if f is None
+                else self.sub(repl, d, count=count)
+                for f, d in zip(firsts, docs)]
+
     def _stream_tables(self, segments):
         """Tables + segment iterator for the pipelined stream APIs.
         Peeks segments until DEVICE_THRESHOLD bytes accumulate (below

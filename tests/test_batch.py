@@ -192,6 +192,34 @@ def test_batch_mesh():
     assert sc.scan_many(docs) == [host.scan(d) for d in docs]
 
 
+def test_batch_finditer_many_and_sub_many():
+    """finditer_many == [findall(d) per doc]; sub_many == [sub per
+    doc]; match-free documents are filtered by the batched dispatch
+    and returned untouched."""
+    rng = random.Random(21)
+    pat = rb"(er+)or"
+    sc = compile_pattern(pat, use_device=True)
+    sc.DEVICE_THRESHOLD = 1
+    host = compile_pattern(pat, use_device=False)
+    docs = _docs(rng, b"eorx ", b"errror", SIZES)
+    docs += [b"x" * 5000]                      # guaranteed match-free
+    got = sc.finditer_many(docs)
+    want = [host.findall(d) for d in docs]
+    assert got == want, (got[:2], want[:2])
+    assert got[-1] == []
+    got_sub = sc.sub_many(b"<$1>", docs)
+    want_sub = [host.sub(b"<$1>", d) for d in docs]
+    assert got_sub == want_sub
+    # nullable pattern: the empty match fires everywhere, including
+    # on empty documents — the filter must NOT drop them
+    scn = compile_pattern(rb"a*", use_device=True)
+    scn.DEVICE_THRESHOLD = 1
+    hostn = compile_pattern(rb"a*", use_device=False)
+    small = [b"", b"b", b"aab"]
+    assert scn.finditer_many(small) \
+        == [hostn.findall(d) for d in small]
+
+
 def test_batch_doc_isolation():
     """A match STRADDLING two adjacent documents must not be
     reported: every document restarts at the seed."""
