@@ -130,11 +130,12 @@ def batch_prepare(tables, docs, chunk_len=DEFAULT_K, b_multiple=1):
 
 
 def _batch_dispatch(tables, docs, chunk_len, count, prepared=None,
-                    mesh=None):
+                    mesh=None, esc=None):
     """Pack docs into one chunk stream (or reuse a PreparedBatch),
     run ONE kernel pass — shard_mapped over the mesh's block dim when
     mesh is given — return (K, spans, phi, cnt_or_many, swarm) with
-    spans[d] = (chunk_ofs, nchunks, len(doc))."""
+    spans[d] = (chunk_ofs, nchunks, len(doc)).  ``esc`` threads the
+    core tier's ESC sink premult through to the kernel."""
     bm = mesh.devices.size if mesh is not None else 1
     if (prepared is None or prepared._key != _pack_key(tables)
             or prepared.b_multiple % bm != 0
@@ -155,7 +156,8 @@ def _batch_dispatch(tables, docs, chunk_len, count, prepared=None,
     _, packed = tables._scan(
         data if isinstance(data, jax.Array) else jnp.asarray(data),
         s0p, j0p, jnp.int32(C), jnp.int32(-1), J, W, COUNT=count,
-        mesh=mesh, axis="data" if mesh is not None else None)
+        mesh=mesh, axis="data" if mesh is not None else None,
+        esc=esc)
     # the whole-buffer summary is meaningless here (the chain "breaks"
     # at every document boundary by construction); the per-document
     # fold below reads the per-chunk planes directly
@@ -234,4 +236,82 @@ def spec_scan_many(tables, docs, chunk_len=DEFAULT_K,
                 break
             e = st * ncls
         results.append(hit if hit is not None else (e // ncls, -1))
+    return results, nat, len(phi)
+
+
+def core_count_many(ct, docs, chunk_len=DEFAULT_K, prepared=None,
+                    mesh=None):
+    """Per-document counts on the ADAPTIVE CORE tier: one narrow/pair
+    kernel dispatch over the sampled hot-core machine serves the whole
+    document set — the batched analogue of core_count_bytes for
+    automata past the static-tier budget (where spec_count_many would
+    bottom out at the big tier or have no tier at all).
+
+    Exactness is the core tier's usual contract applied per document:
+    a chunk is trusted only when it is full-length, its speculated
+    entry matches the chained entry, and it never left the core
+    (phi != ESC); everything else — escapes, ragged tails, cold
+    entries outside the hot set — re-walks natively on the FULL
+    machine (ct.native).  Returns (counts, final_full_states,
+    nat_chunks, total_chunks)."""
+    K, spans, phi, cnt, swarm = _batch_dispatch(
+        ct.inner, docs, chunk_len, True, prepared, mesh,
+        esc=ct.esc_premult)
+    native = ct.native
+    esc = ct.esc_premult
+    counts, finals, nat = [], [], 0
+    for (c0, cd, n), doc in zip(spans, docs):
+        raw = doc if isinstance(doc, (bytes, bytearray)) else bytes(doc)
+        e_full = 0                   # every document starts at the seed
+        total = 0
+        for c in range(c0, c0 + cd):
+            lo = (c - c0) * K
+            hi = min(lo + K, n)
+            cp = ct.to_core_premult(e_full)
+            if (hi - lo == K and cp >= 0 and int(swarm[c]) == cp
+                    and int(phi[c]) != esc):
+                total += int(cnt[c])
+                e_full = ct.to_full(int(phi[c]))
+            else:
+                k, st = native.count(bytes(raw[lo:hi]), e_full)
+                total += k
+                e_full = st
+                nat += 1
+        counts.append(total)
+        finals.append(e_full)
+    return counts, finals, nat, len(phi)
+
+
+def core_scan_many(ct, docs, chunk_len=DEFAULT_K, prepared=None,
+                   mesh=None):
+    """Per-document first-match scan on the adaptive core tier; the
+    contract of spec_scan_many with FULL-machine states: results[d] =
+    (full_state_at_boundary, boundary) or (final_full_state, -1)."""
+    K, spans, phi, many, swarm = _batch_dispatch(
+        ct.inner, docs, chunk_len, False, prepared, mesh,
+        esc=ct.esc_premult)
+    native = ct.native
+    esc = ct.esc_premult
+    results, nat = [], 0
+    for (c0, cd, n), doc in zip(spans, docs):
+        raw = doc if isinstance(doc, (bytes, bytearray)) else bytes(doc)
+        e_full = 0
+        hit = None
+        for c in range(c0, c0 + cd):
+            lo = (c - c0) * K
+            hi = min(lo + K, n)
+            cp = ct.to_core_premult(e_full)
+            trusted = (hi - lo == K and cp >= 0
+                       and int(swarm[c]) == cp and int(phi[c]) != esc)
+            if trusted and not many[c]:
+                e_full = ct.to_full(int(phi[c]))
+                continue
+            f, st = native.scan_first(bytes(raw[lo:hi]), e_full)
+            if not trusted:
+                nat += 1
+            if f >= 0:
+                hit = (st, lo + f)
+                break
+            e_full = st
+        results.append(hit if hit is not None else (e_full, -1))
     return results, nat, len(phi)

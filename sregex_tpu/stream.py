@@ -728,6 +728,18 @@ class Scanner:
             return False
         return sum(len(d) for d in docs) >= self.DEVICE_THRESHOLD
 
+    def _batch_core(self, docs):
+        """Adaptive core tier for a BATCHED scan: same eligibility,
+        decision bands, and Scanner-lifetime cache as the
+        single-buffer path (_core_tables), with the corpus sample
+        spread across the document set.  None when the core stays
+        out (then the static batch path or the host loop serves)."""
+        if (self.dfa is None or not self.use_device
+                or sum(len(d) for d in docs) < self.DEVICE_THRESHOLD):
+            return None
+        sample = b"".join(bytes(d[:1 << 16]) for d in docs[:256])
+        return self._core_tables(sample)
+
     def prepare_many(self, docs, chunk_len=2048, for_find=False):
         """Pack/upload a document set ONCE (PreparedBatch) for reuse
         across count_many/scan_many calls — the batch analogue of
@@ -738,7 +750,11 @@ class Scanner:
         *_many calls simply loop)."""
         docs = [d if isinstance(d, (bytes, bytearray)) else bytes(d)
                 for d in docs]
-        tables = self._tdfa_spec if for_find else self._spec
+        if for_find:
+            tables = self._tdfa_spec
+        else:
+            ct = self._batch_core(docs)
+            tables = ct.inner if ct is not None else self._spec
         if tables is None or not self.use_device \
                 or sum(len(d) for d in docs) < self.DEVICE_THRESHOLD:
             return None
@@ -762,6 +778,22 @@ class Scanner:
         docs = [d if isinstance(d, (bytes, bytearray)) else bytes(d)
                 for d in docs]
         t0 = time.perf_counter()
+        ct = self._batch_core(docs)
+        if ct is not None:
+            from .ops.batch import core_count_many, BatchUnsupported
+            try:
+                counts, finals, nat, C = core_count_many(
+                    ct, docs, chunk_len, prepared=prepared,
+                    mesh=self.mesh)
+            except BatchUnsupported:
+                pass
+            else:
+                ct.last_repair = (nat, C)
+                self._note_stats("count_many", ct,
+                                 sum(len(d) for d in docs), t0)
+                eof = self.dfa.match_eof
+                return [c + (1 if eof[s] else 0)
+                        for c, s in zip(counts, finals)]
         if self._batch_eligible(docs):
             from .ops.batch import spec_count_many, BatchUnsupported
             try:
@@ -786,6 +818,31 @@ class Scanner:
         docs = [d if isinstance(d, (bytes, bytearray)) else bytes(d)
                 for d in docs]
         t0 = time.perf_counter()
+
+        def resolve(results):
+            out = []
+            for (st, b), d in zip(results, docs):
+                if b >= 0:
+                    out.append((self.dfa.id_at(st, d[b]), b))
+                else:
+                    rid = int(self.dfa.match_eof_id[st])
+                    out.append((rid, len(d)) if rid >= 0 else None)
+            return out
+
+        ct = self._batch_core(docs)
+        if ct is not None:
+            from .ops.batch import core_scan_many, BatchUnsupported
+            try:
+                results, nat, C = core_scan_many(
+                    ct, docs, chunk_len, prepared=prepared,
+                    mesh=self.mesh)
+            except BatchUnsupported:
+                pass
+            else:
+                ct.last_repair = (nat, C)
+                self._note_stats("scan_many", ct,
+                                 sum(len(d) for d in docs), t0)
+                return resolve(results)
         if self._batch_eligible(docs):
             from .ops.batch import spec_scan_many, BatchUnsupported
             try:
@@ -798,15 +855,7 @@ class Scanner:
                 self._spec.last_repair = (nat, C)
                 self._note_stats("scan_many", self._spec,
                                  sum(len(d) for d in docs), t0)
-                out = []
-                for (st, b), d in zip(results, docs):
-                    if b >= 0:
-                        out.append((self.dfa.id_at(st, d[b]), b))
-                    else:
-                        rid = int(self.dfa.match_eof_id[st])
-                        out.append((rid, len(d)) if rid >= 0
-                                   else None)
-                return out
+                return resolve(results)
         return [self.scan(d) for d in docs]
 
     def match_many(self, docs, chunk_len=2048, prepared=None):

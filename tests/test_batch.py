@@ -192,6 +192,32 @@ def test_batch_mesh():
     assert sc.scan_many(docs) == [host.scan(d) for d in docs]
 
 
+def test_batch_core_tier():
+    """Automata past the fast static tiers batch through the ADAPTIVE
+    CORE tier: one narrow-kernel dispatch over the sampled hot core,
+    full-machine native repair on escapes/ragged tails — exactly the
+    per-document results."""
+    rng = random.Random(22)
+    pat = rb"q[ab]{40,190}z"
+    sc = compile_pattern(pat, use_device=True)
+    sc.DEVICE_THRESHOLD = 1
+    host = compile_pattern(pat, use_device=False)
+    plant = b"q" + b"ab" * 30 + b"z"
+    docs = _docs(rng, b"ab x", plant, SIZES)
+    want_counts = [host.count(d) for d in docs]
+    got = sc.count_many(docs)
+    assert got == want_counts, (got, want_counts)
+    st = sc.stats()
+    if sc._coret:                   # the core tier served the batch
+        assert st.api == "count_many" and st.tier == "CoreTables", st
+    assert sc.scan_many(docs) == [host.scan(d) for d in docs]
+    # prepared reuse packs for the core INNER machine
+    h = sc.prepare_many(docs)
+    if sc._coret:
+        assert h is not None
+        assert sc.count_many(docs, prepared=h) == want_counts
+
+
 def test_batch_finditer_many_and_sub_many():
     """finditer_many == [findall(d) per doc]; sub_many == [sub per
     doc]; match-free documents are filtered by the batched dispatch
