@@ -80,12 +80,14 @@ class SpecTablesBig:
         # 4-bit class packing when classes fit a nibble, else 8-bit
         self.bits = 4 if ncls <= 16 else 8
         self.cpw = 8 if self.bits == 4 else 4
-        if self.bits == 8:
-            self.max_chunk = 1920    # 8-bit words overflow VMEM at 2048
         # warmup: 32 bytes regardless of packing (big automata do not
         # converge faster than small ones)
         self.warmup = 32
         self.rows = -(-(S * ncls) // 128)
+        # shape-derived VMEM clamp (the table alone can reach 4 MiB)
+        from .pallas_scan import max_chunk_bytes
+        self.max_chunk = max_chunk_bytes(self.rows, self.cpw,
+                                         self.warmup)
         fused = np.zeros(self.rows * 128, dtype=np.int32)
         trans = dfa.trans.astype(np.int64)
         match = dfa.match.astype(np.int64)

@@ -38,7 +38,8 @@ A/Bs, value readback in the timed region):
 import numpy as np
 import jax.numpy as jnp
 
-from .pallas_scan import (_MATCH_SHIFT, _spec_scan, _spec_scan_wide)
+from .pallas_scan import (_MATCH_SHIFT, _spec_scan, _spec_scan_wide,
+                          max_chunk_bytes)
 
 
 class SpecTablesPair:
@@ -92,6 +93,10 @@ class SpecTablesPair:
                                 (self.rows, 8, 128)).copy()))
         self.class_map = dfa.class_map.astype(np.uint8)
         self.match_eof = dfa.match_eof
+        # shape-derived VMEM clamp (pair units halve words per byte,
+        # so this only binds for 8-bit pair alphabets)
+        self.max_chunk = max_chunk_bytes(self.rows, self.cpw,
+                                         self.warmup, bpu=2)
 
     def _scan(self, data, state0, j0, C, bad_tail, J, W, COUNT=False,
               mesh=None, axis=None, esc=None):

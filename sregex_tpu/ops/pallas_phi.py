@@ -46,7 +46,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_scan import GROUPS, _MATCH_SHIFT, _STATE_MASK
+from .pallas_scan import (GROUPS, _MATCH_SHIFT, _STATE_MASK,
+                          compiler_params as _compiler_params)
 
 _SENT = np.int32(1 << 30)     # "no match" sentinel for fm lanes
 
@@ -225,6 +226,7 @@ def _phi_run(data, fused, C, entry_state, *, Kw, WL, CPW, BITS, S,
             jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(data, fused)
 
     # lanes -> [chunks, S]: chunk order is (b, g, s, seg) with the S

@@ -53,12 +53,72 @@ WORDS_PER_ITER = 2   # packed words consumed per loop iteration
 # Interleaved tiles per block (latency hiding: independent gather
 # chains pipeline against each other).  4 is the tuned default;
 # SREGEX_GROUPS is an experimental knob (the kernel is latency-bound
-# on the bench relay, so more chains may help — pick chunk_len so the
-# block stays inside the 16 MB scoped-VMEM double-buffer budget:
-# Jw*G*4096*4B*2 < 16 MB).
+# on the bench relay, so more chains may help — max_chunk_bytes keeps
+# the double-buffered block inside the scoped-VMEM budget for any G).
 GROUPS = int(os.environ.get("SREGEX_GROUPS", "4"))
 TILE = 1024          # streams per tile (8 sublanes x 128 lanes)
 DEFAULT_K = 2048     # nominal chunk length (rounded to the packing)
+
+
+def vmem_limit_bytes():
+    """Scoped-VMEM ceiling requested from the Mosaic compiler for every
+    scan kernel (pl.CompilerParams(vmem_limit_bytes=...)).
+
+    The compiler's default scoped limit is 16 MiB; physical VMEM is
+    128 MiB/core on v5e (and v4/v5p/v6e are >= 128 MiB).  The round-3
+    hardware bench OOM'd the wide 8-bit tier at rows=98 against that
+    default (17.01M scoped vs 16M, BENCH_r03.json) — the fix is to
+    both RAISE the requested limit (64 MiB leaves half the core for
+    the pipeline) and derive every tier's chunk clamp from shapes
+    against it (max_chunk_bytes below), so no fused-table size can
+    push a kernel over the line again."""
+    env = os.environ.get("SREGEX_VMEM_LIMIT_MB")
+    if env is not None:
+        return int(env) << 20
+    return 64 << 20
+
+
+def compiler_params():
+    """Mosaic compiler params for scan-kernel pallas_calls (None in
+    CPU interpret mode, where TPU params are meaningless)."""
+    if jax.default_backend() == "cpu":
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_bytes())
+
+
+# Residual scoped-VMEM use beyond the data block and the fused table:
+# kernel-internal scratch (G state/macc vregs, unrolled slab copies)
+# plus the double-buffered small in/out blocks.  Calibrated from the
+# round-3 hardware OOM: 17.01M total at data 2x7.56M + table 0.38M
+# leaves ~1.5M residual; 2 MiB adds margin.
+_VMEM_SLACK = 2 << 20
+
+
+def max_chunk_bytes(rows, cpw, warmup_bytes, bpu=1, extra_bytes=0):
+    """Shape-derived chunk clamp: the largest K (bytes) such that the
+    kernel's scoped-VMEM footprint stays under vmem_limit_bytes().
+
+    Footprint model (see the r3 OOM calibration at _VMEM_SLACK):
+      2 * Jw * GROUPS * 4096   double-buffered data block
+                               (Jw = (W + K) / (bpu * cpw) words,
+                                each word a [G, 8, 128] int32 slice)
+      + rows * 4096            fused table tiles (constant index map:
+                               single-buffered)
+      + extra_bytes            tier-specific extras (the tagged-DFA
+                               kernel's code planes + register/bank
+                               output blocks)
+      + _VMEM_SLACK            scratch + small blocks
+    Every tier with a table computes its max_chunk through this —
+    never a constant — so growing the automaton shrinks K instead of
+    crashing the compile (VERDICT r3 #1a)."""
+    budget = (vmem_limit_bytes() - _VMEM_SLACK - rows * 8 * 128 * 4
+              - extra_bytes)
+    jw = budget // (2 * GROUPS * 8 * 128 * 4)
+    k = jw * cpw * bpu - warmup_bytes
+    quantum = cpw * WORDS_PER_ITER * bpu
+    k = max(quantum, k // quantum * quantum)
+    # per-chunk match counts ride 16 bits in the packed planes
+    return min(k, ((1 << 16) - 1) // quantum * quantum)
 
 
 class SpecTables:
@@ -90,11 +150,11 @@ class SpecTables:
         if ncls > 16:
             self.bits = 8
             self.cpw = 4
-            self.max_chunk = 1920    # 8-bit words overflow VMEM at 2048
         else:
             self.bits = 3 if (want == 3 and ncls <= 8) else 4
             self.cpw = 10 if self.bits == 3 else 8
         self.warmup = 4 * self.cpw
+        self.max_chunk = max_chunk_bytes(1, self.cpw, self.warmup)
         fused = np.zeros(128, dtype=np.int32)
         for s in range(S):
             for c in range(ncls):
@@ -158,10 +218,12 @@ class SpecTablesWide:
         # per-word density halves
         self.bits = 4 if ncls <= 16 else 8
         self.cpw = 8 if self.bits == 4 else 4
-        if self.bits == 8:
-            self.max_chunk = 1920    # 8-bit words overflow VMEM at 2048
         self.warmup = 4 * self.cpw
         self.rows = -(-(S * ncls) // 128)
+        # shape-derived VMEM clamp: the r3 hardware bench OOM'd here
+        # (rows=98 8-bit at the old constant 1920 clamp)
+        self.max_chunk = max_chunk_bytes(self.rows, self.cpw,
+                                         self.warmup)
         fused = np.zeros(self.rows * 128, dtype=np.int32)
         for st in range(S):
             for c in range(ncls):
@@ -400,6 +462,7 @@ def _dispatch_kernel(kernel, data, state0, j0, fused, fused_spec,
                 jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
             ],
             interpret=interpret,
+            compiler_params=compiler_params(),
         )(d, s0, j0_, f)
 
     if mesh is None:
@@ -522,18 +585,18 @@ def with_warmup(tables, W):
     clean once W exceeds the bound (1 ragged-tail repair).  The copy
     shares every fused table; only the window length (and therefore
     the prep layout and the kernel trace) changes.  Returns None when
-    the tables can't host the window: byte-unit 4-bit tiers only
-    (8-bit words already saturate the VMEM budget at K=1920, and the
-    pair tier's tiny machines are never history-bounded past 32).
-    W=512 at K=2048 keeps the double-buffered data block ~10.5 MB,
-    inside the 16 MB scoped-VMEM limit."""
+    the tables can't host the window: byte-unit tiers only (the pair
+    tier's tiny machines are never history-bounded past 32).  The
+    copy's VMEM chunk clamp is re-derived for the longer window."""
     import copy
-    if getattr(tables, "bpu", 1) != 1 or tables.bits != 4:
+    if getattr(tables, "bpu", 1) != 1 or tables.bits not in (4, 8):
         return None
     if W % tables.cpw or not (tables.warmup < W <= 512):
         return None
     t = copy.copy(tables)
     t.warmup = int(W)
+    t.max_chunk = max_chunk_bytes(getattr(tables, "rows", 1),
+                                  tables.cpw, t.warmup)
     t.last_repair = None
     return t
 
@@ -541,11 +604,9 @@ def with_warmup(tables, W):
 def effective_chunk(tables, chunk_len):
     """The chunk length the prep actually uses: rounded down to the
     packing quantum and clamped to the tables' VMEM budget
-    (max_chunk).  8-bit-packed byte tables halve the words-per-chunk
-    density, so K=2048 overflows the 16 MB scoped-VMEM limit — their
-    max_chunk is 1920 (Jw = 484 <= the double-buffered budget).
-    Exposed so chunk-indexed consumers (the finditer start locator)
-    agree with the prep about K."""
+    (max_chunk, derived from shapes via max_chunk_bytes — never a
+    constant).  Exposed so chunk-indexed consumers (the finditer
+    start locator) agree with the prep about K."""
     CPW = tables.cpw
     bpu = getattr(tables, "bpu", 1)    # bytes per kernel unit
     quantum = CPW * WORDS_PER_ITER * bpu

@@ -33,8 +33,8 @@ larger automata take the WIDE variant — the four per-(state,class)
 tables span ROWS lane rows and every lookup becomes a gather +
 row-select chain, exactly how pallas_scan.py grew SpecTablesWide),
 byte classes <= 16 ride 4-bit packed data words; 17..256 classes use
-8-bit packing (cpw=4, chunk clamped to 1920 — the same VMEM
-discipline as the untagged tiers' 8-bit mode), registers/tags <= 13
+8-bit packing (cpw=4, chunk clamp derived from the VMEM budget via
+pallas_scan.max_chunk_bytes like every tier), registers/tags <= 13
 with 4-bit source codes or <= 24 (R_MAX8/T_MAX8) with byte codes,
 regex ids <= 127.  The ROWS budget is platform-aware: 4 rows (512
 entries) under interpret-mode CPU, 16 rows (2048 entries) on real
@@ -53,7 +53,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..tdfa import Tdfa, TdfaTooLarge, SRC_UNSET, SRC_CUR, SRC_NEXT, \
     CTX_BOS
-from .pallas_scan import GROUPS, TILE, WORDS_PER_ITER, _prepare
+from .pallas_scan import (GROUPS, TILE, WORDS_PER_ITER, _prepare,
+                          compiler_params as _compiler_params)
 
 _BAD = np.int32(-(2 ** 30))
 
@@ -262,12 +263,25 @@ class TdfaSpecTables:
         if ncls > 16:
             self.bits = 8
             self.cpw = 4
-            self.max_chunk = 1920
         else:
             self.bits = 4
             self.cpw = 8
         self.warmup = 4 * self.cpw
+        self.max_chunk = self._vmem_chunk_clamp()
         self.class_map = t.class_map.astype(np.uint8)
+
+    def _vmem_chunk_clamp(self):
+        """Shape-derived VMEM chunk clamp (pallas_scan.max_chunk_bytes)
+        accounting for the tagged kernel's extras beyond the shared
+        data block: four table plane stacks (single-buffered, constant
+        index maps) and the double-buffered register/bank output
+        blocks."""
+        from .pallas_scan import max_chunk_bytes
+        plane_rows = self.rows * (
+            2 + self.t_regsrc.shape[0] + self.t_csrc.shape[0])
+        out_extra = 2 * ((self.ntags + 1) + self.nregs) * GROUPS * 4096
+        return max_chunk_bytes(plane_rows, self.cpw, self.warmup,
+                               extra_bytes=out_extra)
 
     # kernel <-> full state id mapping (identity for the full tables;
     # the hot-core projection overrides both)
@@ -395,11 +409,11 @@ class TdfaCoreTables(TdfaSpecTables):
         if ncls > 16:
             self.bits = 8
             self.cpw = 4
-            self.max_chunk = 1920
         else:
             self.bits = 4
             self.cpw = 8
         self.warmup = 4 * self.cpw
+        self.max_chunk = self._vmem_chunk_clamp()
         self.class_map = t.class_map.astype(np.uint8)
 
     is_core = True
@@ -607,6 +621,7 @@ def _tdfa_scan(data, state0, j0, t_next, t_regsrc, t_csrc, t_cmeta,
             jax.ShapeDtypeStruct((R, B, G, 8, 128), jnp.int32),
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(data, state0, j0, t_next, t_regsrc, t_csrc, t_cmeta)
 
     Cp = phi.size

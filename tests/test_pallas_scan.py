@@ -152,3 +152,50 @@ def test_wide_tier_r17_matches_native():
         got_state, got_first = spec_scan_bytes(tables, data,
                                                chunk_len=256)
         assert (got_first, got_state) == (exp_first, exp_state)
+
+
+def test_vmem_chunk_clamp_is_shape_derived(monkeypatch):
+    """Regression for the round-3 hardware OOM (BENCH_r03.json): the
+    90-keyword multi-regex machine (rows=98, 8-bit packing) compiled a
+    wide kernel whose scoped-VMEM footprint crossed the 16 MiB limit
+    at the old constant K=1920 clamp.  max_chunk must now be derived
+    from shapes so the modeled footprint stays under the requested
+    limit for EVERY (rows, packing) combination."""
+    from sregex_tpu.ops.pallas_scan import (
+        max_chunk_bytes, vmem_limit_bytes, GROUPS, _VMEM_SLACK)
+
+    def footprint(k, rows, cpw, w, bpu=1):
+        jw = (w + k) // (bpu * cpw)
+        return 2 * jw * GROUPS * 4096 + rows * 4096 + _VMEM_SLACK
+
+    for rows, cpw, w, bpu in [(1, 4, 16, 1), (98, 4, 16, 1),
+                              (128, 4, 16, 1), (1024, 4, 32, 1),
+                              (452, 8, 32, 1), (8, 4, 32, 2)]:
+        k = max_chunk_bytes(rows, cpw, w, bpu=bpu)
+        assert footprint(k, rows, cpw, w, bpu) <= vmem_limit_bytes(), \
+            (rows, cpw, w, bpu, k)
+        quantum = cpw * 2 * bpu
+        assert k % quantum == 0 and k >= quantum
+
+    # the r3 crash shape at the compiler's 16 MiB default: the derived
+    # clamp must land BELOW the constant 1920 that OOM'd
+    monkeypatch.setenv("SREGEX_VMEM_LIMIT_MB", "16")
+    assert max_chunk_bytes(98, 4, 16) < 1920
+
+
+def test_wide_tables_carry_derived_clamp():
+    """Every 8-bit tier object exposes a max_chunk that
+    effective_chunk honors (no constant clamps anywhere)."""
+    from sregex_tpu import parse_multi
+    from sregex_tpu.ops.pallas_scan import (SpecTablesWide,
+                                            effective_chunk,
+                                            max_chunk_bytes)
+    rng = random.Random(7)
+    words = ["".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                     for _ in range(6)) for _ in range(40)]
+    ast, _ = parse_multi(words)
+    dfa = build_dfa(compile_regex(ast))
+    t = SpecTablesWide(dfa)
+    assert t.bits == 8
+    assert t.max_chunk == max_chunk_bytes(t.rows, t.cpw, t.warmup)
+    assert effective_chunk(t, 1 << 15) <= t.max_chunk
