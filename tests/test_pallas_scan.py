@@ -192,7 +192,7 @@ def test_wide_tables_carry_derived_clamp():
                                             max_chunk_bytes)
     rng = random.Random(7)
     words = ["".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
-                     for _ in range(6)) for _ in range(40)]
+                     for _ in range(4)) for _ in range(18)]
     ast, _ = parse_multi(words)
     dfa = build_dfa(compile_regex(ast))
     t = SpecTablesWide(dfa)
