@@ -107,6 +107,35 @@ def _core_band(spec):
     return "static"
 
 
+def _try_device(owner, key, attr, thunk):
+    """Run one device-kernel dispatch; on ANY failure (remote-compile
+    error, XlaRuntimeError, Mosaic rejection at first use) degrade
+    loudly (diag.degraded: warn once, or raise under
+    SREGEX_STRICT_DEVICE=1), decline the failing tier for ``owner``'s
+    lifetime, and return None so the caller falls through to the next
+    tier or the host engines.
+
+    Tier CONSTRUCTION failures were already guarded
+    (_build_spec_tables); this closes the other half (VERDICT r3
+    #1b): a kernel that only explodes when it first compiles/runs —
+    the round-3 VMEM OOM class — must not crash the scan API.  The
+    reference never crashes on machine shape (sre_vm_pike.c:165-168
+    returns SRE_ERROR); neither may we."""
+    try:
+        return thunk()
+    except Exception as e:
+        degraded(key, f"device dispatch failed "
+                      f"({type(e).__name__}: {e})")
+        if attr in ("_spec", "_rev_spec"):
+            setattr(owner, attr, None)
+        elif attr == "_phi":
+            owner._phi = False
+            owner._phi_active = False
+        elif attr:
+            setattr(owner, attr, False)
+        return None
+
+
 class StreamScanner:
     """Resumable boolean scanner over one stream (Thompson-equivalent
     semantics: reports the earliest boundary where any match ends)."""
@@ -417,8 +446,15 @@ class Scanner:
         def static_arm():
             return spec_count_bytes(self._spec, ab, mesh=self.mesh)
 
-        r_s = static_arm()          # untimed: compiles/caches
-        r_c = core_arm()
+        # the A/B must never blow up the scan it is merely measuring:
+        # a failing arm is the loser (declined via _try_device)
+        r_s = _try_device(self, "tier-ab-static", "_spec",
+                          static_arm)  # untimed: compiles/caches
+        if r_s is None:
+            return                  # static declined; core serves
+        r_c = _try_device(self, "tier-ab-core", "_coret", core_arm)
+        if r_c is None:
+            return                  # core declined; static serves
         if r_s != r_c:              # exactness guard (never expected)
             degraded("tier-ab", "core/static disagree on the A/B "
                      f"slice ({r_c} vs {r_s}); keeping the core")
@@ -589,31 +625,44 @@ class Scanner:
             ct = self._core_tables(data)
             if ct is not None:
                 from .ops.pallas_core import core_scan_bytes
-                state, first = core_scan_bytes(
-                    ct, data, prepared=prepared.for_tables(ct.inner)
-                    if prepared else None, mesh=self.mesh)
-                self._core_note(ct)
-                self._note_stats("scan", ct, len(data), t0)
-                self._maybe_tier_ab(data)
-                return first, state
+                r = _try_device(self, "core-dispatch", "_coret",
+                                lambda: core_scan_bytes(
+                                    ct, data,
+                                    prepared=prepared.for_tables(ct.inner)
+                                    if prepared else None,
+                                    mesh=self.mesh))
+                if r is not None:
+                    state, first = r
+                    self._core_note(ct)
+                    self._note_stats("scan", ct, len(data), t0)
+                    self._maybe_tier_ab(data)
+                    return first, state
         if getattr(self, "_phi_active", False) \
                 and len(data) >= self.DEVICE_THRESHOLD:
             from .ops.pallas_phi import phi_scan_bytes
             pt = self._phi_tables()
-            state, first = phi_scan_bytes(
-                pt, data, prepared=prepared.for_tables(pt)
-                if prepared else None)
-            self._note_stats("scan", pt, len(data), t0)
-            return first, state
+            r = _try_device(self, "phi-dispatch", "_phi",
+                            lambda: phi_scan_bytes(
+                                pt, data,
+                                prepared=prepared.for_tables(pt)
+                                if prepared else None))
+            if r is not None:
+                state, first = r
+                self._note_stats("scan", pt, len(data), t0)
+                return first, state
         if self._spec is not None and len(data) >= self.DEVICE_THRESHOLD:
             from .ops.pallas_scan import spec_scan_bytes
-            state, first = spec_scan_bytes(
-                self._spec, data,
-                prepared=prepared.for_tables(self._spec)
-                if prepared else None, mesh=self.mesh)
-            self._note_stats("scan", self._spec, len(data), t0)
-            self._spec_note()
-            return first, state
+            spec = self._spec
+            r = _try_device(self, "spec-dispatch", "_spec",
+                            lambda: spec_scan_bytes(
+                                spec, data,
+                                prepared=prepared.for_tables(spec)
+                                if prepared else None, mesh=self.mesh))
+            if r is not None:
+                state, first = r
+                self._note_stats("scan", spec, len(data), t0)
+                self._spec_note()
+                return first, state
         r = self._native.scan_first(data, 0)
         self._note_stats("scan", None, len(data), t0)
         return r
@@ -643,13 +692,19 @@ class Scanner:
             t0 = time.perf_counter()
             ct = (self._lazy_core_tables(data)
                   if len(data) >= self.DEVICE_THRESHOLD else None)
+            r = None
             if ct is not None:
                 from .ops.pallas_core import core_scan_bytes
-                state, first = core_scan_bytes(
-                    ct, data, prepared=prepared.for_tables(ct.inner)
-                    if prepared else None)
+                r = _try_device(self, "core-dispatch", "_lazy_coret",
+                                lambda: core_scan_bytes(
+                                    ct, data,
+                                    prepared=prepared.for_tables(ct.inner)
+                                    if prepared else None))
+            if r is not None:
+                state, first = r
                 self._core_note(ct, "_lazy_coret")
             else:
+                ct = None
                 first, state = lazy.scan_first(data, 0)
             self._note_stats("scan", ct, len(data), t0)
             if first >= 0:
@@ -672,46 +727,68 @@ class Scanner:
             lazy = self._lazy_dfa()
             ct = (self._lazy_core_tables(data)
                   if len(data) >= self.DEVICE_THRESHOLD else None)
+            r = None
             if ct is not None:
                 from .ops.pallas_core import core_count_bytes
-                state, c = core_count_bytes(
-                    ct, data, prepared=prepared.for_tables(ct.inner)
-                    if prepared else None)
+                r = _try_device(self, "core-dispatch", "_lazy_coret",
+                                lambda: core_count_bytes(
+                                    ct, data,
+                                    prepared=prepared.for_tables(ct.inner)
+                                    if prepared else None))
+            if r is not None:
+                state, c = r
                 self._core_note(ct, "_lazy_coret")
             else:
+                ct = None
                 c, state = lazy.count(data, 0)
             self._note_stats("count", ct, len(data), t0)
             if lazy.match_eof(state):
                 c += 1
             return c
+        state = c = served = None
         ct = (self._core_tables(data)
               if len(data) >= self.DEVICE_THRESHOLD else None)
         if ct is not None:
             from .ops.pallas_core import core_count_bytes
-            state, c = core_count_bytes(
-                ct, data, prepared=prepared.for_tables(ct.inner)
-                if prepared else None, mesh=self.mesh)
-            self._core_note(ct)
-            self._note_stats("count", ct, len(data), t0)
-            self._maybe_tier_ab(data)
-        elif getattr(self, "_phi_active", False) \
+            r = _try_device(self, "core-dispatch", "_coret",
+                            lambda: core_count_bytes(
+                                ct, data,
+                                prepared=prepared.for_tables(ct.inner)
+                                if prepared else None, mesh=self.mesh))
+            if r is not None:
+                state, c = r
+                served = True
+                self._core_note(ct)
+                self._note_stats("count", ct, len(data), t0)
+                self._maybe_tier_ab(data)
+        if served is None and getattr(self, "_phi_active", False) \
                 and len(data) >= self.DEVICE_THRESHOLD:
             from .ops.pallas_phi import phi_count_bytes
             pt = self._phi_tables()
-            state, c = phi_count_bytes(
-                pt, data, prepared=prepared.for_tables(pt)
-                if prepared else None)
-            self._note_stats("count", pt, len(data), t0)
-        elif self._spec is not None \
+            r = _try_device(self, "phi-dispatch", "_phi",
+                            lambda: phi_count_bytes(
+                                pt, data,
+                                prepared=prepared.for_tables(pt)
+                                if prepared else None))
+            if r is not None:
+                state, c = r
+                served = True
+                self._note_stats("count", pt, len(data), t0)
+        if served is None and self._spec is not None \
                 and len(data) >= self.DEVICE_THRESHOLD:
             from .ops.pallas_scan import spec_count_bytes
-            state, c = spec_count_bytes(
-                self._spec, data,
-                prepared=prepared.for_tables(self._spec)
-                if prepared else None, mesh=self.mesh)
-            self._note_stats("count", self._spec, len(data), t0)
-            self._spec_note()
-        else:
+            spec = self._spec
+            r = _try_device(self, "spec-dispatch", "_spec",
+                            lambda: spec_count_bytes(
+                                spec, data,
+                                prepared=prepared.for_tables(spec)
+                                if prepared else None, mesh=self.mesh))
+            if r is not None:
+                state, c = r
+                served = True
+                self._note_stats("count", spec, len(data), t0)
+                self._spec_note()
+        if served is None:
             c, state = self._native.count(data, 0)
             self._note_stats("count", None, len(data), t0)
         if self.dfa.match_eof[state]:
@@ -1292,16 +1369,27 @@ class Scanner:
                 rdata = data[::-1]
                 rct = (self._rev_core_tables(data)
                        if n >= self.DEVICE_THRESHOLD else None)
+                r = None
                 if rct is not None:
                     from .ops.pallas_core import core_scan_last_bytes
-                    rstate, q = core_scan_last_bytes(rct, rdata)
-                    self._core_note(rct, "_rev_coret")
-                elif (self._rev_spec is not None
-                        and n >= self.DEVICE_THRESHOLD):
+                    r = _try_device(self, "core-dispatch",
+                                    "_rev_coret",
+                                    lambda: core_scan_last_bytes(
+                                        rct, rdata))
+                    if r is not None:
+                        rstate, q = r
+                        self._core_note(rct, "_rev_coret")
+                if r is None and (self._rev_spec is not None
+                                  and n >= self.DEVICE_THRESHOLD):
                     from .ops.pallas_scan import spec_scan_last_bytes
-                    rstate, q = spec_scan_last_bytes(self._rev_spec,
-                                                     rdata)
-                else:
+                    rspec = self._rev_spec
+                    r = _try_device(self, "spec-dispatch",
+                                    "_rev_spec",
+                                    lambda: spec_scan_last_bytes(
+                                        rspec, rdata))
+                    if r is not None:
+                        rstate, q = r
+                if r is None:
                     q, rstate = rev.scan_last(rdata, 0)
                 if rev.match_eof[rstate]:
                     s_star = 0            # a match starts at offset 0

@@ -149,6 +149,52 @@ def main():
         os.environ.pop("SREGEX_CORE", None)
     ok("wide-8bit-multi")
 
+    # 4b. wide 8-bit at the BENCH-MULTI machine size (rows ~ 98): the
+    # round-3 hardware bench OOM'd exactly this shape against the
+    # scoped-VMEM limit (BENCH_r03.json, VERDICT r3 weak #1) and the
+    # old 18-word case was too small to catch it.  Forced through the
+    # STATIC wide tier (the kernel that crashed), corpus sized so the
+    # grid double-buffers (B >= 2).
+    def wide_8bit_bench():
+        # hardware-only: interpret mode cannot trace an R~98 select
+        # chain — the CPU-mesh analog of this regression is
+        # tests/test_pallas_scan.py::test_vmem_chunk_clamp_is_shape_derived
+        case("wide-8bit-bench")
+        if jax.default_backend() == "cpu":
+            log("   SKIP (interpret mode cannot trace R~98 chains)")
+            return
+        import bench as _bench
+        words = [w.encode() for w in _bench.MULTI_WORDS]
+        ast, _ = parse_multi(words)
+        prog = compile_regex(ast)
+        os.environ["SREGEX_CORE"] = "0"
+        os.environ["SREGEX_PAIR"] = "0"
+        try:
+            sc = Scanner(prog, use_device=True, ast=ast)
+            from sregex_tpu.ops.pallas_scan import (SpecTablesWide,
+                                                    effective_chunk)
+            assert isinstance(sc._spec, SpecTablesWide), type(sc._spec)
+            assert sc._spec.rows >= 90 and sc._spec.bits == 8, \
+                (sc._spec.rows, sc._spec.bits)
+            K = effective_chunk(sc._spec, 2048)
+            mb = max(16, (2 * 4 * 1024 * K >> 20) + 4)  # B >= 2 blocks
+            data = corpus(rng, b"etaoin shrdlu", mb,
+                          [(0.3, b" deadlock "), (0.8, b" failover ")])
+            exp_c, exp_st = sc._native.count(data, 0)
+            exp_c += int(sc.dfa.match_eof[exp_st])
+            got = sc.count(data)
+            assert got == exp_c, (got, exp_c)
+            st = sc.stats()
+            log("   tier %s rows=%d K=%d %d chunks, %d repaired"
+                % (st.tier, sc._spec.rows, K, st.chunks, st.repaired))
+            assert st.tier == "SpecTablesWide", st.tier
+        finally:
+            os.environ.pop("SREGEX_CORE", None)
+            os.environ.pop("SREGEX_PAIR", None)
+        ok("wide-8bit-bench")
+
+    wide_8bit_bench()
+
     # 5. big tier (S*ncls past even the TPU wide cap)
     case("big-tier")
     from sregex_tpu.ops.pallas_big import SpecTablesBig
