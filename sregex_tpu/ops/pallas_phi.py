@@ -38,6 +38,7 @@ exit state.
 """
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -95,6 +96,252 @@ class PhiTables:
         # Scanner.stats() convention; by construction φ scans never
         # repair, so completed scans always record (0, C)
         self.last_repair = None
+
+
+class PhiTablesBig:
+    """φ tier for 128 < S <= 1024 plain states (VERDICT r3 #3: the
+    exact corpus-independent tier must reach the machines that
+    actually hit the native-repair floor, e.g. b(?:aa)*b-class
+    parity/counter machines with a few hundred states).
+
+    Layout: one chunk's φ vector spans SB = ceil(S/128) SUBLANES of a
+    [8,128] tile (a sublane-group), so a tile carries 8//SB chunks
+    side by side; slot (s, l) holds entry state (s % SB) * 128 + l.
+    The chunk's packed data words are replicated across its group's
+    sublanes (word w at plane w // 128, lane w % 128), so one
+    constant-index lane gather per word broadcasts it to every φ lane
+    of the group.  Lookup is the standard R-row select chain over the
+    row-broadcast fused table.
+
+    Per-byte cost is O(S) by construction (a dense transfer needs S
+    trajectories); the win over the native-repair floor is that all
+    of it is branch-free vector work with zero host CPU and zero
+    readback beyond the summary."""
+
+    MAX_STATES = 1024
+
+    def _row_cap(self):
+        # interpret-mode CPU cannot trace very long select chains
+        env = os.environ.get("SREGEX_PHI_MAX_ROWS")
+        if env is not None:
+            return int(env)
+        return 64 if jax.default_backend() != "cpu" else 32
+
+    def __init__(self, dfa):
+        S, ncls = dfa.nstates, dfa.nclasses
+        if S <= 128:
+            raise ValueError("S <= 128 rides PhiTables")
+        if S > self.MAX_STATES:
+            raise ValueError("more than %d plain states (%d)"
+                             % (self.MAX_STATES, S))
+        if ncls > 256:
+            raise ValueError("more than 256 byte classes (%d)" % ncls)
+        self.rows = -(-(S * ncls) // 128)
+        if self.rows > self._row_cap():
+            raise ValueError("S*ncls = %d exceeds the big-phi row "
+                             "budget" % (S * ncls))
+        self.dfa = dfa
+        self.nstates = S
+        self.ncls = ncls
+        sb = -(-S // 128)
+        self.SB = 1 << (sb - 1).bit_length()     # power-of-two group
+        self.CPT = 8 // self.SB                  # chunks per tile
+        fused = np.zeros(self.rows * 128, dtype=np.int32)
+        for st in range(S):
+            for c in range(ncls):
+                nxt = int(dfa.trans[st, c]) * ncls
+                m = int(dfa.match[st, c]) << _MATCH_SHIFT
+                fused[st * ncls + c] = nxt | m
+        rows = fused.reshape(self.rows, 128)
+        self.fused_rows = jnp.asarray(np.ascontiguousarray(
+            np.broadcast_to(rows[:, None, :],
+                            (self.rows, 8, 128)).copy()))
+        self.class_map = dfa.class_map.astype(np.uint8)
+        self.bits = 4 if ncls <= 16 else 8
+        self.cpw = 8 if self.bits == 4 else 4
+        self.match_eof = dfa.match_eof
+        self.last_repair = None
+
+
+def _phi_prepare_big(tables, data_np, chunk_len):
+    """Pack FULL chunks into the sublane-group layout.  Returns
+    (device data [B, P, G, 8, 128] int32, C_full, K, None, P, B):
+    word w of the chunk owning sublane-group t lives at
+    [b, w // 128, g, t*SB + any, w % 128] (replicated across the
+    group's SB sublanes)."""
+    K = max(128, (chunk_len // 128) * 128)
+    n = len(data_np)
+    C = n // K
+    raw = np.frombuffer(data_np, dtype=np.uint8) \
+        if not isinstance(data_np, np.ndarray) else data_np
+    G = GROUPS
+    CPT = tables.CPT
+    per_blk = G * CPT
+    B = max(1, -(-C // per_blk))
+    Kw = K // tables.cpw
+    P = -(-Kw // 128)
+
+    cls = np.zeros(B * per_blk * K, dtype=np.uint8)
+    cls[:C * K] = tables.class_map[raw[:C * K]]
+    nib = cls.reshape(-1, tables.cpw)
+    words = nib[:, 0].astype(np.int32)
+    for k in range(1, tables.cpw):
+        words |= nib[:, k].astype(np.int32) << (tables.bits * k)
+    words = words.reshape(B, G, CPT, Kw)
+    pad = P * 128 - Kw
+    if pad:
+        words = np.concatenate(
+            [words, np.zeros(words.shape[:-1] + (pad,), np.int32)],
+            axis=-1)
+    words = words.reshape(B, G, CPT, P, 128)
+    # replicate across the group's SB sublanes: [B, P, G, CPT*SB, 128]
+    rep = np.broadcast_to(words[:, :, :, None, :, :],
+                          (B, G, CPT, tables.SB, P, 128))
+    arr = np.ascontiguousarray(rep.transpose(0, 4, 1, 2, 3, 5))
+    arr = arr.reshape(B, P, G, 8, 128)
+    return jnp.asarray(arr), C, K, None, P, B
+
+
+def _phi_kernel_big(data_ref, fused_ref, phi_ref, acc_ref, *,
+                    Kw, CPW, BITS, S, SB, NCLS, ROWS, COUNT):
+    """Sublane-group φ kernel: G x [8,128] tiles = G * (8 // SB)
+    chunks, S φ-entry states striped over each chunk's SB sublanes."""
+    G = GROUPS
+    frows = [fused_ref[r] for r in range(ROWS)]
+
+    def lookup(idx):
+        lane = idx & 127
+        hi = idx >> 7
+        e = jnp.take_along_axis(frows[0], lane, axis=1)
+        for r in range(1, ROWS):
+            er = jnp.take_along_axis(frows[r], lane, axis=1)
+            e = jnp.where(hi == r, er, e)
+        return e
+
+    lanes = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    subl = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    plain = (subl % SB) * 128 + lanes          # slot's entry state
+    entry = jnp.minimum(plain, S - 1) * NCLS   # clamp pad slots
+
+    def body(w, carry):
+        plane = w // 128
+        o = w % 128
+        didx = jnp.full((8, 128), o, jnp.int32)
+        out = []
+        for g in range(G):
+            state, acc = carry[g]
+            tile = data_ref[0, plane, g]
+            word = jnp.take_along_axis(tile, didx, axis=1)
+            for b in range(CPW):
+                cls = (word >> (BITS * b)) & ((1 << BITS) - 1)
+                e = lookup(state + cls)
+                if COUNT:
+                    acc = acc + (e >> _MATCH_SHIFT)
+                else:
+                    hit = (e >> _MATCH_SHIFT) > 0
+                    acc = jnp.where(hit & (acc == _SENT),
+                                    w * CPW + b, acc)
+                state = e & _STATE_MASK
+            out.append((state, acc))
+        return tuple(out)
+
+    if COUNT:
+        acc0 = jnp.zeros((8, 128), jnp.int32)
+    else:
+        acc0 = jnp.full((8, 128), _SENT, jnp.int32)
+    carries = tuple((entry, acc0) for _ in range(G))
+    carries = lax.fori_loop(0, Kw, body, carries)
+    for g in range(G):
+        phi_ref[0, g] = carries[g][0]
+        acc_ref[0, g] = carries[g][1]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "Kw", "CPW", "BITS", "S", "SB", "NCLS", "ROWS", "COUNT", "K"))
+def _phi_run_big(data, fused, C, entry_state, *, Kw, CPW, BITS, S,
+                 SB, NCLS, ROWS, COUNT, K):
+    """Big-φ kernel + on-device composition; same summary contract as
+    _phi_run."""
+    B, P, G = data.shape[0], data.shape[1], data.shape[2]
+    CPT = 8 // SB
+    kernel = functools.partial(_phi_kernel_big, Kw=Kw, CPW=CPW,
+                               BITS=BITS, S=S, SB=SB, NCLS=NCLS,
+                               ROWS=ROWS, COUNT=COUNT)
+    interpret = jax.default_backend() == "cpu"
+    phi, acc = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, P, G, 8, 128), lambda i: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, 8, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, G, 8, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, 8, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
+        ],
+        interpret=interpret,
+        compiler_params=_compiler_params(),
+    )(data, fused)
+
+    # slots -> [chunks, S]: chunk order (b, g, t) with the chunk's S
+    # states striped (s_local, lane) = plain id s_local*128 + lane
+    def to_cs(x):
+        x = x.reshape(B, G, CPT, SB * 128)
+        return x.reshape(B * G * CPT, SB * 128)[:, :S]
+
+    Ctot = B * G * CPT
+    cidx = jnp.arange(Ctot, dtype=jnp.int32)[:, None]
+    ident = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32),
+                             (Ctot, S))
+    phi_cs = jnp.where(cidx < C, to_cs(phi) // NCLS, ident)
+    acc_cs = jnp.where(cidx < C, to_cs(acc),
+                       jnp.int32(0) if COUNT else _SENT)
+    return _compose(phi_cs, acc_cs, C, K, Ctot, entry_state, COUNT)
+
+
+def _compose(phi_cs, acc_cs, C, K, Ctot, entry_state, COUNT):
+    """Associative composition of per-chunk transfers (shared by the
+    lane-packed and sublane-group kernels); returns the summary."""
+    cidx = jnp.arange(Ctot, dtype=jnp.int32)[:, None]
+    if COUNT:
+        def comp(a, b):
+            pa, ca = a
+            pb, cb = b
+            return (jnp.take_along_axis(pb, pa, axis=-1),
+                    ca + jnp.take_along_axis(cb, pa, axis=-1))
+        pfx_p, pfx_c = lax.associative_scan(comp, (phi_cs, acc_cs),
+                                            axis=0)
+        return jnp.stack([pfx_p[-1, entry_state],
+                          pfx_c[-1, entry_state]])
+
+    fm_abs = jnp.where(acc_cs == _SENT, _SENT, acc_cs + cidx * K)
+
+    def comp2(a, b):
+        pa, fa = a
+        pb, fb = b
+        fbg = jnp.take_along_axis(fb, pa, axis=-1)
+        return (jnp.take_along_axis(pb, pa, axis=-1),
+                jnp.where(fa != _SENT, fa, fbg))
+    pfx_p, pfx_f = lax.associative_scan(comp2, (phi_cs, fm_abs),
+                                        axis=0)
+    first = pfx_f[-1, entry_state]
+    exit_plain = pfx_p[-1, entry_state]
+    fire_chunk = jnp.where(first == _SENT, -1, first // K)
+    fc = jnp.maximum(fire_chunk, 0)
+    fire_entry = jnp.where(
+        fc == 0, jnp.int32(entry_state),
+        pfx_p[jnp.maximum(fc - 1, 0), entry_state])
+    return jnp.stack([exit_plain,
+                      jnp.where(first == _SENT, -1, first),
+                      fire_chunk, fire_entry])
 
 
 def _phi_prepare(tables, data_np, chunk_len):
@@ -241,51 +488,39 @@ def _phi_run(data, fused, C, entry_state, *, Kw, WL, CPW, BITS, S,
     cidx = jnp.arange(Ctot, dtype=jnp.int32)[:, None]
     # pad chunks (>= C) become IDENTITY transfers so composing over
     # the full padded axis equals composing the real prefix — keeps
-    # every shape static (no per-corpus-size recompiles)
+    # every shape static (no per-corpus-size recompiles).  Scan mode
+    # composes (phi, first-match ABS offset): lengths are uniform (K
+    # per chunk), so offsets rebase via fm_abs = c*K + j (_compose).
     ident = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32),
                              (Ctot, S))
     phi_cs = jnp.where(cidx < C, to_cs(phi) // NCLS, ident)
     acc_cs = jnp.where(cidx < C, to_cs(acc),
                        jnp.int32(0) if COUNT else _SENT)
+    return _compose(phi_cs, acc_cs, C, K, Ctot, entry_state, COUNT)
 
-    if COUNT:
-        def comp(a, b):
-            pa, ca = a
-            pb, cb = b
-            return (jnp.take_along_axis(pb, pa, axis=-1),
-                    ca + jnp.take_along_axis(cb, pa, axis=-1))
-        pfx_p, pfx_c = lax.associative_scan(comp, (phi_cs, acc_cs),
-                                            axis=0)
-        return jnp.stack([pfx_p[-1, entry_state],
-                          pfx_c[-1, entry_state]])
 
-    # scan mode: compose (phi, first-match ABS offset); lengths are
-    # uniform (K per chunk), so the right half's relative offsets
-    # rebase by the left half's chunk count * K — carry chunk counts
-    # implicitly via an absolute-offset lane: fm_abs = c*K + j, built
-    # before composition
-    fm_abs = jnp.where(acc_cs == _SENT, _SENT, acc_cs + cidx * K)
+def phi_prepare(tables, data_np, chunk_len=2048):
+    """Layout-dispatching prep (lane-packed vs sublane-group)."""
+    if isinstance(tables, PhiTablesBig):
+        return _phi_prepare_big(tables, data_np, chunk_len)
+    return _phi_prepare(tables, data_np, chunk_len)
 
-    def comp2(a, b):
-        pa, fa = a
-        pb, fb = b
-        fbg = jnp.take_along_axis(fb, pa, axis=-1)
-        return (jnp.take_along_axis(pb, pa, axis=-1),
-                jnp.where(fa != _SENT, fa, fbg))
-    pfx_p, pfx_f = lax.associative_scan(comp2, (phi_cs, fm_abs),
-                                        axis=0)
-    first = pfx_f[-1, entry_state]
-    exit_plain = pfx_p[-1, entry_state]
-    fire_chunk = jnp.where(first == _SENT, -1, first // K)
-    # true entry of the firing chunk = prefix up to chunk-1 (or the
-    # scan entry for chunk 0)
-    fc = jnp.maximum(fire_chunk, 0)
-    fire_entry = jnp.where(
-        fc == 0, jnp.int32(entry_state),
-        pfx_p[jnp.maximum(fc - 1, 0), entry_state])
-    return jnp.stack([exit_plain,
-                      jnp.where(first == _SENT, -1, first),
-                      fire_chunk, fire_entry])
+
+def _phi_dispatch(tables, prepared, C, entry_state, COUNT):
+    data, _, K, WL, P, B = prepared
+    if isinstance(tables, PhiTablesBig):
+        return _phi_run_big(
+            data, tables.fused_rows, jnp.int32(C),
+            jnp.int32(entry_state), Kw=K // tables.cpw,
+            CPW=tables.cpw, BITS=tables.bits, S=tables.nstates,
+            SB=tables.SB, NCLS=tables.ncls, ROWS=tables.rows,
+            COUNT=COUNT, K=K)
+    return _phi_run(
+        data, tables.fused_rows, jnp.int32(C),
+        jnp.int32(entry_state), Kw=K // tables.cpw, WL=WL,
+        CPW=tables.cpw, BITS=tables.bits, S=tables.nstates,
+        NSEG=tables.nseg, NCLS=tables.ncls, ROWS=tables.rows,
+        COUNT=COUNT, K=K)
 
 
 def phi_count_bytes(tables, data_np, chunk_len=2048, entry_state=0,
@@ -298,17 +533,14 @@ def phi_count_bytes(tables, data_np, chunk_len=2048, entry_state=0,
     if n == 0:
         return entry_state, 0
     if prepared is None:
-        prepared = _phi_prepare(tables, data_np, chunk_len)
+        prepared = phi_prepare(tables, data_np, chunk_len)
     data, C, K, WL, P, B = prepared
     if C == 0:
         return NativeDfa(tables.dfa).count(
             bytes(data_np), entry_state)[::-1]
-    summ = np.asarray(_phi_run(
-        data, tables.fused_rows, jnp.int32(C),
-        jnp.int32(entry_state), Kw=K // tables.cpw, WL=WL,
-        CPW=tables.cpw, BITS=tables.bits, S=tables.nstates,
-        NSEG=tables.nseg, NCLS=tables.ncls, ROWS=tables.rows,
-        COUNT=True, K=K)).astype(np.int64)
+    summ = np.asarray(
+        _phi_dispatch(tables, prepared, C, entry_state,
+                      True)).astype(np.int64)
     state, total = int(summ[0]), int(summ[1])
     if C * K < n:                    # ragged tail natively
         raw = np.frombuffer(data_np, dtype=np.uint8) \
@@ -330,7 +562,7 @@ def phi_scan_bytes(tables, data_np, chunk_len=2048, entry_state=0,
     if n == 0:
         return entry_state, -1
     if prepared is None:
-        prepared = _phi_prepare(tables, data_np, chunk_len)
+        prepared = phi_prepare(tables, data_np, chunk_len)
     data, C, K, WL, P, B = prepared
     native = NativeDfa(tables.dfa)
     raw = np.frombuffer(data_np, dtype=np.uint8) \
@@ -338,12 +570,9 @@ def phi_scan_bytes(tables, data_np, chunk_len=2048, entry_state=0,
     state = entry_state
     tables.last_repair = None     # set on completed no-match scans
     if C > 0:
-        summ = np.asarray(_phi_run(
-            data, tables.fused_rows, jnp.int32(C),
-            jnp.int32(entry_state), Kw=K // tables.cpw, WL=WL,
-            CPW=tables.cpw, BITS=tables.bits, S=tables.nstates,
-            NSEG=tables.nseg, NCLS=tables.ncls, ROWS=tables.rows,
-            COUNT=False, K=K)).astype(np.int64)
+        summ = np.asarray(
+            _phi_dispatch(tables, prepared, C, entry_state,
+                          False)).astype(np.int64)
         state, first, fch, fentry = (int(summ[0]), int(summ[1]),
                                      int(summ[2]), int(summ[3]))
         if first >= 0:

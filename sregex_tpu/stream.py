@@ -258,9 +258,10 @@ class PreparedCorpus:
         key = id(tables)
         p = self._by_tables.get(key)
         if p is None:
-            if hasattr(tables, "nseg"):     # φ tier: own layout
-                from .ops.pallas_phi import _phi_prepare
-                p = _phi_prepare(tables, self.data, self.chunk_len)
+            if hasattr(tables, "nseg") or hasattr(tables, "SB"):
+                # φ tiers (lane-packed / sublane-group): own layouts
+                from .ops.pallas_phi import phi_prepare
+                p = phi_prepare(tables, self.data, self.chunk_len)
             else:
                 from .ops.prep import prepare_auto
                 p = prepare_auto(tables, self.data, self.chunk_len)
@@ -582,8 +583,11 @@ class Scanner:
             self._phi = False
             if self.dfa is not None:
                 try:
-                    from .ops.pallas_phi import PhiTables
-                    self._phi = PhiTables(self.dfa)
+                    from .ops.pallas_phi import PhiTables, PhiTablesBig
+                    try:
+                        self._phi = PhiTables(self.dfa)
+                    except ValueError:
+                        self._phi = PhiTablesBig(self.dfa)
                 except ValueError:
                     self._phi = False
         return self._phi or None

@@ -134,3 +134,75 @@ def test_scanner_escalates_to_phi_on_parity_machine():
         assert exp_scan == sc_host.scan(data)
     finally:
         os.environ.pop("SREGEX_CORE", None)
+
+
+BIG_CASES = [
+    # (pattern, alphabet): S in (128, 1024] with unbounded history
+    (rb"b(?:a{137})*b", b"a" * 12 + b"ab"),
+    (rb"(?:a{300}b|ab)*c", b"a" * 12 + b"abc"),
+]
+
+
+def _big_tables(pat):
+    from sregex_tpu.ops.pallas_phi import PhiTablesBig
+    ast, _ = parse(pat)
+    dfa = build_dfa(compile_regex(ast), max_states=65536)
+    return PhiTablesBig(dfa), NativeDfa(dfa)
+
+
+@pytest.mark.parametrize("pat,alpha", BIG_CASES,
+                         ids=[repr(p) for p, _ in BIG_CASES])
+def test_phi_big_count_and_scan_exact(pat, alpha):
+    """Sublane-group φ kernel (128 < S <= 1024) vs the native oracle
+    on speculation-hostile corpora (long a-runs)."""
+    t, native = _big_tables(pat)
+    assert t.nstates > 128, t.nstates
+    rng = random.Random(9)
+    for n, entry in [(200_000, 0), (4096, 5), (200, 0), (0, 0),
+                     (2049, 77)]:
+        entry = entry % max(1, t.nstates)
+        data = bytes(rng.choice(alpha) for _ in range(n))
+        assert phi_count_bytes(t, data, chunk_len=512,
+                               entry_state=entry) \
+            == native.count(data, entry)[::-1]
+        exp_f, exp_st = native.scan_first(data, entry)
+        st, f = phi_scan_bytes(t, data, chunk_len=512,
+                               entry_state=entry)
+        assert (f, st) == (exp_f, exp_st), (pat, n)
+
+
+def test_phi_big_prepared_reuse():
+    from sregex_tpu.ops.pallas_phi import phi_prepare
+    t, native = _big_tables(rb"b(?:a{137})*b")
+    rng = random.Random(3)
+    data = bytes(rng.choice(b"aaab") for _ in range(50_000))
+    prep = phi_prepare(t, data, 512)
+    a = phi_count_bytes(t, data, chunk_len=512, prepared=prep)
+    b = phi_count_bytes(t, data, chunk_len=512, prepared=prep)
+    assert a == b == native.count(data, 0)[::-1]
+
+
+def test_scanner_escalates_to_big_phi():
+    """A never-converging S>128 machine on a hostile corpus must end
+    up on the big-φ tier via the warmup-escalation ladder."""
+    pat = rb"b(?:a{137})*b"
+    ast, _ = parse(pat)
+    prog = compile_regex(ast)
+    sc = Scanner(prog, use_device=True, ast=ast)
+    sc.DEVICE_THRESHOLD = 1 << 12
+    rng = random.Random(5)
+    # long a-runs defeat every warmup window (history = run length)
+    data = bytearray(b"a" * 300_000)
+    for _ in range(60):
+        data[rng.randrange(len(data))] = ord(b"b")
+    data = bytes(data)
+    exp = sc._native.count(data, 0)[0] + int(
+        sc.dfa.match_eof[sc._native.count(data, 0)[1]])
+    for _ in range(6):          # strikes accumulate across scans
+        got = sc.count(data)
+        assert got == exp
+    tiers = {sc.stats().tier}
+    got = sc.count(data)
+    assert got == exp
+    tiers.add(sc.stats().tier)
+    assert "PhiTablesBig" in tiers, tiers
