@@ -68,6 +68,9 @@ R_MAX = 13
 T_MAX = 13
 R_MAX8 = 24     # byte-code planes: 11-group patterns one-pass
 T_MAX8 = 24
+R_MAX16 = 48    # 16-bit code planes (2 slots/plane): >= 16-group
+T_MAX16 = 48    # patterns one-pass; resolve chains are R^2 selects
+                # per byte, so only the machines that need them pay
 MAX_ENTRIES = 512        # interpret-mode CPU (4 lane rows)
 MAX_ENTRIES_TPU = 2048   # real hardware (16 lane rows)
 
@@ -187,7 +190,7 @@ class TdfaSpecTables:
 
     def __init__(self, prog, tags=None, chunk_len=2048):
         if tags is None:
-            if prog.ovecsize <= T_MAX8:
+            if prog.ovecsize <= T_MAX16:
                 tags = tuple(range(prog.ovecsize))
             else:
                 tags = []
@@ -196,13 +199,13 @@ class TdfaSpecTables:
                     tags += [ofs, ofs + 1]
                     ofs += 2 * (prog.multi_ncaps[i] + 1)
                 tags = tuple(tags)
-        if len(tags) > T_MAX8:
+        if len(tags) > T_MAX16:
             raise TdfaTooLarge("too many tracked tags (%d)" % len(tags))
         if prog.nregexes > 127:
             raise TdfaTooLarge("too many regexes (%d)" % prog.nregexes)
         budget = _tdfa_max()
         t = Tdfa(prog, tags=tags, max_states=max(256, budget // 2),
-                 max_regs=R_MAX8)
+                 max_regs=R_MAX16)
         self.tdfa = t
         self.tags = tags
         self.ncls = t.nclasses
@@ -248,8 +251,10 @@ class TdfaSpecTables:
         # 4-bit codes when regs AND tags fit 13; byte codes (more
         # gathers + longer resolve chains — only the machines that
         # need them pay) up to R_MAX8/T_MAX8
-        self.code_bits = 4 if (self.nregs <= R_MAX
-                               and self.ntags <= T_MAX) else 8
+        self.code_bits = (
+            4 if (self.nregs <= R_MAX and self.ntags <= T_MAX)
+            else 8 if (self.nregs <= R_MAX8 and self.ntags <= T_MAX8)
+            else 16)
         self.rows, planes = _pack_planes(
             t, list(range(S)), {s: s for s in range(S)}, ncls,
             esc=None, R=self.nregs, T=self.ntags,
@@ -322,7 +327,7 @@ class TdfaCoreTables(TdfaSpecTables):
         if max_escape_frac is None:
             max_escape_frac = self.MAX_ESCAPE_FRAC
         if tags is None:
-            if prog.ovecsize <= T_MAX8:
+            if prog.ovecsize <= T_MAX16:
                 tags = tuple(range(prog.ovecsize))
             else:
                 tags = []
@@ -331,7 +336,7 @@ class TdfaCoreTables(TdfaSpecTables):
                     tags += [ofs, ofs + 1]
                     ofs += 2 * (prog.multi_ncaps[i] + 1)
                 tags = tuple(tags)
-        if len(tags) > T_MAX8:
+        if len(tags) > T_MAX16:
             raise TdfaTooLarge("too many tracked tags (%d)"
                                % len(tags))
         if prog.nregexes > 127:
@@ -384,9 +389,9 @@ class TdfaCoreTables(TdfaSpecTables):
         self.nstates = H + 1
 
         self.nregs = max(t.nregs(s) for s in hot)
-        if self.nregs > R_MAX8:
+        if self.nregs > R_MAX16:
             raise TdfaTooLarge("hot states need %d registers (> %d)"
-                               % (self.nregs, R_MAX8))
+                               % (self.nregs, R_MAX16))
         self.ntags = len(tags)
         self.seed_premult = self.full2core[seed] * ncls
         self.seed_nregs = t.nregs(seed)
@@ -396,8 +401,10 @@ class TdfaCoreTables(TdfaSpecTables):
                 dead = self.full2core[s] * ncls
         self.dead_premult = dead            # -1: never triggers
 
-        self.code_bits = 4 if (self.nregs <= R_MAX
-                               and self.ntags <= T_MAX) else 8
+        self.code_bits = (
+            4 if (self.nregs <= R_MAX and self.ntags <= T_MAX)
+            else 8 if (self.nregs <= R_MAX8 and self.ntags <= T_MAX8)
+            else 16)
         self.rows, planes = _pack_planes(
             t, hot, self.full2core, ncls, esc=self.esc_k,
             R=self.nregs, T=self.ntags, code_bits=self.code_bits)
