@@ -39,14 +39,17 @@ and any pattern/corpus where no small core covers the sampled mass
 stays on the big tier (CoreTables raises ValueError).
 """
 
+import functools
 import os
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..dfa import build_core_dfa
 from .pallas_scan import (SpecTables, SpecTablesWide, DEFAULT_K,
-                          _entry_planes, _unpack)
+                          GROUPS, _entry_planes, _unpack, _kernel,
+                          _kernel_wide, _dispatch_kernel)
 
 # sampled visit mass allowed OUTSIDE the core (per byte): escapes cost
 # one native chunk re-scan (~7 us at K=2048) against ~0.15 us on the
@@ -549,4 +552,288 @@ def core_count_bytes(ct, data_np, chunk_len=DEFAULT_K, entry_state=0,
         c += 1
         nat += 1
     ct.last_repair = (nat, C)
+    return e_full, total
+
+
+# ---------------------------------------------------------------------
+# Fused two-phase count: core kernel + ON-DEVICE escape compaction +
+# full-machine redo of escaped chunks + merged validation, all inside
+# ONE jit (one dispatch RTT).
+#
+# Motivation (bench/profile_multi.py on the 90-keyword machine,
+# 256 MB): the core KERNEL runs at ~14 GB/s, but the legacy fold costs
+# 0.15 s of plane readback + 0.13 s of per-chunk ctypes repairs —
+# 0.75 GB/s end to end, LOSING to the static wide-98 tier (3.35).
+# Here escaped chunks never reach the host: their windows are gathered
+# on device and re-scanned by the FULL machine's kernel (speculative
+# warmup + swarm validation, the standard discipline), the per-chunk
+# planes are merged in FULL premultiplied state space, and the common
+# case reads back one ~11-int summary (all_ok), zero plane pulls,
+# zero native repairs.
+# ---------------------------------------------------------------------
+
+# max escaped chunks the device redo absorbs per scan (multiple of
+# 4096 = one phase-2 block); more overflow to the legacy host fold
+FUSED_CAP = int(os.environ.get("SREGEX_FUSED_CAP", str(16384)))
+
+
+def _tier_statics(tables):
+    """(narrow, J-minus-K, W, CPW, BITS, R) for a SpecTables /
+    SpecTablesWide object."""
+    narrow = isinstance(tables, SpecTables)
+    R = 1 if narrow else tables.rows
+    return narrow, tables.warmup, tables.cpw, tables.bits, R
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "K", "W1", "CPW1", "BITS1", "R1", "NARROW1",
+    "W2", "CPW2", "BITS2", "R2", "NARROW2",
+    "CAP", "NCLS_C", "NCLS_F", "ESC"))
+def _fused_count(core_data, full_data, core_fused, full_fused,
+                 hot2full, C, entry_core, entry_full, *,
+                 K, W1, CPW1, BITS1, R1, NARROW1,
+                 W2, CPW2, BITS2, R2, NARROW2,
+                 CAP, NCLS_C, NCLS_F, ESC):
+    """Returns (summary int32[11], merged int32 [3, Cp] in FULL
+    premult space, core packed int32 [3, Cp] in core space).
+
+    summary: [0] all_ok (merged chain valid, no overflow)
+             [1] fb  [2] entry@fb  [3] swarm@fb  [4] phi@fb
+             [5] phi@C-1  [6] prefix count (sum fm[0:fb])
+             [7] overflow (escaped > CAP)  [8] n_escaped
+             [9..10] reserved."""
+    from jax import lax
+
+    G = GROUPS
+    B1 = core_data.shape[0]
+    Cp = B1 * G * 8 * 128
+
+    # ---- phase 1: core kernel ----
+    J1 = W1 + K
+    k1 = functools.partial(
+        _kernel if NARROW1 else _kernel_wide, J=J1, W=W1, CPW=CPW1,
+        BITS=BITS1, COUNT=True, **({} if NARROW1 else {"R": R1}))
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    spec1 = pl.BlockSpec(
+        (8, 128) if NARROW1 else (R1, 8, 128),
+        (lambda i: (0, 0)) if NARROW1 else (lambda i: (0, 0, 0)),
+        memory_space=pltpu.VMEM)
+    s01, j01 = _entry_planes(entry_core, jnp.int32(W1), B=B1)
+    phi1, fm1, swarm1 = _dispatch_kernel(k1, core_data, s01, j01,
+                                         core_fused, spec1, None,
+                                         None)
+    phi1 = phi1.reshape(Cp)
+    fm1 = fm1.reshape(Cp)
+    swarm1 = swarm1.reshape(Cp)
+
+    idx = jnp.arange(Cp, dtype=jnp.int32)
+    live = idx < C
+    escaped = (phi1 == ESC) & live
+    n_esc = jnp.sum(escaped.astype(jnp.int32))
+    overflow = n_esc > CAP
+
+    # ---- map core premult -> full premult (ESC -> -1) ----
+    def to_full(x):
+        m = jnp.take(hot2full, x // NCLS_C, mode="clip") * NCLS_F
+        return jnp.where(x == ESC, jnp.int32(-1), m)
+
+    phi_m = to_full(phi1)
+    swarm_m = to_full(swarm1)
+    fm_m = fm1
+
+    # ---- compact escaped chunk indices (ascending) ----
+    big = jnp.int32(1 << 30)
+    key = jnp.where(escaped, idx, big)
+    sel = jnp.sort(key)[:CAP]
+    valid = sel < big
+    sel = jnp.where(valid, sel, 0)
+
+    # ---- gather FULL-machine windows for the selected chunks ----
+    B2 = CAP // (G * 1024)
+    Jw2 = full_data.shape[1]
+    b = sel // (G * 1024)
+    rem = sel % (G * 1024)
+    g = rem // 1024
+    t = rem % 1024
+    s = t // 128
+    lane = t % 128
+    rowsv = full_data[b, :, g, s, lane]          # [CAP, Jw2]
+    blk = rowsv.reshape(B2, G, 8, 128, Jw2)
+    blk = jnp.transpose(blk, (0, 4, 1, 2, 3))    # [B2, Jw2, G, 8, 128]
+
+    # ---- phase 2: full-machine kernel over the compacted block ----
+    J2 = W2 + K
+    k2 = functools.partial(
+        _kernel if NARROW2 else _kernel_wide, J=J2, W=W2, CPW=CPW2,
+        BITS=BITS2, COUNT=True, **({} if NARROW2 else {"R": R2}))
+    spec2 = pl.BlockSpec(
+        (8, 128) if NARROW2 else (R2, 8, 128),
+        (lambda i: (0, 0)) if NARROW2 else (lambda i: (0, 0, 0)),
+        memory_space=pltpu.VMEM)
+    z2 = jnp.zeros((B2, G, 8, 128), jnp.int32)
+    phi2, fm2, swarm2 = _dispatch_kernel(k2, blk, z2, z2, full_fused,
+                                         spec2, None, None)
+    phi2 = phi2.reshape(CAP)
+    fm2 = fm2.reshape(CAP)
+    swarm2 = swarm2.reshape(CAP)
+
+    # ---- merge (scatter phase-2 results over the escaped slots) ----
+    phi_m = phi_m.at[sel].set(jnp.where(valid, phi2, phi_m[sel]))
+    fm_m = fm_m.at[sel].set(jnp.where(valid, fm2, fm_m[sel]))
+    swarm_m = swarm_m.at[sel].set(jnp.where(valid, swarm2,
+                                            swarm_m[sel]))
+
+    # ---- merged validation chain (FULL premult space) ----
+    entries = jnp.concatenate([entry_full[None], phi_m[:-1]])
+    okv = (swarm_m == entries) | ~live
+    all_ok = jnp.all(okv) & ~overflow
+    fb = jnp.argmin(okv.astype(jnp.int32)).astype(jnp.int32)
+    fb_eff = jnp.where(jnp.all(okv), C, fb)
+    prefix = jnp.sum(jnp.where((idx < fb_eff) & live, fm_m, 0))
+    summary = jnp.stack([
+        all_ok.astype(jnp.int32), fb, entries[fb], swarm_m[fb],
+        phi_m[fb], phi_m[C - 1], prefix.astype(jnp.int32),
+        overflow.astype(jnp.int32), n_esc,
+        jnp.int32(0), jnp.int32(0)])
+    merged = jnp.stack([phi_m, fm_m, swarm_m])
+    packed_core = jnp.stack([phi1, fm1, swarm1])
+    return summary, merged, packed_core
+
+
+def core_count_fused(ct, full_tables, data_np, chunk_len=DEFAULT_K,
+                     entry_state=0, prepared_core=None,
+                     prepared_full=None):
+    """Count match-ending boundaries (0..n-1; EOF is the caller's) via
+    the fused two-phase path.  Contract of core_count_bytes.  Returns
+    None when the shapes disqualify it (different K between the two
+    preps, non-dense tiers) — the caller falls back to the legacy
+    paths."""
+    from .pallas_scan import effective_chunk
+    from .prep import prepare_auto
+
+    inner = ct.inner
+    if not isinstance(inner, (SpecTables, SpecTablesWide)) \
+            or not isinstance(full_tables, (SpecTables,
+                                            SpecTablesWide)):
+        return None
+    if getattr(inner, "bpu", 1) != 1 \
+            or getattr(full_tables, "bpu", 1) != 1:
+        return None
+    K1 = effective_chunk(inner, chunk_len)
+    K2 = effective_chunk(full_tables, chunk_len)
+    if K1 != K2:
+        return None
+    n = len(data_np)
+    if n == 0:
+        return entry_state, 0
+    ep = ct.to_core_premult(entry_state)
+    if ep < 0:
+        return None
+
+    if prepared_core is None:
+        prepared_core = prepare_auto(inner, data_np, chunk_len)
+    if prepared_full is None:
+        prepared_full = prepare_auto(full_tables, data_np, chunk_len)
+    core_data, C, K, J1, B1 = prepared_core
+    full_data, Cf, Kf, J2, Bf = prepared_full
+    assert (C, K) == (Cf, Kf), "preps disagree on chunking"
+
+    # full-chunk region only: the ragged tail (and EOF) finish on the
+    # host from the composed exit, so the all_ok fast path stays
+    # reachable for every corpus length
+    Cfull = C - 1 if C * K > n and (n - (C - 1) * K) != K else C
+    tail_lo = Cfull * K
+
+    n1, w1, c1, b1, r1 = _tier_statics(inner)
+    n2, w2, c2, b2_, r2 = _tier_statics(full_tables)
+    h2f = np.full(ct.H + 1, -1, dtype=np.int32)
+    h2f[:ct.H] = np.asarray(ct.hot2full[:ct.H], dtype=np.int32)
+    # Cp = B1 * GROUPS * TILE chunk slots; never allocate more phase-2
+    # capacity than that (rounded up to whole 4096-chunk blocks)
+    cap = min(FUSED_CAP,
+              max(4096, -(-B1 * GROUPS * 1024 // 4096) * 4096))
+
+    fv1 = inner.fused_vec if n1 else inner.fused_rows
+    fv2 = full_tables.fused_vec if n2 else full_tables.fused_rows
+    if Cfull <= 0:
+        summ = None
+    else:
+        summary, merged, packed_core = _fused_count(
+            core_data if isinstance(core_data, jax.Array)
+            else jnp.asarray(core_data),
+            full_data if isinstance(full_data, jax.Array)
+            else jnp.asarray(full_data),
+            fv1, fv2, jnp.asarray(h2f), jnp.int32(Cfull),
+            jnp.int32(ep), jnp.int32(entry_state * full_tables.ncls),
+            K=K, W1=w1, CPW1=c1, BITS1=b1, R1=r1, NARROW1=n1,
+            W2=w2, CPW2=c2, BITS2=b2_, R2=r2, NARROW2=n2,
+            CAP=cap, NCLS_C=inner.ncls, NCLS_F=full_tables.ncls,
+            ESC=ct.esc_premult)
+        summ = np.asarray(summary).astype(np.int64)
+
+    native = ct.native
+    ncls_f = full_tables.ncls
+    raw = np.frombuffer(data_np, dtype=np.uint8) \
+        if not isinstance(data_np, np.ndarray) else data_np
+    ct.last_repair = None
+
+    if summ is None:
+        e_full, total = entry_state, 0
+        ct.last_repair = (0, 0)
+    elif bool(summ[0]):
+        # merged chain validated end to end: zero host repairs
+        ct.last_repair = (0, Cfull)
+        e_full, total = int(summ[5]) // ncls_f, int(summ[6])
+    elif bool(summ[7]):
+        # overflow: more escapes than the device redo cap — legacy
+        # host fold over the CORE-space planes
+        fold = _Fold(ct, np.asarray(packed_core).reshape(
+            3, B1, GROUPS, 8, 128), Cfull, K, min(n, Cfull * K),
+            quiet=False)
+        total = 0
+        e_full = entry_state
+        c = 0
+        nat = 0
+        while c < Cfull:
+            if fold.trusted(c, e_full):
+                b = fold.run_end(c)
+                total += fold.run_count(c, b)
+                e_full = ct.to_full(int(fold.phi[b]))
+                c = b + 1
+                continue
+            lo = c * K
+            k, st = native.count(raw[lo:lo + K].tobytes(), e_full)
+            total += k
+            e_full = st
+            c += 1
+            nat += 1
+        ct.last_repair = (nat, Cfull)
+    else:
+        # residual speculation miss: walk the MERGED (full-space)
+        # planes from the first break — rare, a few chunks
+        phi_m, fm_m, swarm_m = np.asarray(merged).astype(np.int64)
+        total = int(summ[6])
+        e = int(summ[2])
+        c = int(summ[1])
+        nat = 0
+        while c < Cfull:
+            if int(swarm_m[c]) == e and e >= 0:
+                total += int(fm_m[c])
+                e = int(phi_m[c])
+                c += 1
+                continue
+            lo = c * K
+            k, st = native.count(raw[lo:lo + K].tobytes(),
+                                 max(e, 0) // ncls_f)
+            total += k
+            e = st * ncls_f
+            c += 1
+            nat += 1
+        e_full = e // ncls_f
+        ct.last_repair = (nat, Cfull)
+
+    if tail_lo < n:
+        k, e_full = native.count(raw[tail_lo:].tobytes(), e_full)
+        total += k
     return e_full, total

@@ -416,6 +416,39 @@ class Scanner:
                     self._coret = False
         return self._coret or None
 
+    def _fused_core_tables(self, data):
+        """Core tables for the FUSED two-phase count (VERDICT r3 #2):
+        escaped chunks are redone by the full machine's kernel inside
+        the same dispatch, so WIDE cores are admissible (the legacy
+        require_fast gate existed because host-side escape repair
+        could never beat an already-wide static tier — measured
+        0.75 vs 3.35 GB/s on the bench-multi machine; the fused core
+        kernel runs ~14 GB/s).  Built only when the static tier is a
+        long-chain dense tier the phase-2 redo can reuse.  Cached per
+        Scanner (False = declined)."""
+        import os
+        if getattr(self, "_fusedct", None) is None:
+            self._fusedct = False
+            if (self.dfa is None or not self.use_device
+                    or self.mesh is not None
+                    or os.environ.get("SREGEX_FUSED") == "0"):
+                return None
+            from .ops.pallas_scan import SpecTablesWide
+            sp = self._spec
+            if not (isinstance(sp, SpecTablesWide) and sp.rows > 4):
+                return None
+            try:
+                from .ops.pallas_core import CoreTables
+                self._fusedct = CoreTables(self.dfa,
+                                           self._core_sample(data),
+                                           require_fast=False)
+                if os.environ.get("SREGEX_TIER_AB") != "0" \
+                        and _core_band(sp) == "ab":
+                    self._ab_pending = True
+            except ValueError:
+                self._fusedct = False
+        return self._fusedct or None
+
     # first-scan core-vs-wide A/B (VERDICT r2 #9): arm bytes cap and
     # the displacement margin (static must beat the already-built
     # core by >10% to win — relay noise is ~1.5x run-to-run, so arms
@@ -424,13 +457,15 @@ class Scanner:
     TIER_AB_MARGIN = 1.1
 
     def _maybe_tier_ab(self, data):
-        """Mid-band wide tiers: measure core vs static on the corpus
-        actually being scanned (once per Scanner) and decline the
-        loser.  Both arms run a full count over the same slice with
-        value readback; a warmup rep per arm absorbs compiles."""
+        """Mid-band wide tiers: measure core (fused two-phase when
+        available, else legacy) vs static on the corpus actually being
+        scanned (once per Scanner) and decline the loser.  Both arms
+        run a full count over the same slice with value readback; a
+        warmup rep per arm absorbs compiles."""
         if not getattr(self, "_ab_pending", False):
             return
-        ct = self._coret
+        fct = getattr(self, "_fusedct", None)
+        ct = fct or self._coret
         if ct in (None, False) or self._spec is None:
             self._ab_pending = False
             return
@@ -438,10 +473,15 @@ class Scanner:
             return                  # wait for a production-size scan
         self._ab_pending = False
         ab = bytes(data[:self.TIER_AB_BYTES])
-        from .ops.pallas_core import core_count_bytes
+        from .ops.pallas_core import core_count_bytes, core_count_fused
         from .ops.pallas_scan import spec_count_bytes
+        core_attr = "_fusedct" if fct else "_coret"
 
         def core_arm():
+            if fct:
+                r = core_count_fused(fct, self._spec, ab)
+                if r is not None:
+                    return r
             return core_count_bytes(ct, ab, mesh=self.mesh)
 
         def static_arm():
@@ -453,7 +493,7 @@ class Scanner:
                           static_arm)  # untimed: compiles/caches
         if r_s is None:
             return                  # static declined; core serves
-        r_c = _try_device(self, "tier-ab-core", "_coret", core_arm)
+        r_c = _try_device(self, "tier-ab-core", core_attr, core_arm)
         if r_c is None:
             return                  # core declined; static serves
         if r_s != r_c:              # exactness guard (never expected)
@@ -472,12 +512,13 @@ class Scanner:
         winner = "static" if s * self.TIER_AB_MARGIN < c else "core"
         self.tier_ab = {
             "bytes": len(ab), "static_s": s, "core_s": c,
-            "winner": winner,
+            "winner": winner, "core_arm": core_attr,
             "static_gbps": len(ab) / s / 1e9,
             "core_gbps": len(ab) / c / 1e9,
         }
         if winner == "static":
-            self._coret = False     # measured loser: decline for life
+            # measured loser: decline for life
+            setattr(self, core_attr, False)
 
     # re-core on drift: a cached core built from one corpus degrades
     # to repair-heavy scans on differently-distributed data (measured
@@ -750,8 +791,30 @@ class Scanner:
                 c += 1
             return c
         state = c = served = None
+        fct = (self._fused_core_tables(data)
+               if len(data) >= self.DEVICE_THRESHOLD else None)
+        if fct is not None:
+            from .ops.pallas_core import core_count_fused
+            spec = self._spec
+            r = _try_device(self, "fused-dispatch", "_fusedct",
+                            lambda: core_count_fused(
+                                fct, spec, data,
+                                prepared_core=prepared.for_tables(
+                                    fct.inner) if prepared else None,
+                                prepared_full=prepared.for_tables(
+                                    spec) if prepared else None))
+            if r is None:
+                # disqualified (shape mismatch) or failed: declined
+                self._fusedct = False
+            else:
+                state, c = r
+                served = True
+                self._core_note(fct, "_fusedct")
+                self._note_stats("count", fct, len(data), t0)
+                self._maybe_tier_ab(data)
         ct = (self._core_tables(data)
-              if len(data) >= self.DEVICE_THRESHOLD else None)
+              if served is None
+              and len(data) >= self.DEVICE_THRESHOLD else None)
         if ct is not None:
             from .ops.pallas_core import core_count_bytes
             r = _try_device(self, "core-dispatch", "_coret",

@@ -1,0 +1,163 @@
+"""Fused two-phase count (pallas_core.core_count_fused): core kernel
++ on-device escape compaction + full-machine redo + merged validation
+in one jit, vs the native oracle (interpret mode on the CPU mesh)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from sregex_tpu import parse, parse_multi, compile_regex
+from sregex_tpu.dfa import build_dfa
+from sregex_tpu.native import NativeDfa
+from sregex_tpu.ops.pallas_core import (CoreTables, core_count_fused,
+                                        core_count_bytes)
+
+
+def _multi_machine(nwords=14, wordlen=4, seed=2):
+    """Keyword-set machine whose static tier is wide on the CPU mesh
+    and whose core stays wide too (the bench-multi shape, scaled to
+    the interpret-mode budgets)."""
+    rng = random.Random(seed)
+    words = list({("".join(rng.choice("abcdefghijklmn")
+                           for _ in range(wordlen))).encode()
+                  for _ in range(nwords)})
+    ast, _ = parse_multi(words)
+    dfa = build_dfa(compile_regex(ast))
+    return dfa, words
+
+
+def _corpus(words, n, seed, plant_every=8192):
+    rng = random.Random(seed)
+    filler = [("".join(rng.choice("nopqrstuv") for _ in range(5)))
+              .encode() for _ in range(12)]
+    piece = b" ".join(rng.choice(filler) for _ in range(64)) + b" "
+    body = piece * (n // len(piece) + 1)
+    out = bytearray(body[:n])
+    for pos in range(plant_every, n - 16, plant_every):
+        w = words[rng.randrange(len(words))]
+        out[pos:pos + len(w) + 2] = b" " + w + b" "
+    return bytes(out)
+
+
+@pytest.mark.parametrize("n", [400_000, 65_537, 4096 * 2048 // 8])
+def test_fused_count_exact(n):
+    dfa, words = _multi_machine()
+    from sregex_tpu.ops.pallas_scan import (SpecTables, SpecTablesWide)
+    try:
+        full = SpecTables(dfa)
+    except ValueError:
+        full = SpecTablesWide(dfa)
+    data = _corpus(words, n, seed=n & 0xFF)
+    ct = CoreTables(dfa, data[:64 << 10], require_fast=False)
+    native = NativeDfa(dfa)
+    exp = native.count(data, 0)
+    r = core_count_fused(ct, full, data, chunk_len=512)
+    assert r is not None, "fused path declined"
+    st, got = r
+    assert (got, st) == (exp[0], exp[1]), (got, exp)
+    # escapes happened (the plants leave the core) yet no host repair
+    # unless the chain broke
+    nat, C = ct.last_repair
+    assert C > 0
+
+
+def test_fused_count_matches_legacy_and_repair_stats():
+    dfa, words = _multi_machine(nwords=10, wordlen=5, seed=5)
+    from sregex_tpu.ops.pallas_scan import (SpecTables, SpecTablesWide)
+    try:
+        full = SpecTables(dfa)
+    except ValueError:
+        full = SpecTablesWide(dfa)
+    data = _corpus(words, 600_000, seed=9, plant_every=4096)
+    ct = CoreTables(dfa, data[:64 << 10], require_fast=False)
+    native = NativeDfa(dfa)
+    exp = native.count(data, 0)
+    st_f, got_f = core_count_fused(ct, full, data, chunk_len=512)
+    rep_f = ct.last_repair
+    st_l, got_l = core_count_bytes(ct, data, chunk_len=512)
+    assert (got_f, st_f) == (got_l, st_l) == (exp[0], exp[1])
+    # the fused path must repair far less on host than the legacy
+    # fold (device redo absorbs the escapes)
+    nat_f, _ = rep_f
+    nat_l, _ = ct.last_repair
+    assert nat_f <= nat_l
+
+
+def test_fused_overflow_falls_back_to_host_fold(monkeypatch):
+    """More escapes than the device cap: the legacy host fold serves,
+    still exact."""
+    monkeypatch.setenv("SREGEX_FUSED_CAP", "4096")
+    import importlib
+    import sregex_tpu.ops.pallas_core as pc
+    monkeypatch.setattr(pc, "FUSED_CAP", 4096)
+    dfa, words = _multi_machine(nwords=8, wordlen=4, seed=11)
+    from sregex_tpu.ops.pallas_scan import (SpecTables, SpecTablesWide)
+    try:
+        full = SpecTables(dfa)
+    except ValueError:
+        full = SpecTablesWide(dfa)
+    # plant a keyword into EVERY chunk: every chunk escapes
+    data = bytearray(_corpus(words, 300_000, seed=3,
+                             plant_every=1 << 20))
+    for pos in range(64, len(data) - 16, 256):
+        w = words[pos % len(words)]
+        data[pos:pos + len(w) + 2] = b" " + w + b" "
+    data = bytes(data)
+    ct = CoreTables(dfa, data[:8 << 10], require_fast=False,
+                    max_escape_frac=0.5)
+    native = NativeDfa(dfa)
+    exp = native.count(data, 0)
+    r = pc.core_count_fused(ct, full, data, chunk_len=512)
+    assert r is not None
+    st, got = r
+    assert (got, st) == (exp[0], exp[1])
+
+
+def test_fused_small_and_tail_edges():
+    dfa, words = _multi_machine(nwords=6, wordlen=4, seed=21)
+    from sregex_tpu.ops.pallas_scan import (SpecTables, SpecTablesWide)
+    try:
+        full = SpecTables(dfa)
+    except ValueError:
+        full = SpecTablesWide(dfa)
+    native = NativeDfa(dfa)
+    sample = _corpus(words, 32 << 10, seed=1)
+    ct = CoreTables(dfa, sample, require_fast=False)
+    for n in [0, 1, 511, 512, 513, 5000]:
+        data = _corpus(words, n, seed=n + 1) if n else b""
+        r = core_count_fused(ct, full, data, chunk_len=512)
+        assert r is not None
+        st, got = r
+        exp = native.count(data, 0)
+        assert (got, st) == (exp[0], exp[1]), n
+
+
+def test_scanner_count_uses_fused_tier():
+    """Scanner.count routes long-chain wide machines through the
+    fused two-phase path and stays exact (CPU mesh; SREGEX_TIER_AB
+    is pinned off by conftest, so the fused tier serves directly)."""
+    from sregex_tpu import parse_multi
+    from sregex_tpu.stream import Scanner
+    dfa, words = _multi_machine()
+    rng = random.Random(77)
+    ast, _ = parse_multi(words)
+    prog = compile_regex(ast)
+    sc = Scanner(prog, use_device=True, ast=ast)
+    sc.DEVICE_THRESHOLD = 1 << 14
+    from sregex_tpu.ops.pallas_scan import SpecTablesWide
+    if not (isinstance(sc._spec, SpecTablesWide)
+            and sc._spec.rows > 4):
+        pytest.skip("machine shape drifted below the fused band")
+    data = _corpus(words, 500_000, seed=31, plant_every=8192)
+    exp_c, exp_st = sc._native.count(data, 0)
+    exp = exp_c + int(sc.dfa.match_eof[exp_st])
+    got = sc.count(data)
+    assert got == exp
+    assert sc._fusedct not in (None, False), "fused tier not engaged"
+    st = sc.stats()
+    assert st.tier == "CoreTables" and st.chunks > 0
+    # prepared-corpus path reuses both uploads
+    prep = sc.prepare(data)
+    assert sc.count(data, prepared=prep) == exp
+    assert sc.count(data, prepared=prep) == exp
