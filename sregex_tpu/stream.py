@@ -40,12 +40,22 @@ def _build_spec_tables(dfa):
     import os
     from .ops.pallas_scan import SpecTables, SpecTablesWide
     from .ops.pallas_big import SpecTablesBig
+    from .ops.pallas_affine import SpecTablesAffine
     chain = []
     if os.environ.get("SREGEX_PAIR") != "0":
         from .ops.pallas_pair import SpecTablesPair
         chain.append(functools.partial(SpecTablesPair,
                                        narrow_only=True))
-    chain += [SpecTables, SpecTablesWide, SpecTablesBig]
+    chain.append(SpecTables)
+    if os.environ.get("SREGEX_AFFINE") != "0":
+        # piecewise-affine chains beat the row-select tiers when the
+        # piece count is tiny (few compares vs R gather+selects); a
+        # larger P still beats the BIG tier's bounded row loop
+        chain.append(functools.partial(SpecTablesAffine,
+                                       max_pieces=6))
+        chain += [SpecTablesWide, SpecTablesAffine, SpecTablesBig]
+    else:
+        chain += [SpecTablesWide, SpecTablesBig]
     for cls in chain:
         try:
             return cls(dfa)

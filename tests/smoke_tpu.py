@@ -118,10 +118,17 @@ def main():
                  b"abc x", b"baaaacca", expect_tier="SpecTables",
                  env={"SREGEX_PAIR": "0", "SREGEX_CORE": "0"})
 
-    # 3. wide 4-bit — also pins the raised TPU default cap
-    scanner_case("wide-4bit", "a{60,120}b", b"aab x",
-                 b"x" + b"a" * 80 + b"b",
+    # 3. wide 4-bit (a branching machine the affine tier declines)
+    scanner_case("wide-4bit", "(?:ab|ba){8,20}c", b"aabb c",
+                 b"c" + b"ab" * 12 + b"c",
                  expect_tier="SpecTablesWide",
+                 env={"SREGEX_CORE": "0"})
+
+    # 3b. piecewise-affine tier (counted-rep chain: tiny piece table
+    # + static breakpoint compares instead of the row-select chain)
+    scanner_case("affine", "a{60,120}b", b"aab x",
+                 b"x" + b"a" * 80 + b"b",
+                 expect_tier="SpecTablesAffine",
                  env={"SREGEX_CORE": "0"})
 
     # 4. wide 8-bit packing (ncls > 16 — the round-2 VMEM OOM class)

@@ -254,13 +254,18 @@ def test_scanner_routes_big_patterns_through_core():
     assert rid == dfa.id_at(exp_state, data[exp_first])
 
 
-def test_core_engages_over_static_wide_tier():
+def test_core_engages_over_static_wide_tier(monkeypatch):
     """A pattern whose static tier is the slow row-select WIDE tier
     but whose scan hot set is tiny must upgrade to a fast (pair/
     narrow) core — and ONLY a fast one (require_fast: a wide core
     could never beat the static wide tier we already have).  The
     cached core must then stay exact on a later corpus containing
-    matches (ramp states outside the core -> escape repair)."""
+    matches (ramp states outside the core -> escape repair).
+
+    (SREGEX_AFFINE=0: these counted-rep chains now land on the
+    piecewise-affine tier by default — this test pins the legacy
+    core-over-wide logic, which still serves branching machines.)"""
+    monkeypatch.setenv("SREGEX_AFFINE", "0")
     from sregex_tpu.stream import compile_pattern
     from sregex_tpu.ops.pallas_scan import SpecTablesWide
     sc = compile_pattern(b"foo[a-z]{8,18}bar", use_device=True)
