@@ -62,13 +62,13 @@ def _pad_byte(tables):
     return int(z[0])
 
 
-def _batch_entry_planes(w, starts, *, B):
+def _batch_entry_planes(w, starts, seed, *, B):
     """state0/j0 planes with the warmup frozen (j0 = W) at every
-    document-start chunk; all entries are the seed (premult 0), so
-    state0 stays zero."""
+    document-start chunk; ALL entries are the seed premult (usually
+    0; renumbered tiers map the seed elsewhere — tables.to_premult)."""
     G = GROUPS
     total = B * G * TILE
-    s0 = jnp.zeros(total, jnp.int32)
+    s0 = jnp.full(total, seed, jnp.int32)
     j0 = jnp.zeros(total, jnp.int32).at[
         jnp.asarray(np.asarray(starts, dtype=np.int32))].set(w)
     return (s0.reshape(B, G, 8, 128), j0.reshape(B, G, 8, 128))
@@ -151,8 +151,11 @@ def _batch_dispatch(tables, docs, chunk_len, count, prepared=None,
     K, spans = prepared.K, prepared.spans
     data, C, Kp, J, B = prepared.prepared
     W = tables.warmup
+    topm0 = getattr(tables, "to_premult", None)
+    seed = topm0(0) if topm0 else 0
     s0p, j0p = _batch_entry_planes(jnp.int32(W),
-                                   [s for s, _, _ in spans], B=B)
+                                   [s for s, _, _ in spans],
+                                   jnp.int32(seed), B=B)
     _, packed = tables._scan(
         data if isinstance(data, jax.Array) else jnp.asarray(data),
         s0p, j0p, jnp.int32(C), jnp.int32(-1), J, W, COUNT=count,
@@ -177,13 +180,15 @@ def spec_count_many(tables, docs, chunk_len=DEFAULT_K,
                                                 chunk_len, True,
                                                 prepared, mesh)
     ncls = tables.ncls
+    topm = getattr(tables, "to_premult", None) or (lambda v: v * ncls)
+    frpm = getattr(tables, "from_premult", None) or (lambda v: v // ncls)
     native = NativeDfa(tables.dfa)
     counts = []
     finals = []
     nat = 0
     for (c0, cd, n), doc in zip(spans, docs):
         raw = doc if isinstance(doc, (bytes, bytearray)) else bytes(doc)
-        e = 0                       # seed, premultiplied
+        e = topm(0)                 # seed, premultiplied
         total = 0
         for c in range(c0, c0 + cd):
             lo = (c - c0) * K
@@ -192,12 +197,12 @@ def spec_count_many(tables, docs, chunk_len=DEFAULT_K,
                 total += int(cnt[c])
                 e = int(phi[c])
             else:
-                k, st = native.count(bytes(raw[lo:hi]), e // ncls)
+                k, st = native.count(bytes(raw[lo:hi]), frpm(e))
                 total += k
-                e = st * ncls
+                e = topm(st)
                 nat += 1
         counts.append(total)
-        finals.append(e // ncls)
+        finals.append(frpm(e))
     return counts, finals, nat, len(phi)
 
 
@@ -213,12 +218,14 @@ def spec_scan_many(tables, docs, chunk_len=DEFAULT_K,
                                                  chunk_len, False,
                                                  prepared, mesh)
     ncls = tables.ncls
+    topm = getattr(tables, "to_premult", None) or (lambda v: v * ncls)
+    frpm = getattr(tables, "from_premult", None) or (lambda v: v // ncls)
     native = NativeDfa(tables.dfa)
     results = []
     nat = 0
     for (c0, cd, n), doc in zip(spans, docs):
         raw = doc if isinstance(doc, (bytes, bytearray)) else bytes(doc)
-        e = 0
+        e = topm(0)
         hit = None
         for c in range(c0, c0 + cd):
             lo = (c - c0) * K
@@ -228,14 +235,14 @@ def spec_scan_many(tables, docs, chunk_len=DEFAULT_K,
                 e = int(phi[c])
                 continue
             # fired or untrusted: one native scan pins it exactly
-            f, st = native.scan_first(bytes(raw[lo:hi]), e // ncls)
+            f, st = native.scan_first(bytes(raw[lo:hi]), frpm(e))
             if not trusted:
                 nat += 1
             if f >= 0:
                 hit = (st, lo + f)
                 break
-            e = st * ncls
-        results.append(hit if hit is not None else (e // ncls, -1))
+            e = topm(st)
+        results.append(hit if hit is not None else (frpm(e), -1))
     return results, nat, len(phi)
 
 

@@ -50,7 +50,7 @@ from .pallas_scan import (GROUPS, WORDS_PER_ITER, _summarize,
 _VAL_MASK = (1 << 27) - 1     # |delta*ncls + OFF| or absolute premult
 _MODE_BIT = 28                # 1 = relative (state + delta)
 _MATCH_BIT = 30
-MAX_PIECES = 16
+MAX_PIECES = 48               # lookup stays <= a few lane rows
 MAX_ENTRIES = 1 << 26         # S * ncls cap (premult fits the mask)
 
 
@@ -110,10 +110,83 @@ def detect_pieces(dfa):
     return bounds, mode, val, match
 
 
+def periodic_perm(dfa, max_w=64, max_extra=96):
+    """Residue-major renumbering for PRODUCT chains.
+
+    Branching counted repetitions ((?:ab?c){200,480}-style) interleave
+    W substate types per chain step, so consecutive-state deltas are
+    NOT constant — but rows repeat exactly with period W (probed: the
+    1,102-state conformance monster's rows are W-periodic).  Reordering
+    states residue-major ((type, step) instead of (step, type)) turns
+    every per-(type, class) action into a constant relative delta or a
+    constant absolute target — i.e. range-affine, which detect_pieces
+    then factorizes (and verifies) as usual.
+
+    Returns a permutation array perm (old id -> new id) or None when
+    no period W <= max_w leaves fewer than max_extra aperiodic
+    states."""
+    S, ncls = dfa.nstates, dfa.nclasses
+    if S < 8:
+        return None
+    t = dfa.trans.astype(np.int64)
+    m = dfa.match.astype(np.int64)
+    for W in range(1, min(max_w, S // 2) + 1):
+        a = np.all(t[W:] == t[:-W], axis=1)
+        base = np.arange(S)[:, None]
+        rel = t - base
+        r = np.all(rel[W:] == rel[:-W], axis=1)
+        per_c = (t[W:] == t[:-W]) | (rel[W:] == rel[:-W])
+        ok = np.all(per_c, axis=1) & np.all(m[W:] == m[:-W], axis=1)
+        # longest contiguous True run in ok (ok[i] covers state i+W)
+        if not ok.any():
+            continue
+        best_len, best_lo = 0, 0
+        run_lo = None
+        for i, v in enumerate(np.concatenate([ok, [False]])):
+            if v and run_lo is None:
+                run_lo = i
+            elif not v and run_lo is not None:
+                if i - run_lo > best_len:
+                    best_len, best_lo = i - run_lo, run_lo
+                run_lo = None
+        if best_len <= 0:
+            continue
+        H = best_lo            # states [H, T) are W-periodic
+        T = best_lo + best_len + W
+        if (S - (T - H)) + 2 * W > max_extra:
+            continue
+        if best_len < 4 * W:
+            continue           # not meaningfully periodic
+        order = list(range(0, H))
+        for rcls in range(W):
+            order += list(range(H + rcls, T, W))
+        order += list(range(T, S))
+        perm = np.zeros(S, np.int64)
+        perm[np.asarray(order)] = np.arange(S)
+        return perm
+    return None
+
+
+class _PermutedDfa:
+    """Renumbered view for detect_pieces (trans/match/nstates only)."""
+
+    def __init__(self, dfa, perm):
+        inv = np.argsort(perm)
+        self.nstates = dfa.nstates
+        self.nclasses = dfa.nclasses
+        self.trans = perm[dfa.trans[inv]]
+        self.match = dfa.match[inv]
+
+
 class SpecTablesAffine:
     """Drop-in tables for the spec_* drivers (pallas_scan.py): same
     _scan contract and 3-int32-plane packed format as the wide tier;
-    premultiplied states throughout."""
+    premultiplied states throughout.
+
+    States may be RENUMBERED (residue-major, periodic_perm) to expose
+    the affine structure of product chains; the to_premult /
+    from_premult hooks keep every driver conversion consistent with
+    the ORIGINAL dfa ids (entries, returned states, native repairs)."""
 
     last_repair = None
 
@@ -121,7 +194,20 @@ class SpecTablesAffine:
         S, ncls = dfa.nstates, dfa.nclasses
         if ncls > 256:
             raise ValueError("more than 256 byte classes (%d)" % ncls)
-        bounds, mode, val, match = detect_pieces(dfa)
+        self.perm = None
+        try:
+            bounds, mode, val, match = detect_pieces(dfa)
+            src = dfa
+        except ValueError:
+            perm = periodic_perm(dfa)
+            if perm is None:
+                raise
+            src = _PermutedDfa(dfa, perm)
+            # the renumbered machine may still not be affine (the
+            # period was structural luck): detect_pieces re-raises
+            bounds, mode, val, match = detect_pieces(src)
+            self.perm = perm
+            self.inv = np.argsort(perm)
         if len(bounds) > max_pieces:
             raise ValueError("P=%d exceeds the requested piece cap"
                              % len(bounds))
@@ -159,6 +245,23 @@ class SpecTablesAffine:
                                          self.warmup)
         self.class_map = dfa.class_map.astype(np.uint8)
         self.match_eof = dfa.match_eof
+
+    # driver hooks (pallas_scan spec_* entry points): kernel states
+    # live in the RENUMBERED space when perm is set; entries and
+    # returned/repair states stay in original dfa ids
+    def to_premult(self, s):
+        if self.perm is None:
+            return s * self.ncls
+        return int(self.perm[s]) * self.ncls
+
+    def from_premult(self, p):
+        if self.perm is None:
+            return p // self.ncls
+        return int(self.inv[p // self.ncls])
+
+    def from_premult_vec(self, arr):
+        a = np.asarray(arr) // self.ncls
+        return a if self.perm is None else self.inv[a]
 
     def _scan(self, data, state0, j0, C, bad_tail, J, W, COUNT=False,
               mesh=None, axis=None, esc=None):

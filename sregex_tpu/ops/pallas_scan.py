@@ -777,9 +777,11 @@ def spec_scan_bytes(tables, data_np, chunk_len=DEFAULT_K,
     data, C, K, J, B = prepared
     ncls = tables.ncls
     G = GROUPS
+    topm = getattr(tables, "to_premult", None) or (lambda v: v * ncls)
+    frpm = getattr(tables, "from_premult", None) or (lambda v: v // ncls)
 
     # chunk 0: skip warmup entirely, start from the true entry state
-    s0p, j0p = _entry_planes(jnp.int32(entry_state * ncls),
+    s0p, j0p = _entry_planes(jnp.int32(topm(entry_state)),
                              jnp.int32(W), B=B)
 
     bad_tail = (C - 1) if C * K > n and (n - (C - 1) * K) != K else -1
@@ -795,7 +797,7 @@ def spec_scan_bytes(tables, data_np, chunk_len=DEFAULT_K,
     tables.last_repair = None   # set on completed (no-match) scans
     if all_ok:
         tables.last_repair = (0, C)
-        return int(summ[6]) // ncls, -1
+        return frpm(int(summ[6])), -1
 
     raw = np.frombuffer(data_np, dtype=np.uint8) \
         if not isinstance(data_np, np.ndarray) else data_np
@@ -807,7 +809,7 @@ def spec_scan_bytes(tables, data_np, chunk_len=DEFAULT_K,
     if swarm_fb == entry_fb and hi - lo == K and many_fb:
         # validated chunk fired a match: one native re-scan pins it
         f, st = native.scan_first(raw[lo:hi].tobytes(),
-                                  entry_fb // ncls)
+                                  frpm(entry_fb))
         return st, lo + f
 
     # general repair (speculation miss / ragged tail): pull the
@@ -823,14 +825,14 @@ def spec_scan_bytes(tables, data_np, chunk_len=DEFAULT_K,
             e = int(phi[c])
             c += 1
             continue
-        f, st = native.scan_first(raw[lo:hi].tobytes(), e // ncls)
+        f, st = native.scan_first(raw[lo:hi].tobytes(), frpm(e))
         if f >= 0:
             return st, lo + f
-        e = st * ncls
+        e = topm(st)
         c += 1
         nat += 1
     tables.last_repair = (nat, C)
-    return e // ncls, -1
+    return frpm(e), -1
 
 
 def spec_count_bytes(tables, data_np, chunk_len=DEFAULT_K,
@@ -854,8 +856,10 @@ def spec_count_bytes(tables, data_np, chunk_len=DEFAULT_K,
     data, C, K, J, B = prepared
     ncls = tables.ncls
     G = GROUPS
+    topm = getattr(tables, "to_premult", None) or (lambda v: v * ncls)
+    frpm = getattr(tables, "from_premult", None) or (lambda v: v // ncls)
 
-    s0p, j0p = _entry_planes(jnp.int32(entry_state * ncls),
+    s0p, j0p = _entry_planes(jnp.int32(topm(entry_state)),
                              jnp.int32(W), B=B)
 
     bad_tail = (C - 1) if C * K > n and (n - (C - 1) * K) != K else -1
@@ -873,9 +877,9 @@ def spec_count_bytes(tables, data_np, chunk_len=DEFAULT_K,
         # counts (a ~4*C-byte readback, only for >2 GiB corpora).
         tables.last_repair = (0, C)
         if n < 2 ** 31:
-            return int(summ[6]) // ncls, int(summ[7])
+            return frpm(int(summ[6])), int(summ[7])
         _, cnt, _ = _unpack(packed, C)
-        return int(summ[6]) // ncls, int(np.sum(cnt, dtype=np.int64))
+        return frpm(int(summ[6])), int(np.sum(cnt, dtype=np.int64))
 
     # repair from the first speculation miss (or ragged tail)
     raw = np.frombuffer(data_np, dtype=np.uint8) \
@@ -894,13 +898,13 @@ def spec_count_bytes(tables, data_np, chunk_len=DEFAULT_K,
             total += int(cnt[c])
             e = int(phi[c])
         else:
-            k, st = native.count(raw[lo:hi].tobytes(), e // ncls)
+            k, st = native.count(raw[lo:hi].tobytes(), frpm(e))
             total += k
-            e = st * ncls
+            e = topm(st)
             nat += 1
         c += 1
     tables.last_repair = (nat, C)
-    return e // ncls, total
+    return frpm(e), total
 
 
 def spec_chunk_map(tables, data_np, chunk_len=DEFAULT_K,
@@ -932,8 +936,10 @@ def spec_chunk_map(tables, data_np, chunk_len=DEFAULT_K,
     data, C, K, J, B = prepared
     ncls = tables.ncls
     G = GROUPS
+    topm = getattr(tables, "to_premult", None) or (lambda v: v * ncls)
+    frpm = getattr(tables, "from_premult", None) or (lambda v: v // ncls)
 
-    s0p, j0p = _entry_planes(jnp.int32(entry_state * ncls),
+    s0p, j0p = _entry_planes(jnp.int32(topm(entry_state)),
                              jnp.int32(W), B=B)
 
     bad_tail = (C - 1) if C * K > n and (n - (C - 1) * K) != K else -1
@@ -951,7 +957,7 @@ def spec_chunk_map(tables, data_np, chunk_len=DEFAULT_K,
     native = None
     fb = C if bool(summ[0]) else int(summ[1])
     # validated prefix: the chain is exact as-is
-    e = entry_state * ncls
+    e = topm(entry_state)
     for c in range(min(fb, C)):
         entries[c] = e
         e = int(phi[c])
@@ -965,11 +971,13 @@ def spec_chunk_map(tables, data_np, chunk_len=DEFAULT_K,
         else:
             if native is None:
                 native = NativeDfa(tables.dfa)
-            k, st = native.count(raw[lo:hi].tobytes(), e // ncls)
+            k, st = native.count(raw[lo:hi].tobytes(), frpm(e))
             counts[c] = k
-            e = st * ncls
+            e = topm(st)
         c += 1
-    return entries // ncls, counts, e // ncls
+    frv = getattr(tables, "from_premult_vec", None)
+    ents = entries // ncls if frv is None else frv(entries)
+    return ents, counts, frpm(e)
 
 
 def spec_scan_last_bytes(tables, data_np, chunk_len=DEFAULT_K,
@@ -992,8 +1000,10 @@ def spec_scan_last_bytes(tables, data_np, chunk_len=DEFAULT_K,
     data, C, K, J, B = prepared
     ncls = tables.ncls
     G = GROUPS
+    topm = getattr(tables, "to_premult", None) or (lambda v: v * ncls)
+    frpm = getattr(tables, "from_premult", None) or (lambda v: v // ncls)
 
-    s0p, j0p = _entry_planes(jnp.int32(entry_state * ncls),
+    s0p, j0p = _entry_planes(jnp.int32(topm(entry_state)),
                              jnp.int32(W), B=B)
 
     bad_tail = (C - 1) if C * K > n and (n - (C - 1) * K) != K else -1
@@ -1010,11 +1020,11 @@ def spec_scan_last_bytes(tables, data_np, chunk_len=DEFAULT_K,
     if bool(summ[0]):
         last_fire = int(summ[8])
         if last_fire < 0:
-            return int(summ[6]) // ncls, -1
+            return frpm(int(summ[6])), -1
         lo = last_fire * K
         r, _ = native.scan_last(raw[lo:lo + K].tobytes(),
-                                int(summ[9]) // ncls)
-        return int(summ[6]) // ncls, lo + r
+                                frpm(int(summ[9])))
+        return frpm(int(summ[6])), lo + r
 
     # repair path: walk from the first discrepancy, tracking the last
     # fire exactly; the device summary covers the validated prefix
@@ -1023,7 +1033,7 @@ def spec_scan_last_bytes(tables, data_np, chunk_len=DEFAULT_K,
     if int(summ[8]) >= 0:
         lo = int(summ[8]) * K
         r, _ = native.scan_last(raw[lo:lo + K].tobytes(),
-                                int(summ[9]) // ncls)
+                                frpm(int(summ[9])))
         best = lo + r
     phi, cnt, swarm = _unpack(packed, C)
     e = int(summ[2])
@@ -1033,13 +1043,13 @@ def spec_scan_last_bytes(tables, data_np, chunk_len=DEFAULT_K,
         hi = min(lo + K, n)
         if swarm[c] == e and hi - lo == K:
             if cnt[c]:
-                r, _ = native.scan_last(raw[lo:hi].tobytes(), e // ncls)
+                r, _ = native.scan_last(raw[lo:hi].tobytes(), frpm(e))
                 best = lo + r
             e = int(phi[c])
         else:
-            r, st = native.scan_last(raw[lo:hi].tobytes(), e // ncls)
+            r, st = native.scan_last(raw[lo:hi].tobytes(), frpm(e))
             if r >= 0:
                 best = lo + r
-            e = st * ncls
+            e = topm(st)
         c += 1
-    return e // ncls, best
+    return frpm(e), best

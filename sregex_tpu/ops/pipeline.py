@@ -55,11 +55,14 @@ def _as_np(seg):
     return np.frombuffer(seg, dtype=np.uint8)
 
 
-def _fold_count(native, raw, n, C, K, ncls, phi, cnt, swarm, e):
+def _fold_count(native, raw, n, C, K, ncls, phi, cnt, swarm, e,
+                topm=None, frpm=None):
     """Validate one segment's chunk chain from the true entry
     (premultiplied) ``e``; returns (exit_premult, segment_count,
     natively_repaired_chunks).  Vectorized in the common all-validated
     case; mismatched or ragged chunks re-count natively."""
+    topm = topm or (lambda v: v * ncls)
+    frpm = frpm or (lambda v: v // ncls)
     ragged = C * K > n
     pred = np.concatenate(([e], phi[:-1]))
     ok = swarm == pred
@@ -80,19 +83,22 @@ def _fold_count(native, raw, n, C, K, ncls, phi, cnt, swarm, e):
             total += int(cnt[c])
             e = int(phi[c])
         else:
-            k, st = native.count(raw[lo:hi].tobytes(), e // ncls)
+            k, st = native.count(raw[lo:hi].tobytes(), frpm(e))
             total += k
-            e = st * ncls
+            e = topm(st)
             nat += 1
         c += 1
     return int(e), total, nat
 
 
-def _fold_first(native, raw, n, C, K, ncls, phi, fm, swarm, e):
+def _fold_first(native, raw, n, C, K, ncls, phi, fm, swarm, e,
+                topm=None, frpm=None):
     """Validate one segment's chain from entry ``e`` looking for the
     FIRST match boundary.  Returns (exit_premult, rel_boundary or -1,
     natively_repaired_chunks); on a match the exit is the state AT
     the boundary (spec_scan_bytes contract)."""
+    topm = topm or (lambda v: v * ncls)
+    frpm = frpm or (lambda v: v // ncls)
     ragged = C * K > n
     pred = np.concatenate(([e], phi[:-1]))
     ok = (swarm == pred) & (fm == 0)
@@ -111,10 +117,10 @@ def _fold_first(native, raw, n, C, K, ncls, phi, fm, swarm, e):
             e = int(phi[c])
             c += 1
             continue
-        f, st = native.scan_first(raw[lo:hi].tobytes(), e // ncls)
+        f, st = native.scan_first(raw[lo:hi].tobytes(), frpm(e))
         if f >= 0:
-            return st * ncls, lo + f, nat
-        e = st * ncls
+            return topm(st), lo + f, nat
+        e = topm(st)
         c += 1
         nat += 1
     return int(e), -1, nat
@@ -202,7 +208,11 @@ class _Pipeline:
         else:
             from ..native import NativeDfa
             self.native = NativeDfa(inner.dfa)
-            self.e = entry_state * self.ncls  # premultiplied carry
+            self.topm = getattr(inner, "to_premult", None) \
+                or (lambda v: v * self.ncls)
+            self.frpm = getattr(inner, "from_premult", None) \
+                or (lambda v: v // self.ncls)
+            self.e = self.topm(entry_state)  # premultiplied carry
         self.b_mult = mesh.devices.size if mesh is not None else 1
         self.total = 0
         self.first_abs = -1
@@ -299,13 +309,17 @@ class _Pipeline:
         if self.count_mode:
             self.e, add, nat = _fold_count(self.native, raw, n, C, K,
                                            self.ncls, phi, fmcnt,
-                                           swarm, self.e)
+                                           swarm, self.e,
+                                           topm=self.topm,
+                                           frpm=self.frpm)
             self.total += add
             self.nat += nat
         else:
             self.e, rel, nat = _fold_first(self.native, raw, n, C, K,
                                            self.ncls, phi, fmcnt,
-                                           swarm, self.e)
+                                           swarm, self.e,
+                                           topm=self.topm,
+                                           frpm=self.frpm)
             self.nat += nat
             if rel >= 0:
                 self.first_abs = self.base + rel
@@ -367,8 +381,8 @@ def _run(tables, segments, chunk_len, entry_state, count_mode,
     else:
         pipe.tables.last_repair = None
     if count_mode:
-        return pipe.e // pipe.ncls, pipe.total
-    return (pipe.e // pipe.ncls, pipe.first_abs, pipe.first_byte,
+        return pipe.frpm(pipe.e), pipe.total
+    return (pipe.frpm(pipe.e), pipe.first_abs, pipe.first_byte,
             pipe.base)
 
 

@@ -156,8 +156,10 @@ def _launch(tables, local_bytes, mesh, chunk_len, full_len,
     G = data.shape[2] if data.ndim == 5 else 4
     s0 = np.zeros((B_loc, G, 8, 128), np.int32)
     j0 = np.zeros((B_loc, G, 8, 128), np.int32)
+    topm0 = getattr(tables, "to_premult", None)
     if pid == 0:
-        s0[0, 0, 0, 0] = entry_state * ncls
+        s0[0, 0, 0, 0] = topm0(entry_state) if topm0 \
+            else entry_state * ncls
         j0[0, 0, 0, 0] = W
     gs0 = jax.make_array_from_process_local_data(sh, s0)
     gj0 = jax.make_array_from_process_local_data(sh, j0)
@@ -236,19 +238,21 @@ def count_multihost(tables, local_bytes, mesh, chunk_len,
     mh = _launch(tables, local_bytes, mesh, chunk_len, full_len,
                  entry_state, axis, COUNT=True)
     K, ncls, C = mh.K, mh.ncls, mh.C
+    topm = getattr(tables, "to_premult", None) or (lambda v: v * ncls)
+    frpm = getattr(tables, "from_premult", None) or (lambda v: v // ncls)
     native = NativeDfa(tables.dfa)
 
     if mh.uniform:
         summ = mh.summ
         if bool(summ[0]) and mh.n < 2 ** 31:
-            return int(summ[6]) // ncls, int(summ[7])
+            return frpm(int(summ[6])), int(summ[7])
         phi, cnt, swarm = _unpack(np.asarray(mh.rep(mh.packed)), C)
         full = np.ones(C, dtype=bool)
         if mh.bad_tail >= 0:
             full[mh.bad_tail] = False
         if bool(summ[0]):
             # count overflowed int32 summary: re-sum on host
-            return int(summ[6]) // ncls, \
+            return frpm(int(summ[6])), \
                 int(np.sum(cnt, dtype=np.int64))
         e = int(summ[2])
         c = int(summ[1])
@@ -256,7 +260,7 @@ def count_multihost(tables, local_bytes, mesh, chunk_len,
     else:
         phi, cnt, swarm = _lane_planes(mh)
         full = _full_vec(mh)
-        e = entry_state * ncls
+        e = topm(entry_state)
         c = 0
         total = 0
 
@@ -278,15 +282,15 @@ def count_multihost(tables, local_bytes, mesh, chunk_len,
             continue
         owner, lo, hi = _owner_of(mh, c)
         if mh.pid == owner:
-            k, st = native.count(mh.raw[lo:hi].tobytes(), e // ncls)
-            mine = np.array([k, st * ncls], np.int64)
+            k, st = native.count(mh.raw[lo:hi].tobytes(), frpm(e))
+            mine = np.array([k, topm(st)], np.int64)
         else:
             mine = np.zeros(2, np.int64)
         got = mh.mhu.process_allgather(mine)
         k, e = int(got[owner][0]), int(got[owner][1])
         total += k
         c += 1
-    return e // ncls, total
+    return frpm(e), total
 
 
 def scan_multihost(tables, local_bytes, mesh, chunk_len,
@@ -305,13 +309,15 @@ def scan_multihost(tables, local_bytes, mesh, chunk_len,
     mh = _launch(tables, local_bytes, mesh, chunk_len, full_len,
                  entry_state, axis, COUNT=False)
     K, ncls, C = mh.K, mh.ncls, mh.C
+    topm = getattr(tables, "to_premult", None) or (lambda v: v * ncls)
+    frpm = getattr(tables, "from_premult", None) or (lambda v: v // ncls)
     native = NativeDfa(tables.dfa)
 
     if mh.uniform:
         summ = mh.summ
         if bool(summ[0]):
             # every chunk validated fire-free: no interior match
-            return int(summ[6]) // ncls, -1, -1
+            return frpm(int(summ[6])), -1, -1
         phi, fm, swarm = _unpack(np.asarray(mh.rep(mh.packed)), C)
         full = np.ones(C, dtype=bool)
         if mh.bad_tail >= 0:
@@ -321,7 +327,7 @@ def scan_multihost(tables, local_bytes, mesh, chunk_len,
     else:
         phi, fm, swarm = _lane_planes(mh)
         full = _full_vec(mh)
-        e = entry_state * ncls
+        e = topm(entry_state)
         c = 0
 
     quiet = full & (fm == 0)
@@ -344,10 +350,10 @@ def scan_multihost(tables, local_bytes, mesh, chunk_len,
         owner, lo, hi = _owner_of(mh, cc)
         if mh.pid == owner:
             f, st = native.scan_first(mh.raw[lo:hi].tobytes(),
-                                      ee // ncls)
+                                      frpm(ee))
             rid = tables.dfa.id_at(st, mh.raw[lo + f]) if f >= 0 \
                 else -1
-            mine = np.array([f, st * ncls, rid], np.int64)
+            mine = np.array([f, topm(st), rid], np.int64)
         else:
             mine = np.zeros(3, np.int64)
         got = mh.mhu.process_allgather(mine)
@@ -362,7 +368,7 @@ def scan_multihost(tables, local_bytes, mesh, chunk_len,
             continue
         f, st, rid = owner_scan(c, e)
         if f >= 0:
-            return st // ncls, abs_off(c) + f, rid
+            return frpm(st), abs_off(c) + f, rid
         e = st
         c += 1
-    return e // ncls, -1, -1
+    return frpm(e), -1, -1

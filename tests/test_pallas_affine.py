@@ -107,3 +107,61 @@ def test_affine_warmup_escalation_window():
     assert (c, st) == (exp_c, exp_st)
     nat, C = t2.last_repair
     assert nat <= max(2, C // 16), (nat, C)
+
+
+def test_affine_periodic_renumbering_exact():
+    """Branching counted repetitions ((?:ab?c){n,m}: W-periodic
+    interleaved substates) are range-affine only after the
+    residue-major renumbering (periodic_perm); the to_premult /
+    from_premult hooks must keep entries, returned states, and native
+    repairs in ORIGINAL dfa ids."""
+    pat = rb"(?:ab?c){60,140}z"
+    dfa = _machine(pat)
+    t = SpecTablesAffine(dfa)
+    assert t.perm is not None, "expected the renumbered path"
+    native = NativeDfa(dfa)
+    rng = random.Random(5)
+    plant = b"." + b"abc" * 100 + b"z"
+    for trial in range(3):
+        n = rng.choice([80_000, 200_000, 3001])
+        data = bytearray(rng.choice(b"abcz .") for _ in range(n))
+        if trial != 2:
+            at = rng.randrange(0, max(1, n - len(plant) - 1))
+            data[at:at + len(plant)] = plant
+        data = bytes(data)
+        exp_c, exp_st = native.count(data, 0)
+        st, c = spec_count_bytes(t, data, chunk_len=512)
+        assert (c, st) == (exp_c, exp_st), trial
+        exp_f, exp_st = native.scan_first(data, 0)
+        st, f = spec_scan_bytes(t, data, chunk_len=512)
+        assert (f, st) == (exp_f, exp_st), trial
+        exp_l, exp_st = native.scan_last(data, 0)
+        st, l = spec_scan_last_bytes(t, data, chunk_len=512)
+        assert (l, st) == (exp_l, exp_st), trial
+
+
+def test_affine_perm_chunk_map_and_batch():
+    from sregex_tpu.ops.pallas_scan import spec_chunk_map
+    from sregex_tpu.ops.batch import spec_count_many
+    pat = rb"(?:ab?c){60,140}z"
+    dfa = _machine(pat)
+    t = SpecTablesAffine(dfa)
+    assert t.perm is not None
+    native = NativeDfa(dfa)
+    rng = random.Random(11)
+    data = bytes(rng.choice(b"abcz .") for _ in range(60_000))
+    entries, counts, final = spec_chunk_map(t, data, chunk_len=512)
+    # oracle walk
+    e = 0
+    for c in range(len(entries)):
+        lo, hi = c * 512, min((c + 1) * 512, len(data))
+        assert entries[c] == e, c
+        k, e = native.count(data[lo:hi], e)
+        assert counts[c] == k, c
+    assert final == e
+    docs = [bytes(rng.choice(b"abcz .") for _ in range(m))
+            for m in (700, 2048, 5000)]
+    counts, finals, nat, tot = spec_count_many(t, docs, chunk_len=512)
+    for d, doc in enumerate(docs):
+        k, st = native.count(doc, 0)
+        assert (counts[d], finals[d]) == (k, st), d
