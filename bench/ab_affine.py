@@ -44,20 +44,28 @@ def main():
     dfa = build_dfa(compile_regex(ast), max_states=65536)
     log("machine: S=%d ncls=%d entries=%d"
         % (dfa.nstates, dfa.nclasses, dfa.nstates * dfa.nclasses))
+    from sregex_tpu.ops.pallas_scan import with_warmup
     aff = SpecTablesAffine(dfa)
-    log("affine: pieces=%d perm=%s rows=%d"
-        % (aff.pieces, aff.perm is not None, aff.rows))
+    aff = with_warmup(aff, 512) or aff
+    log("affine: pieces=%d perm=%s rows=%d W=%d"
+        % (aff.pieces, aff.perm is not None, aff.rows, aff.warmup))
     big = SpecTablesBig(dfa)
-    log("big: rows=%d bits=%d" % (big.rows, big.bits))
+    big = with_warmup(big, 512) or big
+    log("big: rows=%d bits=%d W=%d" % (big.rows, big.bits,
+                                       big.warmup))
 
-    # uniform-visiting corpus: long walks through the chain (runs of
-    # the repeated unit) keep every chain position live
+    # uniform-visiting corpus with CONVERGENT chunks: excursions of
+    # 30..160 units (~90-480 bytes) walk deep into the chain but stay
+    # under the W=512 speculation window, so the A/B measures KERNEL
+    # rates, not the shared native-repair floor (the first run of
+    # this bench used 200-490-unit runs: 96% of chunks repaired on
+    # BOTH arms and the tiers were indistinguishable at 0.05 GB/s)
     rng = random.Random(7)
     unit = [b"ab", b"ac", b"df", b"def", b"ghj", b"gij"]
     out = bytearray()
     n = mb << 20
     while len(out) < n:
-        for _ in range(rng.randrange(200, 490)):
+        for _ in range(rng.randrange(30, 160)):
             out += rng.choice(unit)
         out += b"z" if rng.random() < 0.5 else b" "
     corpus = bytes(out[:n])

@@ -591,12 +591,14 @@ def with_warmup(tables, W):
     import copy
     if getattr(tables, "bpu", 1) != 1 or tables.bits not in (4, 8):
         return None
-    if W % tables.cpw or not (tables.warmup < W <= 512):
+    if W % tables.cpw or not (tables.warmup < W <= 2048):
         return None
     t = copy.copy(tables)
     t.warmup = int(W)
     t.max_chunk = max_chunk_bytes(getattr(tables, "rows", 1),
                                   tables.cpw, t.warmup)
+    if effective_chunk(t, DEFAULT_K) < t.warmup // 2:
+        return None     # the window would dwarf the chunk: no gain
     t.last_repair = None
     return t
 

@@ -595,7 +595,12 @@ class Scanner:
     # Two consecutive completed static-tier scans with >25% repaired
     # chunks rebuild the tier with the next window in the ladder
     # (one-time recompile per W; exactness never at stake).
-    WARM_LADDER = (128, 512)
+    # 2048 covers every parser-accepted counted-rep product (bounds
+    # are < 500 per rep; chained/product histories reach ~1500).  The
+    # warmup fraction at W=2048/K=2048 halves kernel throughput, but
+    # that is ~10-50x above the native-repair floor it replaces; the
+    # raised scoped-VMEM budget (max_chunk_bytes) hosts the window.
+    WARM_LADDER = (128, 512, 2048)
 
     def _spec_note(self):
         sp = self._spec

@@ -442,6 +442,59 @@ def main():
     assert scf.stats().api == "find_many", scf.stats()
     ok("batch-many")
 
+    # 19. fused two-phase count (round-4): a long-chain wide machine
+    # routes Scanner.count through core kernel + on-device escape
+    # redo; must be exact with near-zero host repairs
+    case("fused-count")
+    words = [w.encode() for w in
+             ("epsilon theta lambda omicron upsilon "
+              "gamma sigma kappa").split()]
+    ast, _ = parse_multi(words)
+    prog = compile_regex(ast)
+    _ab_save = os.environ.get("SREGEX_TIER_AB")
+    os.environ["SREGEX_TIER_AB"] = "0"   # pin: this case asserts the
+    try:                                 # fused tier itself, not the A/B
+        sc = Scanner(prog, use_device=True, ast=ast)
+        from sregex_tpu.ops.pallas_scan import SpecTablesWide as _W
+        if isinstance(sc._spec, _W) and sc._spec.rows > 4:
+            data = corpus(rng, b"zxqwvu ", 12,
+                          [(0.3, b" lambda "), (0.8, b" kappa ")])
+            exp_c, exp_st = sc._native.count(data, 0)
+            exp_c += int(sc.dfa.match_eof[exp_st])
+            got = sc.count(data)
+            assert got == exp_c, (got, exp_c)
+            assert sc._fusedct not in (None, False), \
+                "fused not engaged"
+            st = sc.stats()
+            log("   fused repaired %d/%d on host" % (st.repaired,
+                                                     st.chunks))
+            ok("fused-count")
+        else:
+            log("   SKIP (machine shape below the fused band: %s)"
+                % type(sc._spec).__name__)
+    finally:
+        if _ab_save is None:
+            os.environ.pop("SREGEX_TIER_AB", None)
+        else:
+            os.environ["SREGEX_TIER_AB"] = _ab_save
+
+    # 20. 16-bit tagged-DFA code planes (round-4): a 16-group pattern
+    # (34 tags) returns the full capture vector one-pass
+    case("tdfa-16bit-find")
+    pat = rb"x(a+)(b)(c)(d)(e)(f)(g)(h)(i)(j)(k)(l)(m)(n)(o)(p+)y"
+    sc = compile_pattern(pat, use_device=True)
+    sc._tdfa_spec = TdfaSpecTables(sc.program)
+    assert sc._tdfa_spec.code_bits == 16, sc._tdfa_spec.code_bits
+    data = corpus(rng, b"abcdefghijklmnop xy", 4,
+                  [(0.6, b"xaaabcdefghijklmnoppy")])
+    got = sc.find(data)
+    m = re.search(pat, data)
+    assert got is not None and m is not None
+    assert (got[1][0], got[1][1]) == (m.start(), m.end()), got
+    for gi in range(1, 17):
+        assert (got[1][2 * gi], got[1][2 * gi + 1]) == m.span(gi), gi
+    ok("tdfa-16bit-find")
+
     print("SMOKE_OK", flush=True)
     return 0
 

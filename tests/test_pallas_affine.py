@@ -165,3 +165,28 @@ def test_affine_perm_chunk_map_and_batch():
     for d, doc in enumerate(docs):
         k, st = native.count(doc, 0)
         assert (counts[d], finals[d]) == (k, st), d
+
+
+def test_warm_ladder_2048_covers_product_histories():
+    """Histories in (512, 2048) — chained counted reps — previously
+    had NO converging window (the ladder capped at 512) and sat at
+    the native-repair floor; W=2048 covers every parser-accepted
+    counted-rep product (bounds < 500 per rep)."""
+    from sregex_tpu.ops.pallas_scan import with_warmup
+    dfa = _machine(rb"a{499}b{499}c{499}")
+    t = SpecTablesAffine(dfa)
+    t2 = with_warmup(t, 2048)
+    assert t2 is not None and t2.warmup == 2048
+    native = NativeDfa(dfa)
+    rng = random.Random(17)
+    # mid-chain entries: chunks can only converge with W >= ~1500
+    data = bytearray()
+    while len(data) < 120_000:
+        data += (b"a" * 499 + b"b" * 499 + b"c" * rng.randrange(400, 520)
+                 + b".")
+    data = bytes(data[:120_000])
+    exp = native.count(data, 0)
+    st, c = spec_count_bytes(t2, data, chunk_len=2048)
+    assert (c, st) == (exp[0], exp[1])
+    nat, C = t2.last_repair
+    assert nat <= max(2, C // 8), (nat, C)
