@@ -601,7 +601,8 @@ def _fused_count(core_data, full_data, core_fused, full_fused,
              [1] fb  [2] entry@fb  [3] swarm@fb  [4] phi@fb
              [5] phi@C-1  [6] prefix count (sum fm[0:fb])
              [7] overflow (escaped > CAP)  [8] n_escaped
-             [9..10] reserved."""
+             [9] first firing chunk in the validated prefix (-1)
+             [10] entry @ that chunk."""
     from jax import lax
 
     G = GROUPS
@@ -691,24 +692,29 @@ def _fused_count(core_data, full_data, core_fused, full_fused,
     fb = jnp.argmin(okv.astype(jnp.int32)).astype(jnp.int32)
     fb_eff = jnp.where(jnp.all(okv), C, fb)
     prefix = jnp.sum(jnp.where((idx < fb_eff) & live, fm_m, 0))
+    # first firing chunk in the validated prefix + its exact entry
+    # (first-match scans pin the boundary with one native chunk scan)
+    firev = (fm_m > 0) & (idx < fb_eff) & live
+    any_fire = jnp.any(firev)
+    ff = jnp.where(any_fire,
+                   jnp.argmax(firev.astype(jnp.int32)), 0)
+    first_fire = jnp.where(any_fire, ff, -1).astype(jnp.int32)
     summary = jnp.stack([
         all_ok.astype(jnp.int32), fb, entries[fb], swarm_m[fb],
         phi_m[fb], phi_m[C - 1], prefix.astype(jnp.int32),
         overflow.astype(jnp.int32), n_esc,
-        jnp.int32(0), jnp.int32(0)])
+        first_fire, entries[ff]])
     merged = jnp.stack([phi_m, fm_m, swarm_m])
     packed_core = jnp.stack([phi1, fm1, swarm1])
     return summary, merged, packed_core
 
 
-def core_count_fused(ct, full_tables, data_np, chunk_len=DEFAULT_K,
-                     entry_state=0, prepared_core=None,
-                     prepared_full=None):
-    """Count match-ending boundaries (0..n-1; EOF is the caller's) via
-    the fused two-phase path.  Contract of core_count_bytes.  Returns
-    None when the shapes disqualify it (different K between the two
-    preps, non-dense tiers) — the caller falls back to the legacy
-    paths."""
+def _fused_dispatch(ct, full_tables, data_np, chunk_len,
+                    entry_state, prepared_core, prepared_full):
+    """Shared setup + dispatch for the fused entry points.  Returns
+    None when the shapes disqualify the fused path, else a dict with
+    the summary, the (lazy) merged/core plane handles, and the
+    chunking facts."""
     from .pallas_scan import effective_chunk
     from .prep import prepare_auto
 
@@ -725,16 +731,17 @@ def core_count_fused(ct, full_tables, data_np, chunk_len=DEFAULT_K,
     if K1 != K2:
         return None
     n = len(data_np)
-    if n == 0:
-        return entry_state, 0
     ep = ct.to_core_premult(entry_state)
     if ep < 0:
         return None
 
-    if prepared_core is None:
+    if n and prepared_core is None:
         prepared_core = prepare_auto(inner, data_np, chunk_len)
-    if prepared_full is None:
+    if n and prepared_full is None:
         prepared_full = prepare_auto(full_tables, data_np, chunk_len)
+    if n == 0:
+        return {"summ": None, "C": 0, "Cfull": 0, "K": K1, "n": 0,
+                "B1": 0, "merged": None, "packed_core": None}
     core_data, C, K, J1, B1 = prepared_core
     full_data, Cf, Kf, J2, Bf = prepared_full
     assert (C, K) == (Cf, Kf), "preps disagree on chunking"
@@ -743,7 +750,6 @@ def core_count_fused(ct, full_tables, data_np, chunk_len=DEFAULT_K,
     # host from the composed exit, so the all_ok fast path stays
     # reachable for every corpus length
     Cfull = C - 1 if C * K > n and (n - (C - 1) * K) != K else C
-    tail_lo = Cfull * K
 
     n1, w1, c1, b1, r1 = _tier_statics(inner)
     n2, w2, c2, b2_, r2 = _tier_statics(full_tables)
@@ -757,7 +763,7 @@ def core_count_fused(ct, full_tables, data_np, chunk_len=DEFAULT_K,
     fv1 = inner.fused_vec if n1 else inner.fused_rows
     fv2 = full_tables.fused_vec if n2 else full_tables.fused_rows
     if Cfull <= 0:
-        summ = None
+        summ = merged = packed_core = None
     else:
         summary, merged, packed_core = _fused_count(
             core_data if isinstance(core_data, jax.Array)
@@ -771,6 +777,28 @@ def core_count_fused(ct, full_tables, data_np, chunk_len=DEFAULT_K,
             CAP=cap, NCLS_C=inner.ncls, NCLS_F=full_tables.ncls,
             ESC=ct.esc_premult)
         summ = np.asarray(summary).astype(np.int64)
+    return {"summ": summ, "C": C, "Cfull": Cfull, "K": K, "n": n,
+            "B1": B1, "merged": merged, "packed_core": packed_core}
+
+
+def core_count_fused(ct, full_tables, data_np, chunk_len=DEFAULT_K,
+                     entry_state=0, prepared_core=None,
+                     prepared_full=None):
+    """Count match-ending boundaries (0..n-1; EOF is the caller's) via
+    the fused two-phase path.  Contract of core_count_bytes.  Returns
+    None when the shapes disqualify it (different K between the two
+    preps, non-dense tiers) — the caller falls back to the legacy
+    paths."""
+    d = _fused_dispatch(ct, full_tables, data_np, chunk_len,
+                        entry_state, prepared_core, prepared_full)
+    if d is None:
+        return None
+    if d["n"] == 0:
+        return entry_state, 0
+    summ, Cfull, K, n, B1 = (d["summ"], d["Cfull"], d["K"], d["n"],
+                             d["B1"])
+    merged, packed_core = d["merged"], d["packed_core"]
+    tail_lo = Cfull * K
 
     native = ct.native
     ncls_f = full_tables.ncls
@@ -837,3 +865,97 @@ def core_count_fused(ct, full_tables, data_np, chunk_len=DEFAULT_K,
         k, e_full = native.count(raw[tail_lo:].tobytes(), e_full)
         total += k
     return e_full, total
+
+
+def core_scan_fused(ct, full_tables, data_np, chunk_len=DEFAULT_K,
+                    entry_state=0, prepared_core=None,
+                    prepared_full=None):
+    """First-match scan via the fused two-phase path.  Contract of
+    core_scan_bytes / spec_scan_bytes: returns (state, boundary or
+    -1) with the state AT the boundary on a match (boundaries
+    0..n-1; EOF acceptance is the caller's).  Returns None when the
+    shapes disqualify the fused path; the first firing chunk's exact
+    position is pinned with ONE native full-machine chunk scan from
+    its validated entry."""
+    d = _fused_dispatch(ct, full_tables, data_np, chunk_len,
+                        entry_state, prepared_core, prepared_full)
+    if d is None:
+        return None
+    if d["n"] == 0:
+        return entry_state, -1
+    summ, Cfull, K, n, B1 = (d["summ"], d["Cfull"], d["K"], d["n"],
+                             d["B1"])
+    merged, packed_core = d["merged"], d["packed_core"]
+    tail_lo = Cfull * K
+    native = ct.native
+    ncls_f = full_tables.ncls
+    raw = np.frombuffer(data_np, dtype=np.uint8) \
+        if not isinstance(data_np, np.ndarray) else data_np
+    ct.last_repair = None
+
+    e_full = entry_state
+    if summ is not None:
+        ff = int(summ[9])
+        if ff >= 0:
+            # first firing chunk in the validated prefix: its entry
+            # (summ[10], full premult) is exact by the chain argument
+            lo = ff * K
+            f, st = native.scan_first(raw[lo:lo + K].tobytes(),
+                                      int(summ[10]) // ncls_f)
+            return st, lo + f
+        if bool(summ[0]):
+            ct.last_repair = (0, Cfull)
+            e_full = int(summ[5]) // ncls_f
+        elif bool(summ[7]):
+            # overflow: legacy CORE-plane fold (quiet: any fired or
+            # escaped chunk re-scans natively and may return a match)
+            fold = _Fold(ct, np.asarray(packed_core).reshape(
+                3, B1, GROUPS, 8, 128), Cfull, K, min(n, Cfull * K),
+                quiet=True)
+            e_full = entry_state
+            c = 0
+            nat = 0
+            while c < Cfull:
+                if fold.trusted(c, e_full):
+                    b = fold.run_end(c)
+                    e_full = ct.to_full(int(fold.phi[b]))
+                    c = b + 1
+                    continue
+                lo = c * K
+                f, st = native.scan_first(raw[lo:lo + K].tobytes(),
+                                          e_full)
+                if f >= 0:
+                    return st, lo + f
+                e_full = st
+                c += 1
+                nat += 1
+            ct.last_repair = (nat, Cfull)
+        else:
+            # chain broke before any fire: walk the merged planes
+            phi_m, fm_m, swarm_m = np.asarray(merged).astype(np.int64)
+            e = int(summ[2])
+            c = int(summ[1])
+            nat = 0
+            while c < Cfull:
+                if int(swarm_m[c]) == e and e >= 0 \
+                        and int(fm_m[c]) == 0:
+                    e = int(phi_m[c])
+                    c += 1
+                    continue
+                lo = c * K
+                f, st = native.scan_first(raw[lo:lo + K].tobytes(),
+                                          max(e, 0) // ncls_f)
+                if f >= 0:
+                    return st, lo + f
+                e = st * ncls_f
+                c += 1
+                nat += 1
+            e_full = e // ncls_f
+            ct.last_repair = (nat, Cfull)
+
+    if tail_lo < n:
+        f, st = native.scan_first(raw[tail_lo:].tobytes(), e_full)
+        if f >= 0:
+            return st, tail_lo + f
+        e_full = st
+    return e_full, -1

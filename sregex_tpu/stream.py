@@ -681,6 +681,26 @@ class Scanner:
 
     def _scan_first(self, data, prepared=None):
         t0 = time.perf_counter()
+        fct = (self._fused_core_tables(data)
+               if len(data) >= self.DEVICE_THRESHOLD else None)
+        if fct is not None:
+            from .ops.pallas_core import core_scan_fused
+            spec = self._spec
+            r = _try_device(self, "fused-dispatch", "_fusedct",
+                            lambda: core_scan_fused(
+                                fct, spec, data,
+                                prepared_core=prepared.for_tables(
+                                    fct.inner) if prepared else None,
+                                prepared_full=prepared.for_tables(
+                                    spec) if prepared else None))
+            if r is None:
+                self._fusedct = False
+            else:
+                state, first = r
+                self._core_note(fct, "_fusedct")
+                self._note_stats("scan", fct, len(data), t0)
+                self._maybe_tier_ab(data)
+                return first, state
         if len(data) >= self.DEVICE_THRESHOLD:
             ct = self._core_tables(data)
             if ct is not None:

@@ -161,3 +161,48 @@ def test_scanner_count_uses_fused_tier():
     prep = sc.prepare(data)
     assert sc.count(data, prepared=prep) == exp
     assert sc.count(data, prepared=prep) == exp
+
+
+def test_fused_scan_first_match_exact():
+    """core_scan_fused: contract of spec_scan_bytes (state AT the
+    boundary; boundaries 0..n-1), with the first firing chunk pinned
+    from its validated entry."""
+    dfa, words = _multi_machine()
+    from sregex_tpu.ops.pallas_scan import (SpecTables, SpecTablesWide)
+    from sregex_tpu.ops.pallas_core import core_scan_fused
+    try:
+        full = SpecTables(dfa)
+    except ValueError:
+        full = SpecTablesWide(dfa)
+    native = NativeDfa(dfa)
+    sample = _corpus(words, 64 << 10, seed=1)
+    ct = CoreTables(dfa, sample, require_fast=False)
+    for n, plant_every in [(400_000, 8192), (300_000, 1 << 30),
+                           (2049, 700), (0, 1)]:
+        data = _corpus(words, n, seed=n % 97,
+                       plant_every=plant_every) if n else b""
+        r = core_scan_fused(ct, full, data, chunk_len=512)
+        assert r is not None
+        st, f = r
+        exp_f, exp_st = native.scan_first(data, 0)
+        assert (f, st) == (exp_f, exp_st), (n, f, exp_f)
+
+
+def test_scanner_scan_uses_fused_tier():
+    from sregex_tpu import parse_multi
+    from sregex_tpu.stream import Scanner
+    dfa, words = _multi_machine()
+    ast, _ = parse_multi(words)
+    prog = compile_regex(ast)
+    sc = Scanner(prog, use_device=True, ast=ast)
+    sc.DEVICE_THRESHOLD = 1 << 14
+    from sregex_tpu.ops.pallas_scan import SpecTablesWide
+    if not (isinstance(sc._spec, SpecTablesWide)
+            and sc._spec.rows > 4):
+        pytest.skip("machine shape drifted below the fused band")
+    data = _corpus(words, 400_000, seed=41, plant_every=16384)
+    exp = sc._native.scan_first(data, 0)
+    got = sc.scan(data)
+    if exp[0] >= 0:
+        assert got is not None and got[1] == exp[0]
+    assert sc._fusedct not in (None, False)
