@@ -309,18 +309,41 @@ def _phi_run_big(data, fused, C, entry_state, *, Kw, CPW, BITS, S,
 
 def _compose(phi_cs, acc_cs, C, K, Ctot, entry_state, COUNT):
     """Associative composition of per-chunk transfers (shared by the
-    lane-packed and sublane-group kernels); returns the summary."""
+    lane-packed and sublane-group kernels); returns the summary.
+
+    The transfer vectors are padded to a 128-lane multiple with
+    identity columns (unaligned minor-dim gathers lowered ~10x slower
+    on the v5e: the first big-φ hardware run spent 5.5 of 6 s in this
+    composition at S=501).  COUNT mode uses a binary TREE REDUCE
+    instead of associative_scan — no prefixes are needed for a total,
+    which halves the gather work and materializes no prefix arrays."""
+    S = phi_cs.shape[1]
+    Sp = -(-S // 128) * 128
+    if Sp != S:
+        padi = jnp.broadcast_to(jnp.arange(S, Sp, dtype=jnp.int32),
+                                (Ctot, Sp - S))
+        phi_cs = jnp.concatenate([phi_cs, padi], axis=1)
+        acc_cs = jnp.concatenate(
+            [acc_cs, jnp.full((Ctot, Sp - S),
+                              jnp.int32(0) if COUNT else _SENT,
+                              jnp.int32)], axis=1)
     cidx = jnp.arange(Ctot, dtype=jnp.int32)[:, None]
     if COUNT:
-        def comp(a, b):
-            pa, ca = a
-            pb, cb = b
-            return (jnp.take_along_axis(pb, pa, axis=-1),
-                    ca + jnp.take_along_axis(cb, pa, axis=-1))
-        pfx_p, pfx_c = lax.associative_scan(comp, (phi_cs, acc_cs),
-                                            axis=0)
-        return jnp.stack([pfx_p[-1, entry_state],
-                          pfx_c[-1, entry_state]])
+        n2 = 1 << max(0, (Ctot - 1)).bit_length()
+        if n2 != Ctot:
+            identr = jnp.broadcast_to(
+                jnp.arange(Sp, dtype=jnp.int32), (n2 - Ctot, Sp))
+            phi_cs = jnp.concatenate([phi_cs, identr], axis=0)
+            acc_cs = jnp.concatenate(
+                [acc_cs, jnp.zeros((n2 - Ctot, Sp), jnp.int32)],
+                axis=0)
+        p, c = phi_cs, acc_cs
+        while p.shape[0] > 1:
+            pa, pb = p[0::2], p[1::2]      # ordered adjacent pairs
+            ca, cb = c[0::2], c[1::2]
+            p = jnp.take_along_axis(pb, pa, axis=-1)
+            c = ca + jnp.take_along_axis(cb, pa, axis=-1)
+        return jnp.stack([p[0, entry_state], c[0, entry_state]])
 
     fm_abs = jnp.where(acc_cs == _SENT, _SENT, acc_cs + cidx * K)
 

@@ -198,7 +198,8 @@ def test_scanner_escalates_to_big_phi():
     data = bytes(data)
     exp = sc._native.count(data, 0)[0] + int(
         sc.dfa.match_eof[sc._native.count(data, 0)[1]])
-    for _ in range(6):          # strikes accumulate across scans
+    for _ in range(9):          # strikes accumulate across scans
+        # (ladder 32 -> 128 -> 512 -> 2048 -> phi: 2 strikes per rung)
         got = sc.count(data)
         assert got == exp
     tiers = {sc.stats().tier}
