@@ -486,16 +486,27 @@ class Scanner:
         from .ops.pallas_core import core_count_bytes, core_count_fused
         from .ops.pallas_scan import spec_count_bytes
         core_attr = "_fusedct" if fct else "_coret"
+        # prepare (pack + upload) once per arm OUTSIDE the timed
+        # region: the arms must compare kernels, not the shared
+        # host->HBM upload wall (~0.03 GB/s on the relay)
+        abp = PreparedCorpus(ab)
 
         def core_arm():
             if fct:
-                r = core_count_fused(fct, self._spec, ab)
+                r = core_count_fused(
+                    fct, self._spec, ab,
+                    prepared_core=abp.for_tables(fct.inner),
+                    prepared_full=abp.for_tables(self._spec))
                 if r is not None:
                     return r
-            return core_count_bytes(ct, ab, mesh=self.mesh)
+            return core_count_bytes(ct, ab,
+                                    prepared=abp.for_tables(ct.inner),
+                                    mesh=self.mesh)
 
         def static_arm():
-            return spec_count_bytes(self._spec, ab, mesh=self.mesh)
+            return spec_count_bytes(self._spec, ab,
+                                    prepared=abp.for_tables(self._spec),
+                                    mesh=self.mesh)
 
         # the A/B must never blow up the scan it is merely measuring:
         # a failing arm is the loser (declined via _try_device)
