@@ -48,7 +48,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_scan import (GROUPS, _MATCH_SHIFT, _STATE_MASK,
-                          compiler_params as _compiler_params)
+                          compiler_params as _compiler_params,
+                          footprint_bytes as _footprint)
 
 _SENT = np.int32(1 << 30)     # "no match" sentinel for fm lanes
 
@@ -288,7 +289,8 @@ def _phi_run_big(data, fused, C, entry_state, *, Kw, CPW, BITS, S,
             jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
         ],
         interpret=interpret,
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(
+            _footprint(P, ROWS)),
     )(data, fused)
 
     # slots -> [chunks, S]: chunk order (b, g, t) with the chunk's S
@@ -496,7 +498,8 @@ def _phi_run(data, fused, C, entry_state, *, Kw, WL, CPW, BITS, S,
             jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
         ],
         interpret=interpret,
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(
+            _footprint(P, ROWS)),
     )(data, fused)
 
     # lanes -> [chunks, S]: chunk order is (b, g, s, seg) with the S

@@ -78,12 +78,27 @@ def vmem_limit_bytes():
     return 64 << 20
 
 
-def compiler_params():
+def compiler_params(needed_bytes=None):
     """Mosaic compiler params for scan-kernel pallas_calls (None in
-    CPU interpret mode, where TPU params are meaningless)."""
+    CPU interpret mode, where TPU params are meaningless).
+
+    ``needed_bytes``: the kernel's modeled scoped-VMEM footprint.
+    Kernels comfortably inside the compiler's 16 MiB default keep the
+    default (the raised limit may steer the compiler into different
+    windowing/scheduling searches; small kernels have nothing to
+    gain); anything near or over the default requests the raised
+    ceiling so big fused tables never OOM (the r3 crash class)."""
     if jax.default_backend() == "cpu":
         return None
+    if needed_bytes is not None and needed_bytes < (14 << 20):
+        return None
     return pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_bytes())
+
+
+def footprint_bytes(jw, rows, extra_bytes=0):
+    """Modeled scoped-VMEM footprint (see max_chunk_bytes)."""
+    return (2 * jw * GROUPS * 8 * 128 * 4 + rows * 8 * 128 * 4
+            + extra_bytes + _VMEM_SLACK)
 
 
 # Residual scoped-VMEM use beyond the data block and the fused table:
@@ -462,7 +477,8 @@ def _dispatch_kernel(kernel, data, state0, j0, fused, fused_spec,
                 jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
             ],
             interpret=interpret,
-            compiler_params=compiler_params(),
+            compiler_params=compiler_params(footprint_bytes(
+                Jw, f.shape[0] if f.ndim == 3 else 1)),
         )(d, s0, j0_, f)
 
     if mesh is None:

@@ -54,7 +54,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..tdfa import Tdfa, TdfaTooLarge, SRC_UNSET, SRC_CUR, SRC_NEXT, \
     CTX_BOS
 from .pallas_scan import (GROUPS, TILE, WORDS_PER_ITER, _prepare,
-                          compiler_params as _compiler_params)
+                          compiler_params as _compiler_params,
+                          footprint_bytes as _footprint)
 
 _BAD = np.int32(-(2 ** 30))
 
@@ -628,7 +629,9 @@ def _tdfa_scan(data, state0, j0, t_next, t_regsrc, t_csrc, t_cmeta,
             jax.ShapeDtypeStruct((R, B, G, 8, 128), jnp.int32),
         ],
         interpret=interpret,
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(_footprint(
+            Jw, ROWS * (2 + t_regsrc.shape[0] + t_csrc.shape[0]),
+            extra_bytes=2 * ((T + 1) + R) * G * 4096)),
     )(data, state0, j0, t_next, t_regsrc, t_csrc, t_cmeta)
 
     Cp = phi.size
