@@ -70,6 +70,15 @@ def run(limit=150, seed=7, verbose=True, multi_every=5):
     for pi, pat in enumerate(pats):
         if ran >= limit:
             break
+        if ran and ran % 40 == 0:
+            # free accumulated XLA:CPU executables: hundreds of
+            # interpret-mode compiles in one process exhaust host RAM
+            # (the full 708-pattern run died in LLVM at ~350 without
+            # this — the same class conftest handles per test module)
+            import gc
+            import jax
+            jax.clear_caches()
+            gc.collect()
         try:
             if multi_every and pi % multi_every == 0:
                 group = [pat] + [p for p in pats[pi + 1:pi + 3]]
