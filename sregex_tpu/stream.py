@@ -441,7 +441,10 @@ class Scanner:
             self._fusedct = False
             if (self.dfa is None or not self.use_device
                     or self.mesh is not None
-                    or os.environ.get("SREGEX_FUSED") == "0"):
+                    or os.environ.get("SREGEX_FUSED") == "0"
+                    or os.environ.get("SREGEX_CORE") == "0"):
+                # SREGEX_CORE=0 keeps ALL core tiers out (the fused
+                # path is a core tier with device-side repair)
                 return None
             from .ops.pallas_scan import SpecTablesWide
             sp = self._spec
