@@ -206,3 +206,20 @@ def test_scanner_scan_uses_fused_tier():
     if exp[0] >= 0:
         assert got is not None and got[1] == exp[0]
     assert sc._fusedct not in (None, False)
+
+
+def test_sregex_core_env_disables_fused(monkeypatch):
+    """SREGEX_CORE=0 must keep ALL core tiers out, including the
+    fused two-phase path (the hardware smoke tiers rely on it)."""
+    monkeypatch.setenv("SREGEX_CORE", "0")
+    from sregex_tpu import parse_multi
+    from sregex_tpu.stream import Scanner
+    dfa, words = _multi_machine()
+    ast, _ = parse_multi(words)
+    prog = compile_regex(ast)
+    sc = Scanner(prog, use_device=True, ast=ast)
+    sc.DEVICE_THRESHOLD = 1 << 14
+    data = _corpus(words, 100_000, seed=51)
+    exp_c, exp_st = sc._native.count(data, 0)
+    assert sc.count(data) == exp_c + int(sc.dfa.match_eof[exp_st])
+    assert sc._fusedct is False
