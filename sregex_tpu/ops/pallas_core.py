@@ -63,13 +63,16 @@ _CANDIDATE_MS = (4096, 2048, 1024, 512, 256, 128, 96, 64, 48, 32, 24,
                  16, 12, 8, 6, 4, 3, 2, 1)
 
 
-def _inner_tables(core, narrow_only):
+def _inner_tables(core, narrow_only, no_pair=False):
     """Fast-first tier chain over the synthesized core machine.
     narrow_only=True restricts to the 1-gather tiers (pair/narrow);
-    False also admits the row-select wide tier (<= 4096 entries)."""
+    False also admits the row-select wide tier (<= 4096 entries).
+    no_pair=True keeps the pair tier out — the FUSED two-phase path
+    needs a byte-unit inner whose chunking matches the full tables
+    (pair units would disqualify the merged validation)."""
     import functools
     chain = []
-    if os.environ.get("SREGEX_PAIR") != "0":
+    if not no_pair and os.environ.get("SREGEX_PAIR") != "0":
         from .pallas_pair import SpecTablesPair
         chain.append(functools.partial(SpecTablesPair,
                                        narrow_only=True))
@@ -93,11 +96,12 @@ class CoreTables:
     """
 
     def __init__(self, dfa, sample, max_escape_frac=MAX_ESCAPE_FRAC,
-                 require_fast=False):
+                 require_fast=False, no_pair=False):
         """require_fast=True only accepts a core the 1-gather
         (pair/narrow) tiers can run — used when the FULL machine
         already has a static wide tier, which a wide core could
-        never beat."""
+        never beat.  no_pair=True restricts to byte-unit inners
+        (the fused path's chunking constraint)."""
         from ..native import NativeDfa
         self.dfa = dfa                      # the FULL machine
         self.native = NativeDfa(dfa)
@@ -126,12 +130,14 @@ class CoreTables:
         for m in ms:
             core, hot2full, full2core = build_core_dfa(dfa, order[:m])
             if fast_fit is None:
-                inner = _inner_tables(core, narrow_only=True)
+                inner = _inner_tables(core, narrow_only=True,
+                                      no_pair=no_pair)
                 if inner is not None:
                     fast_fit = (inner, core, hot2full, full2core)
                     break                   # largest fast fit wins
             if wide_fit is None and not require_fast:
-                inner = _inner_tables(core, narrow_only=False)
+                inner = _inner_tables(core, narrow_only=False,
+                                      no_pair=no_pair)
                 if inner is not None:
                     wide_fit = (inner, core, hot2full, full2core)
         fit = fast_fit or wide_fit

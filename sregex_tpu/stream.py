@@ -454,7 +454,8 @@ class Scanner:
                 from .ops.pallas_core import CoreTables
                 self._fusedct = CoreTables(self.dfa,
                                            self._core_sample(data),
-                                           require_fast=False)
+                                           require_fast=False,
+                                           no_pair=True)
                 if os.environ.get("SREGEX_TIER_AB") != "0" \
                         and _core_band(sp) == "ab":
                     self._ab_pending = True

@@ -262,10 +262,12 @@ def test_core_engages_over_static_wide_tier(monkeypatch):
     cached core must then stay exact on a later corpus containing
     matches (ramp states outside the core -> escape repair).
 
-    (SREGEX_AFFINE=0: these counted-rep chains now land on the
-    piecewise-affine tier by default — this test pins the legacy
-    core-over-wide logic, which still serves branching machines.)"""
+    (SREGEX_AFFINE=0 / SREGEX_FUSED=0: counted-rep chains land on
+    the piecewise-affine tier and long-chain wides on the fused
+    two-phase path by default — this test pins the LEGACY
+    core-over-wide logic, still the fallback when those decline.)"""
     monkeypatch.setenv("SREGEX_AFFINE", "0")
+    monkeypatch.setenv("SREGEX_FUSED", "0")
     from sregex_tpu.stream import compile_pattern
     from sregex_tpu.ops.pallas_scan import SpecTablesWide
     sc = compile_pattern(b"foo[a-z]{8,18}bar", use_device=True)
