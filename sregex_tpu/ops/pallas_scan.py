@@ -51,11 +51,14 @@ _BIG = np.int32(2 ** 30)
 
 WORDS_PER_ITER = 2   # packed words consumed per loop iteration
 # Interleaved tiles per block (latency hiding: independent gather
-# chains pipeline against each other).  4 is the tuned default;
-# SREGEX_GROUPS is an experimental knob (the kernel is latency-bound
-# on the bench relay, so more chains may help — max_chunk_bytes keeps
-# the double-buffered block inside the scoped-VMEM budget for any G).
-GROUPS = int(os.environ.get("SREGEX_GROUPS", "4"))
+# chains pipeline against each other).  8 is the tuned default since
+# round 4: with the raised scoped-VMEM budget K stays 2048 at G=8 and
+# the extra chains win ~1.3x (headline 29.1 vs 22.1 GB/s at 1 GB;
+# fused multi 9.74 vs 7.69 at 512 MB).  Round 3's G=8 negative was an
+# artifact of the old 16 MiB budget forcing K=1024.  SREGEX_GROUPS
+# overrides; max_chunk_bytes keeps every block inside the budget for
+# any G.  (The CPU-mesh test conftest pins G=4 for interpret speed.)
+GROUPS = int(os.environ.get("SREGEX_GROUPS", "8"))
 TILE = 1024          # streams per tile (8 sublanes x 128 lanes)
 DEFAULT_K = 2048     # nominal chunk length (rounded to the packing)
 

@@ -17,6 +17,13 @@ if os.environ.get("SREGEX_TEST_TPU") != "1":
     import jax
     jax.config.update("jax_platforms", "cpu")
 
+# Interpret-mode kernels trace ~2x slower at the production G=8
+# default; the layout/fold logic is G-parametric, so the CPU mesh
+# tests pin G=4 for speed (hardware smoke/bench run the production
+# default; test_groups8.py covers the G=8 layout on the CPU mesh).
+if os.environ.get("SREGEX_TEST_TPU") != "1":
+    os.environ.setdefault("SREGEX_GROUPS", "4")
+
 # The mid-band core-vs-wide first-scan A/B (stream._maybe_tier_ab)
 # picks a tier from interpret-mode TIMINGS here, which would make
 # tier assertions nondeterministic suite-wide; pin it off, except for
