@@ -26,7 +26,9 @@ into ONE combined DFA (the reference's flagship multi-regex API,
 README.markdown:70-72) counted over a text corpus through the
 Scanner's production tier dispatch (the adaptive core tier: the
 static chain bottoms out at the big tier for this machine).
-SREGEX_BENCH_MULTI_MB sizes its corpus (default 512).
+SREGEX_BENCH_MULTI_MB sizes its corpus (default 1024: the
+512 MB shape was dispatch-RTT-bound at ~7.5 GB/s where 1 GB
+shows the fused kernel rate, 14.3 GB/s).
 """
 
 import json
@@ -56,7 +58,7 @@ def bench_multi(log):
     from sregex_tpu import parse_multi, compile_regex
     from sregex_tpu.stream import Scanner
 
-    mb = int(os.environ.get("SREGEX_BENCH_MULTI_MB", "512"))
+    mb = int(os.environ.get("SREGEX_BENCH_MULTI_MB", "1024"))
     reps = int(os.environ.get("SREGEX_BENCH_REPS", "5"))
 
     pats = [w.encode() for w in MULTI_WORDS]
