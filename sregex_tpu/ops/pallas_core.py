@@ -584,21 +584,40 @@ FUSED_CAP = int(os.environ.get("SREGEX_FUSED_CAP", str(16384)))
 
 
 def _tier_statics(tables):
-    """(narrow, J-minus-K, W, CPW, BITS, R) for a SpecTables /
-    SpecTablesWide object."""
-    narrow = isinstance(tables, SpecTables)
-    R = 1 if narrow else tables.rows
-    return narrow, tables.warmup, tables.cpw, tables.bits, R
+    """(kind, W, CPW, BITS, R) for a SpecTables / SpecTablesWide /
+    SpecTablesBig object ("narrow" / "wide" / "big")."""
+    from .pallas_big import SpecTablesBig
+    if isinstance(tables, SpecTables):
+        kind, R = "narrow", 1
+    elif isinstance(tables, SpecTablesBig):
+        kind, R = "big", tables.rows
+    else:
+        kind, R = "wide", tables.rows
+    return kind, tables.warmup, tables.cpw, tables.bits, R
+
+
+def _mk_kernel(kind, J, W, CPW, BITS, R):
+    """COUNT-mode kernel for one tier kind (narrow/wide/big)."""
+    if kind == "narrow":
+        return functools.partial(_kernel, J=J, W=W, CPW=CPW,
+                                 BITS=BITS, COUNT=True)
+    if kind == "big":
+        from .pallas_big import _kernel_big
+        return functools.partial(_kernel_big, J=J, W=W, CPW=CPW,
+                                 BITS=BITS, R=R, COUNT=True,
+                                 FAST=False)
+    return functools.partial(_kernel_wide, J=J, W=W, CPW=CPW,
+                             BITS=BITS, R=R, COUNT=True)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "K", "W1", "CPW1", "BITS1", "R1", "NARROW1",
-    "W2", "CPW2", "BITS2", "R2", "NARROW2",
+    "K", "W1", "CPW1", "BITS1", "R1", "KIND1",
+    "W2", "CPW2", "BITS2", "R2", "KIND2",
     "CAP", "NCLS_C", "NCLS_F", "ESC"))
 def _fused_count(core_data, full_data, core_fused, full_fused,
                  hot2full, C, entry_core, entry_full, *,
-                 K, W1, CPW1, BITS1, R1, NARROW1,
-                 W2, CPW2, BITS2, R2, NARROW2,
+                 K, W1, CPW1, BITS1, R1, KIND1,
+                 W2, CPW2, BITS2, R2, KIND2,
                  CAP, NCLS_C, NCLS_F, ESC):
     """Returns (summary int32[11], merged int32 [3, Cp] in FULL
     premult space, core packed int32 [3, Cp] in core space).
@@ -617,14 +636,13 @@ def _fused_count(core_data, full_data, core_fused, full_fused,
 
     # ---- phase 1: core kernel ----
     J1 = W1 + K
-    k1 = functools.partial(
-        _kernel if NARROW1 else _kernel_wide, J=J1, W=W1, CPW=CPW1,
-        BITS=BITS1, COUNT=True, **({} if NARROW1 else {"R": R1}))
+    k1 = _mk_kernel(KIND1, J1, W1, CPW1, BITS1, R1)
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+    n1_ = KIND1 == "narrow"
     spec1 = pl.BlockSpec(
-        (8, 128) if NARROW1 else (R1, 8, 128),
-        (lambda i: (0, 0)) if NARROW1 else (lambda i: (0, 0, 0)),
+        (8, 128) if n1_ else (R1, 8, 128),
+        (lambda i: (0, 0)) if n1_ else (lambda i: (0, 0, 0)),
         memory_space=pltpu.VMEM)
     s01, j01 = _entry_planes(entry_core, jnp.int32(W1), B=B1)
     phi1, fm1, swarm1 = _dispatch_kernel(k1, core_data, s01, j01,
@@ -671,12 +689,11 @@ def _fused_count(core_data, full_data, core_fused, full_fused,
 
     # ---- phase 2: full-machine kernel over the compacted block ----
     J2 = W2 + K
-    k2 = functools.partial(
-        _kernel if NARROW2 else _kernel_wide, J=J2, W=W2, CPW=CPW2,
-        BITS=BITS2, COUNT=True, **({} if NARROW2 else {"R": R2}))
+    k2 = _mk_kernel(KIND2, J2, W2, CPW2, BITS2, R2)
+    n2_ = KIND2 == "narrow"
     spec2 = pl.BlockSpec(
-        (8, 128) if NARROW2 else (R2, 8, 128),
-        (lambda i: (0, 0)) if NARROW2 else (lambda i: (0, 0, 0)),
+        (8, 128) if n2_ else (R2, 8, 128),
+        (lambda i: (0, 0)) if n2_ else (lambda i: (0, 0, 0)),
         memory_space=pltpu.VMEM)
     z2 = jnp.zeros((B2, G, 8, 128), jnp.int32)
     phi2, fm2, swarm2 = _dispatch_kernel(k2, blk, z2, z2, full_fused,
@@ -724,10 +741,12 @@ def _fused_dispatch(ct, full_tables, data_np, chunk_len,
     from .pallas_scan import effective_chunk
     from .prep import prepare_auto
 
+    from .pallas_big import SpecTablesBig
     inner = ct.inner
     if not isinstance(inner, (SpecTables, SpecTablesWide)) \
             or not isinstance(full_tables, (SpecTables,
-                                            SpecTablesWide)):
+                                            SpecTablesWide,
+                                            SpecTablesBig)):
         return None
     if getattr(inner, "bpu", 1) != 1 \
             or getattr(full_tables, "bpu", 1) != 1:
@@ -757,8 +776,8 @@ def _fused_dispatch(ct, full_tables, data_np, chunk_len,
     # reachable for every corpus length
     Cfull = C - 1 if C * K > n and (n - (C - 1) * K) != K else C
 
-    n1, w1, c1, b1, r1 = _tier_statics(inner)
-    n2, w2, c2, b2_, r2 = _tier_statics(full_tables)
+    k1, w1, c1, b1, r1 = _tier_statics(inner)
+    k2, w2, c2, b2_, r2 = _tier_statics(full_tables)
     h2f = np.full(ct.H + 1, -1, dtype=np.int32)
     h2f[:ct.H] = np.asarray(ct.hot2full[:ct.H], dtype=np.int32)
     # Cp = B1 * GROUPS * TILE chunk slots; never allocate more phase-2
@@ -766,8 +785,9 @@ def _fused_dispatch(ct, full_tables, data_np, chunk_len,
     cap = min(FUSED_CAP,
               max(4096, -(-B1 * GROUPS * 1024 // 4096) * 4096))
 
-    fv1 = inner.fused_vec if n1 else inner.fused_rows
-    fv2 = full_tables.fused_vec if n2 else full_tables.fused_rows
+    fv1 = inner.fused_vec if k1 == "narrow" else inner.fused_rows
+    fv2 = full_tables.fused_vec if k2 == "narrow" \
+        else full_tables.fused_rows
     if Cfull <= 0:
         summ = merged = packed_core = None
     else:
@@ -778,8 +798,8 @@ def _fused_dispatch(ct, full_tables, data_np, chunk_len,
             else jnp.asarray(full_data),
             fv1, fv2, jnp.asarray(h2f), jnp.int32(Cfull),
             jnp.int32(ep), jnp.int32(entry_state * full_tables.ncls),
-            K=K, W1=w1, CPW1=c1, BITS1=b1, R1=r1, NARROW1=n1,
-            W2=w2, CPW2=c2, BITS2=b2_, R2=r2, NARROW2=n2,
+            K=K, W1=w1, CPW1=c1, BITS1=b1, R1=r1, KIND1=k1,
+            W2=w2, CPW2=c2, BITS2=b2_, R2=r2, KIND2=k2,
             CAP=cap, NCLS_C=inner.ncls, NCLS_F=full_tables.ncls,
             ESC=ct.esc_premult)
         summ = np.asarray(summary).astype(np.int64)

@@ -447,8 +447,10 @@ class Scanner:
                 # path is a core tier with device-side repair)
                 return None
             from .ops.pallas_scan import SpecTablesWide
+            from .ops.pallas_big import SpecTablesBig
             sp = self._spec
-            if not (isinstance(sp, SpecTablesWide) and sp.rows > 4):
+            if not ((isinstance(sp, SpecTablesWide) and sp.rows > 4)
+                    or isinstance(sp, SpecTablesBig)):
                 return None
             try:
                 from .ops.pallas_core import CoreTables

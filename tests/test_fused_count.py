@@ -223,3 +223,60 @@ def test_sregex_core_env_disables_fused(monkeypatch):
     exp_c, exp_st = sc._native.count(data, 0)
     assert sc.count(data) == exp_c + int(sc.dfa.match_eof[exp_st])
     assert sc._fusedct is False
+
+
+def test_fused_with_big_full_tables(monkeypatch):
+    """Machines past the wide cap redo escapes on the BIG kernel in
+    phase 2 (SREGEX_AFFINE=0 forces the chain monster onto the big
+    tier, its pre-round-4 home)."""
+    monkeypatch.setenv("SREGEX_AFFINE", "0")
+    from sregex_tpu.ops.pallas_big import SpecTablesBig
+    from sregex_tpu.ops.pallas_core import core_scan_fused
+    ast, _ = parse(rb"(?:ab?c){60,140}z")
+    dfa = build_dfa(compile_regex(ast), max_states=65536)
+    full = SpecTablesBig(dfa)
+    native = NativeDfa(dfa)
+    rng = random.Random(23)
+    # skewed corpus (mostly fillers, occasional chain excursions):
+    # the hot set is tiny, escapes redo on the big kernel
+    data = bytearray()
+    while len(data) < 400_000:
+        data += bytes(rng.choice(b"xyzw .") for _ in range(
+            rng.randrange(200, 900)))
+        data += b"abc" * rng.randrange(1, 30)
+    data = bytes(data[:400_000])
+    ct = CoreTables(dfa, data[:64 << 10], require_fast=False,
+                    no_pair=True)
+    exp_c, exp_st = native.count(data, 0)
+    r = core_count_fused(ct, full, data, chunk_len=512)
+    assert r is not None, "fused declined for big full tables"
+    st, got = r
+    assert (got, st) == (exp_c, exp_st)
+    exp_f, exp_fst = native.scan_first(data, 0)
+    r = core_scan_fused(ct, full, data, chunk_len=512)
+    assert r is not None
+    st, f = r
+    assert (f, st) == (exp_f, exp_fst)
+
+
+def test_scanner_fused_over_big_tier(monkeypatch):
+    monkeypatch.setenv("SREGEX_AFFINE", "0")
+    from sregex_tpu import parse as _parse
+    from sregex_tpu.stream import Scanner
+    from sregex_tpu.ops.pallas_big import SpecTablesBig
+    # 11,020 entries: past even the CPU wide cap -> big tier
+    ast, _ = _parse(rb"(?:a[bc]|de*f|g[hi]j){220,490}z")
+    prog = compile_regex(ast)
+    sc = Scanner(prog, use_device=True, ast=ast)
+    if not isinstance(sc._spec, SpecTablesBig):
+        pytest.skip("machine no longer lands on the big tier")
+    sc.DEVICE_THRESHOLD = 1 << 14
+    rng = random.Random(29)
+    data = bytes(rng.choice(b"abcdefghij .") for _ in range(300_000))
+    exp_c, exp_st = sc._native.count(data, 0)
+    exp = exp_c + int(sc.dfa.match_eof[exp_st])
+    assert sc.count(data) == exp
+    # the fused tier engaged over the big static tier (or declined
+    # legitimately if no core covers this corpus — assert it at
+    # least TRIED and stayed exact)
+    assert sc._fusedct is not None
