@@ -578,8 +578,9 @@ def core_count_bytes(ct, data_np, chunk_len=DEFAULT_K, entry_state=0,
 # zero native repairs.
 # ---------------------------------------------------------------------
 
-# max escaped chunks the device redo absorbs per scan (multiple of
-# 4096 = one phase-2 block); more overflow to the legacy host fold
+# max escaped chunks the device redo absorbs per scan (rounded up at
+# dispatch to a whole phase-2 block = GROUPS*1024 chunk slots); more
+# overflow to the legacy host fold
 FUSED_CAP = int(os.environ.get("SREGEX_FUSED_CAP", str(16384)))
 
 
@@ -672,13 +673,19 @@ def _fused_count(core_data, full_data, core_fused, full_fused,
     key = jnp.where(escaped, idx, big)
     sel = jnp.sort(key)[:CAP]
     valid = sel < big
-    sel = jnp.where(valid, sel, 0)
+    # gather-safe padding (index 0) vs scatter padding (out-of-range
+    # Cp + mode="drop"): padding slots must NEVER collide with a real
+    # chunk slot in the merge scatter — duplicate-index scatter order
+    # is undefined, and index-0 padding used to clobber a chunk-0
+    # phase-2 redo with the stale pre-scatter value
+    sel_g = jnp.where(valid, sel, 0)
+    sel_s = jnp.where(valid, sel, jnp.int32(Cp))
 
     # ---- gather FULL-machine windows for the selected chunks ----
     B2 = CAP // (G * 1024)
     Jw2 = full_data.shape[1]
-    b = sel // (G * 1024)
-    rem = sel % (G * 1024)
+    b = sel_g // (G * 1024)
+    rem = sel_g % (G * 1024)
     g = rem // 1024
     t = rem % 1024
     s = t // 128
@@ -702,11 +709,11 @@ def _fused_count(core_data, full_data, core_fused, full_fused,
     fm2 = fm2.reshape(CAP)
     swarm2 = swarm2.reshape(CAP)
 
-    # ---- merge (scatter phase-2 results over the escaped slots) ----
-    phi_m = phi_m.at[sel].set(jnp.where(valid, phi2, phi_m[sel]))
-    fm_m = fm_m.at[sel].set(jnp.where(valid, fm2, fm_m[sel]))
-    swarm_m = swarm_m.at[sel].set(jnp.where(valid, swarm2,
-                                            swarm_m[sel]))
+    # ---- merge (scatter phase-2 results over the escaped slots;
+    # padding rides out-of-range indices and is dropped) ----
+    phi_m = phi_m.at[sel_s].set(phi2, mode="drop")
+    fm_m = fm_m.at[sel_s].set(fm2, mode="drop")
+    swarm_m = swarm_m.at[sel_s].set(swarm2, mode="drop")
 
     # ---- merged validation chain (FULL premult space) ----
     entries = jnp.concatenate([entry_full[None], phi_m[:-1]])
@@ -780,10 +787,13 @@ def _fused_dispatch(ct, full_tables, data_np, chunk_len,
     k2, w2, c2, b2_, r2 = _tier_statics(full_tables)
     h2f = np.full(ct.H + 1, -1, dtype=np.int32)
     h2f[:ct.H] = np.asarray(ct.hot2full[:ct.H], dtype=np.int32)
-    # Cp = B1 * GROUPS * TILE chunk slots; never allocate more phase-2
-    # capacity than that (rounded up to whole 4096-chunk blocks)
-    cap = min(FUSED_CAP,
-              max(4096, -(-B1 * GROUPS * 1024 // 4096) * 4096))
+    # Cp = B1 * GROUPS * 1024 chunk slots; never allocate more phase-2
+    # capacity than that, and ALWAYS round up to whole phase-2 blocks
+    # (GROUPS*1024) — phase 2 reshapes to [B2, G, 8, 128] and a cap
+    # below one block would trace B2 = 0 and decline the tier
+    blk = GROUPS * 1024
+    cap = min(FUSED_CAP, B1 * blk)
+    cap = max(blk, -(-cap // blk) * blk)
 
     fv1 = inner.fused_vec if k1 == "narrow" else inner.fused_rows
     fv2 = full_tables.fused_vec if k2 == "narrow" \
@@ -838,7 +848,14 @@ def core_count_fused(ct, full_tables, data_np, chunk_len=DEFAULT_K,
     elif bool(summ[0]):
         # merged chain validated end to end: zero host repairs
         ct.last_repair = (0, Cfull)
-        e_full, total = int(summ[5]) // ncls_f, int(summ[6])
+        e_full = int(summ[5]) // ncls_f
+        if n >= 2 ** 31:
+            # the device prefix is int32; re-sum the merged per-chunk
+            # fire counts in int64 (mirrors core_count_bytes' guard)
+            fm64 = np.asarray(merged)[1].astype(np.int64)
+            total = int(fm64[:Cfull].sum())
+        else:
+            total = int(summ[6])
     elif bool(summ[7]):
         # overflow: more escapes than the device redo cap — legacy
         # host fold over the CORE-space planes
@@ -867,9 +884,10 @@ def core_count_fused(ct, full_tables, data_np, chunk_len=DEFAULT_K,
         # residual speculation miss: walk the MERGED (full-space)
         # planes from the first break — rare, a few chunks
         phi_m, fm_m, swarm_m = np.asarray(merged).astype(np.int64)
-        total = int(summ[6])
-        e = int(summ[2])
         c = int(summ[1])
+        # int64 prefix when the int32 device sum could wrap
+        total = int(fm_m[:c].sum()) if n >= 2 ** 31 else int(summ[6])
+        e = int(summ[2])
         nat = 0
         while c < Cfull:
             if int(swarm_m[c]) == e and e >= 0:

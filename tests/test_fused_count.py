@@ -114,6 +114,48 @@ def test_fused_overflow_falls_back_to_host_fold(monkeypatch):
     assert (got, st) == (exp[0], exp[1])
 
 
+def test_fused_chunk0_escape_exact():
+    """Regression (round-4 advisor, HIGH): a chunk-0 escape must keep
+    its phase-2 redo.  The merge scatter used to pad unused selection
+    slots with index 0; duplicate-index scatter order is undefined in
+    JAX, and the padding's stale pre-scatter write clobbered chunk 0's
+    redo (observed 494 vs oracle 49).  Padding now rides out-of-range
+    indices with mode="drop"."""
+    dfa, words = _multi_machine()
+    from sregex_tpu.ops.pallas_scan import (SpecTables, SpecTablesWide)
+    from sregex_tpu.ops.pallas_core import core_scan_fused
+    try:
+        full = SpecTables(dfa)
+    except ValueError:
+        full = SpecTablesWide(dfa)
+    native = NativeDfa(dfa)
+    # keywords only inside chunk 0 (chunk_len=512): n_esc < CAP so
+    # padding slots exist in the phase-2 selection
+    data = bytearray(_corpus(words, 200_000, seed=7,
+                             plant_every=1 << 30))
+    w = words[0]
+    data[40:40 + len(w) + 2] = b" " + w + b" "
+    data[200:200 + len(w) + 2] = b" " + w + b" "
+    data = bytes(data)
+    # sample the core from a keyword-free region so chunk 0 escapes
+    # (no_pair: the keyword-free sample would qualify the pair tier,
+    # which the fused path declines)
+    ct = CoreTables(dfa, data[8 << 10:72 << 10], require_fast=False,
+                    no_pair=True)
+    exp = native.count(data, 0)
+    assert exp[0] >= 2, "setup: chunk-0 plants must match"
+    r = core_count_fused(ct, full, data, chunk_len=512)
+    assert r is not None
+    st, got = r
+    assert (got, st) == (exp[0], exp[1])
+    # first-match variant: the fire is inside the redone chunk 0
+    exp_f, exp_st = native.scan_first(data, 0)
+    r = core_scan_fused(ct, full, data, chunk_len=512)
+    assert r is not None
+    st, f = r
+    assert (f, st) == (exp_f, exp_st)
+
+
 def test_fused_small_and_tail_edges():
     dfa, words = _multi_machine(nwords=6, wordlen=4, seed=21)
     from sregex_tpu.ops.pallas_scan import (SpecTables, SpecTablesWide)
