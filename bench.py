@@ -26,9 +26,10 @@ into ONE combined DFA (the reference's flagship multi-regex API,
 README.markdown:70-72) counted over a text corpus through the
 Scanner's production tier dispatch (the adaptive core tier: the
 static chain bottoms out at the big tier for this machine).
-SREGEX_BENCH_MULTI_MB sizes its corpus (default 1024: the
-512 MB shape was dispatch-RTT-bound at ~7.5 GB/s where 1 GB
-shows the fused kernel rate, 14.3 GB/s).
+SREGEX_BENCH_MULTI_MB sizes its corpus (default 1920: 512 MB was
+dispatch-RTT-bound at ~7.5 GB/s, 1 GB showed 14.3 in the interleaved
+A/B but only 9.8 through the driver; 1920 MB halves the fixed-cost
+fraction again and stays under the 2^31 device-prep cliff).
 """
 
 import json
@@ -58,7 +59,11 @@ def bench_multi(log):
     from sregex_tpu import parse_multi, compile_regex
     from sregex_tpu.stream import Scanner
 
-    mb = int(os.environ.get("SREGEX_BENCH_MULTI_MB", "1024"))
+    # 1920 MB (the headline's size): amortizes the fixed dispatch
+    # overhead ~2x over the old 1024 default while staying under the
+    # 2^31 padded-corpus cliff where device prep falls back to host
+    # packing (ops/prep.py prepare_on_device)
+    mb = int(os.environ.get("SREGEX_BENCH_MULTI_MB", "1920"))
     reps = int(os.environ.get("SREGEX_BENCH_REPS", "5"))
 
     pats = [w.encode() for w in MULTI_WORDS]

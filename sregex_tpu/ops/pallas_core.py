@@ -41,6 +41,7 @@ stays on the big tier (CoreTables raises ValueError).
 
 import functools
 import os
+import time
 
 import numpy as np
 import jax
@@ -785,8 +786,14 @@ def _fused_dispatch(ct, full_tables, data_np, chunk_len,
 
     k1, w1, c1, b1, r1 = _tier_statics(inner)
     k2, w2, c2, b2_, r2 = _tier_statics(full_tables)
-    h2f = np.full(ct.H + 1, -1, dtype=np.int32)
-    h2f[:ct.H] = np.asarray(ct.hot2full[:ct.H], dtype=np.int32)
+    # hot->full map: device-resident ONCE per CoreTables — a per-call
+    # host->device put would cost a relay round trip per count/scan
+    h2f_dev = getattr(ct, "_h2f_dev", None)
+    if h2f_dev is None:
+        h2f = np.full(ct.H + 1, -1, dtype=np.int32)
+        h2f[:ct.H] = np.asarray(ct.hot2full[:ct.H], dtype=np.int32)
+        h2f_dev = jnp.asarray(h2f)
+        ct._h2f_dev = h2f_dev
     # Cp = B1 * GROUPS * 1024 chunk slots; never allocate more phase-2
     # capacity than that, and ALWAYS round up to whole phase-2 blocks
     # (GROUPS*1024) — phase 2 reshapes to [B2, G, 8, 128] and a cap
@@ -801,18 +808,27 @@ def _fused_dispatch(ct, full_tables, data_np, chunk_len,
     if Cfull <= 0:
         summ = merged = packed_core = None
     else:
+        t_disp = time.perf_counter()
+        # scalars ride np.int32 (shipped with the execute call, not
+        # as separate device ops — the relay charges ~26 ms per
+        # dispatch and misbehaves when several queue unblocked)
         summary, merged, packed_core = _fused_count(
             core_data if isinstance(core_data, jax.Array)
             else jnp.asarray(core_data),
             full_data if isinstance(full_data, jax.Array)
             else jnp.asarray(full_data),
-            fv1, fv2, jnp.asarray(h2f), jnp.int32(Cfull),
-            jnp.int32(ep), jnp.int32(entry_state * full_tables.ncls),
+            fv1, fv2, h2f_dev, np.int32(Cfull),
+            np.int32(ep), np.int32(entry_state * full_tables.ncls),
             K=K, W1=w1, CPW1=c1, BITS1=b1, R1=r1, KIND1=k1,
             W2=w2, CPW2=c2, BITS2=b2_, R2=r2, KIND2=k2,
             CAP=cap, NCLS_C=inner.ncls, NCLS_F=full_tables.ncls,
             ESC=ct.esc_premult)
+        t_read = time.perf_counter()
         summ = np.asarray(summary).astype(np.int64)
+        # phase decomposition for bench/profile_driver.py: enqueue
+        # (async jit dispatch) vs blocking summary readback
+        ct.last_timing = {"enqueue_s": t_read - t_disp,
+                          "readback_s": time.perf_counter() - t_read}
     return {"summ": summ, "C": C, "Cfull": Cfull, "K": K, "n": n,
             "B1": B1, "merged": merged, "packed_core": packed_core}
 

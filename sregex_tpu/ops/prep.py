@@ -171,7 +171,11 @@ def prepare_on_device(tables, data_np, chunk_len, b_multiple=1,
     L = B * G * TILE * K
     if L >= 2 ** 31:
         # the valid-byte iota mask is int32; beyond 2 GiB of padded
-        # corpus fall back to host prep (exact, just slower)
+        # corpus fall back to host prep (exact, just slower) — which
+        # needs host bytes even when the caller shares a device-
+        # resident raw array (PreparedCorpus._raw)
+        if isinstance(data_np, jax.Array):
+            data_np = np.asarray(data_np)
         return _prepare(tables, data_np, chunk_len,
                         b_multiple=b_multiple,
                         prev_tail_cls=prev_tail_cls, block=block)

@@ -263,6 +263,22 @@ class PreparedCorpus:
         self.data = data
         self.chunk_len = chunk_len
         self._by_tables = {}
+        self._raw_dev = None
+
+    def _raw(self):
+        """Upload the raw bytes ONCE; every per-tables prep pads and
+        packs on device from the same HBM-resident array.  The
+        host->HBM link is the cold wall (~0.03-0.1 GB/s through the
+        relay), and the fused two-phase tier needs TWO prep layouts
+        (core + full machine) over the same corpus — sharing the raw
+        upload halves the cold cost of exactly that shape."""
+        if self._raw_dev is None:
+            import jax.numpy as jnp
+            arr = (self.data if isinstance(self.data, np.ndarray)
+                   else np.frombuffer(self.data, dtype=np.uint8))
+            self._raw_dev = jnp.asarray(arr)
+            self._raw_dev.block_until_ready()
+        return self._raw_dev
 
     def for_tables(self, tables):
         key = id(tables)
@@ -273,8 +289,13 @@ class PreparedCorpus:
                 from .ops.pallas_phi import phi_prepare
                 p = phi_prepare(tables, self.data, self.chunk_len)
             else:
-                from .ops.prep import prepare_auto
-                p = prepare_auto(tables, self.data, self.chunk_len)
+                import os
+                from .ops.prep import prepare_auto, DEVICE_PREP_MIN
+                knob = os.environ.get("SREGEX_DEVICE_PREP")
+                use_dev = (len(self.data) >= DEVICE_PREP_MIN
+                           if knob is None else knob == "1")
+                src = self._raw() if use_dev else self.data
+                p = prepare_auto(tables, src, self.chunk_len)
             self._by_tables[key] = p
         return p
 
