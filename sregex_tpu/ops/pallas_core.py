@@ -612,26 +612,19 @@ def _mk_kernel(kind, J, W, CPW, BITS, R):
                              BITS=BITS, R=R, COUNT=True)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "K", "W1", "CPW1", "BITS1", "R1", "KIND1",
-    "W2", "CPW2", "BITS2", "R2", "KIND2",
-    "CAP", "NCLS_C", "NCLS_F", "ESC"))
-def _fused_count(core_data, full_data, core_fused, full_fused,
-                 hot2full, C, entry_core, entry_full, *,
-                 K, W1, CPW1, BITS1, R1, KIND1,
-                 W2, CPW2, BITS2, R2, KIND2,
-                 CAP, NCLS_C, NCLS_F, ESC):
-    """Returns (summary int32[11], merged int32 [3, Cp] in FULL
-    premult space, core packed int32 [3, Cp] in core space).
-
-    summary: [0] all_ok (merged chain valid, no overflow)
-             [1] fb  [2] entry@fb  [3] swarm@fb  [4] phi@fb
-             [5] phi@C-1  [6] prefix count (sum fm[0:fb])
-             [7] overflow (escaped > CAP)  [8] n_escaped
-             [9] first firing chunk in the validated prefix (-1)
-             [10] entry @ that chunk."""
-    from jax import lax
-
+def _fused_phases(core_data, full_data, s01, j01, core_fused,
+                  full_fused, hot2full, live, *,
+                  K, W1, CPW1, BITS1, R1, KIND1,
+                  W2, CPW2, BITS2, R2, KIND2,
+                  CAP, NCLS_C, NCLS_F, ESC):
+    """The two kernel phases + on-device escape compaction + merge
+    over ONE device's blocks (called directly single-chip, or inside
+    the shard_map body of the mesh path — all index arithmetic here
+    is block-local).  Returns (phi_m, fm_m, swarm_m) merged planes in
+    FULL premult space, the phase-1 core planes, n_esc and the
+    overflow flag.  ``live`` masks the chunk slots that carry real
+    corpus chunks (the caller computes it from the GLOBAL chunk
+    index, so mesh shards mask correctly)."""
     G = GROUPS
     B1 = core_data.shape[0]
     Cp = B1 * G * 8 * 128
@@ -646,7 +639,6 @@ def _fused_count(core_data, full_data, core_fused, full_fused,
         (8, 128) if n1_ else (R1, 8, 128),
         (lambda i: (0, 0)) if n1_ else (lambda i: (0, 0, 0)),
         memory_space=pltpu.VMEM)
-    s01, j01 = _entry_planes(entry_core, jnp.int32(W1), B=B1)
     phi1, fm1, swarm1 = _dispatch_kernel(k1, core_data, s01, j01,
                                          core_fused, spec1, None,
                                          None)
@@ -655,7 +647,6 @@ def _fused_count(core_data, full_data, core_fused, full_fused,
     swarm1 = swarm1.reshape(Cp)
 
     idx = jnp.arange(Cp, dtype=jnp.int32)
-    live = idx < C
     escaped = (phi1 == ESC) & live
     n_esc = jnp.sum(escaped.astype(jnp.int32))
     overflow = n_esc > CAP
@@ -715,6 +706,40 @@ def _fused_count(core_data, full_data, core_fused, full_fused,
     phi_m = phi_m.at[sel_s].set(phi2, mode="drop")
     fm_m = fm_m.at[sel_s].set(fm2, mode="drop")
     swarm_m = swarm_m.at[sel_s].set(swarm2, mode="drop")
+    return (phi_m, fm_m, swarm_m, phi1, fm1, swarm1, n_esc, overflow)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "K", "W1", "CPW1", "BITS1", "R1", "KIND1",
+    "W2", "CPW2", "BITS2", "R2", "KIND2",
+    "CAP", "NCLS_C", "NCLS_F", "ESC"))
+def _fused_count(core_data, full_data, core_fused, full_fused,
+                 hot2full, C, entry_core, entry_full, *,
+                 K, W1, CPW1, BITS1, R1, KIND1,
+                 W2, CPW2, BITS2, R2, KIND2,
+                 CAP, NCLS_C, NCLS_F, ESC):
+    """Returns (summary int32[11], merged int32 [3, Cp] in FULL
+    premult space, core packed int32 [3, Cp] in core space).
+
+    summary: [0] all_ok (merged chain valid, no overflow)
+             [1] fb  [2] entry@fb  [3] swarm@fb  [4] phi@fb
+             [5] phi@C-1  [6] prefix count (sum fm[0:fb])
+             [7] overflow (escaped > CAP)  [8] n_escaped
+             [9] first firing chunk in the validated prefix (-1)
+             [10] entry @ that chunk."""
+    G = GROUPS
+    B1 = core_data.shape[0]
+    Cp = B1 * G * 8 * 128
+    idx = jnp.arange(Cp, dtype=jnp.int32)
+    live = idx < C
+    s01, j01 = _entry_planes(entry_core, jnp.int32(W1), B=B1)
+    (phi_m, fm_m, swarm_m, phi1, fm1, swarm1, n_esc,
+     overflow) = _fused_phases(
+        core_data, full_data, s01, j01, core_fused, full_fused,
+        hot2full, live,
+        K=K, W1=W1, CPW1=CPW1, BITS1=BITS1, R1=R1, KIND1=KIND1,
+        W2=W2, CPW2=CPW2, BITS2=BITS2, R2=R2, KIND2=KIND2,
+        CAP=CAP, NCLS_C=NCLS_C, NCLS_F=NCLS_F, ESC=ESC)
 
     # ---- merged validation chain (FULL premult space) ----
     entries = jnp.concatenate([entry_full[None], phi_m[:-1]])
@@ -740,12 +765,153 @@ def _fused_count(core_data, full_data, core_fused, full_fused,
     return summary, merged, packed_core
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "K", "W1", "CPW1", "BITS1", "R1", "KIND1",
+    "W2", "CPW2", "BITS2", "R2", "KIND2",
+    "CAP", "NCLS_C", "NCLS_F", "ESC", "mesh", "axis"))
+def _fused_count_mesh(core_data, full_data, core_fused, full_fused,
+                      hot2full, C, entry_core, entry_full, *,
+                      K, W1, CPW1, BITS1, R1, KIND1,
+                      W2, CPW2, BITS2, R2, KIND2,
+                      CAP, NCLS_C, NCLS_F, ESC, mesh, axis):
+    """Mesh variant of _fused_count (VERDICT r4 #3): the whole
+    two-phase dispatch shard_maps over the chunk-block dim.  Phase-1
+    planes, the escape compaction, the phase-2 window gather (chunk
+    slots are lane-ordered WITHIN a shard, so the gather never
+    crosses shards) and the merge are all shard-local; the merged
+    validation chain stitches shards with one ppermute of each
+    shard's last exit (the same swarm==entries discipline that
+    stitches chunks).  CAP is PER SHARD (aggregate capacity scales
+    with the mesh).
+
+    Returns (summaries int32 [ndev, 11] — per-shard partial
+    summaries, combined on host by _combine_fused_summaries into the
+    exact single-chip 11-summary — merged [3, Cp] and core packed
+    [3, Cp] planes in GLOBAL chunk order)."""
+    from jax import lax, shard_map
+    from jax.sharding import PartitionSpec as P
+
+    G = GROUPS
+    ndev = mesh.shape[axis]
+    B1g = core_data.shape[0]
+    B1l = B1g // ndev
+    Cp_l = B1l * G * 8 * 128
+    s01, j01 = _entry_planes(entry_core, jnp.int32(W1), B=B1g)
+
+    def body(cd, fd, s0, j0, cf, ffv, h2f, Cv, ef):
+        shard = lax.axis_index(axis)
+        base = (shard * Cp_l).astype(jnp.int32)
+        idx = jnp.arange(Cp_l, dtype=jnp.int32)
+        live = (base + idx) < Cv
+        (phi_m, fm_m, swarm_m, phi1, fm1, swarm1, n_esc,
+         overflow) = _fused_phases(
+            cd, fd, s0, j0, cf, ffv, h2f, live,
+            K=K, W1=W1, CPW1=CPW1, BITS1=BITS1, R1=R1, KIND1=KIND1,
+            W2=W2, CPW2=CPW2, BITS2=BITS2, R2=R2, KIND2=KIND2,
+            CAP=CAP, NCLS_C=NCLS_C, NCLS_F=NCLS_F, ESC=ESC)
+        # cross-shard stitch: the previous shard's last exit is this
+        # shard's first entry (shard 0 takes the caller's entry)
+        prev = lax.ppermute(phi_m[Cp_l - 1:], axis,
+                            [(i, i + 1) for i in range(ndev - 1)])
+        first_entry = jnp.where(shard == 0, ef, prev[0])
+        entries = jnp.concatenate([first_entry[None], phi_m[:-1]])
+        okv = (swarm_m == entries) | ~live
+        all_ok_l = jnp.all(okv) & ~overflow
+        fbl = jnp.argmin(okv.astype(jnp.int32)).astype(jnp.int32)
+        fb_eff = jnp.where(jnp.all(okv), Cp_l, fbl)
+        prefix = jnp.sum(jnp.where((idx < fb_eff) & live, fm_m, 0))
+        firev = (fm_m > 0) & (idx < fb_eff) & live
+        any_fire = jnp.any(firev)
+        ffl = jnp.where(any_fire,
+                        jnp.argmax(firev.astype(jnp.int32)), 0)
+        first_fire = jnp.where(any_fire, base + ffl,
+                               -1).astype(jnp.int32)
+        # this shard's slot of chunk C-1 (only the owner's is read)
+        last_i = jnp.clip(Cv - 1 - base, 0, Cp_l - 1)
+        summary = jnp.stack([
+            all_ok_l.astype(jnp.int32), base + fbl, entries[fbl],
+            swarm_m[fbl], phi_m[fbl], phi_m[last_i],
+            prefix.astype(jnp.int32), overflow.astype(jnp.int32),
+            n_esc, first_fire, entries[ffl]])
+        merged = jnp.stack([phi_m, fm_m, swarm_m])
+        packed = jnp.stack([phi1, fm1, swarm1])
+        return summary[None], merged, packed
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis),
+                  P(), P(), P(), P(), P()),
+        out_specs=(P(axis, None), P(None, axis), P(None, axis)),
+        check_vma=False,
+    )(core_data, full_data, s01, j01, core_fused, full_fused,
+      hot2full, C, entry_full)
+
+
+def _combine_fused_summaries(S, C, Cp_l):
+    """Host fold of the per-shard partial summaries into the exact
+    single-chip 11-summary contract (the repair walks downstream are
+    mesh-agnostic).  The global chain validates iff every shard's
+    local chain (including its ppermute stitch) validates; the first
+    break is the first breaking shard's, the validated-prefix count
+    sums whole shards before it plus its local prefix, and the first
+    fire is the first firing shard's at or before it."""
+    S = np.asarray(S).astype(np.int64)
+    ndev = S.shape[0]
+    owner = min((C - 1) // Cp_l, ndev - 1)
+    phi_last = int(S[owner, 5])
+    n_esc = int(S[:, 8].sum())
+    overflow = int(bool(S[:, 7].any()))
+    bad = np.flatnonzero(S[:, 0] == 0)
+    if len(bad) == 0:
+        all_ok, s_star = 1, ndev
+        fb, e_fb, sw_fb, phi_fb = C, 0, 0, 0
+        prefix = int(S[:, 6].sum())
+    else:
+        all_ok, s_star = 0, int(bad[0])
+        fb = int(S[s_star, 1])
+        e_fb = int(S[s_star, 2])
+        sw_fb = int(S[s_star, 3])
+        phi_fb = int(S[s_star, 4])
+        prefix = int(S[:s_star, 6].sum() + S[s_star, 6])
+    ff, e_ff = -1, 0
+    for s in range(min(s_star + 1, ndev)):
+        if S[s, 9] >= 0:
+            ff, e_ff = int(S[s, 9]), int(S[s, 10])
+            break
+    return np.array([all_ok, fb, e_fb, sw_fb, phi_fb, phi_last,
+                     prefix, overflow, n_esc, ff, e_ff],
+                    dtype=np.int64)
+
+
+def fused_chunk(inner, full_tables, chunk_len=DEFAULT_K):
+    """Chunk length BOTH fused preps agree on, or None when no
+    alignment exists.  The two tiers' packing quanta
+    (cpw * WORDS_PER_ITER) can differ, and a warmup-escalated full
+    machine (the W=2048 ladder threads into the phase-2 tables) can
+    clamp its chunk harder than the core — iterate the mutual
+    round-down to a fixed point."""
+    from .pallas_scan import effective_chunk
+    K1 = effective_chunk(inner, chunk_len)
+    K2 = effective_chunk(full_tables, chunk_len)
+    for _ in range(6):
+        if K1 == K2:
+            return K1
+        k = min(K1, K2)
+        K1 = effective_chunk(inner, k)
+        K2 = effective_chunk(full_tables, k)
+    return K1 if K1 == K2 else None
+
+
 def _fused_dispatch(ct, full_tables, data_np, chunk_len,
-                    entry_state, prepared_core, prepared_full):
+                    entry_state, prepared_core, prepared_full,
+                    mesh=None, axis="data"):
     """Shared setup + dispatch for the fused entry points.  Returns
     None when the shapes disqualify the fused path, else a dict with
     the summary, the (lazy) merged/core plane handles, and the
-    chunking facts."""
+    chunking facts.  ``mesh`` shards the whole two-phase dispatch
+    over devices (_fused_count_mesh); the per-shard summaries are
+    folded back into the single-chip contract here, so the repair
+    walks in the entry points stay mesh-agnostic."""
     from .pallas_scan import effective_chunk
     from .prep import prepare_auto
 
@@ -759,19 +925,28 @@ def _fused_dispatch(ct, full_tables, data_np, chunk_len,
     if getattr(inner, "bpu", 1) != 1 \
             or getattr(full_tables, "bpu", 1) != 1:
         return None
-    K1 = effective_chunk(inner, chunk_len)
-    K2 = effective_chunk(full_tables, chunk_len)
-    if K1 != K2:
+    K1 = fused_chunk(inner, full_tables, chunk_len)
+    if K1 is None:
         return None
+    chunk_len = K1
     n = len(data_np)
     ep = ct.to_core_premult(entry_state)
     if ep < 0:
         return None
 
+    ndev = mesh.shape[axis] if mesh is not None else 1
+    if n and prepared_core is not None and \
+            (prepared_core[2] != K1 or prepared_core[4] % ndev):
+        prepared_core = None      # caller's prep predates K alignment
+    if n and prepared_full is not None and \
+            (prepared_full[2] != K1 or prepared_full[4] % ndev):
+        prepared_full = None
     if n and prepared_core is None:
-        prepared_core = prepare_auto(inner, data_np, chunk_len)
+        prepared_core = prepare_auto(inner, data_np, chunk_len,
+                                     b_multiple=ndev)
     if n and prepared_full is None:
-        prepared_full = prepare_auto(full_tables, data_np, chunk_len)
+        prepared_full = prepare_auto(full_tables, data_np, chunk_len,
+                                     b_multiple=ndev)
     if n == 0:
         return {"summ": None, "C": 0, "Cfull": 0, "K": K1, "n": 0,
                 "B1": 0, "merged": None, "packed_core": None}
@@ -797,9 +972,11 @@ def _fused_dispatch(ct, full_tables, data_np, chunk_len,
     # Cp = B1 * GROUPS * 1024 chunk slots; never allocate more phase-2
     # capacity than that, and ALWAYS round up to whole phase-2 blocks
     # (GROUPS*1024) — phase 2 reshapes to [B2, G, 8, 128] and a cap
-    # below one block would trace B2 = 0 and decline the tier
+    # below one block would trace B2 = 0 and decline the tier.
+    # On a mesh the cap (like the compaction) is PER SHARD, so the
+    # aggregate redo capacity scales with the device count.
     blk = GROUPS * 1024
-    cap = min(FUSED_CAP, B1 * blk)
+    cap = min(FUSED_CAP, (B1 // ndev) * blk)
     cap = max(blk, -(-cap // blk) * blk)
 
     fv1 = inner.fused_vec if k1 == "narrow" else inner.fused_rows
@@ -812,19 +989,29 @@ def _fused_dispatch(ct, full_tables, data_np, chunk_len,
         # scalars ride np.int32 (shipped with the execute call, not
         # as separate device ops — the relay charges ~26 ms per
         # dispatch and misbehaves when several queue unblocked)
-        summary, merged, packed_core = _fused_count(
-            core_data if isinstance(core_data, jax.Array)
-            else jnp.asarray(core_data),
-            full_data if isinstance(full_data, jax.Array)
-            else jnp.asarray(full_data),
-            fv1, fv2, h2f_dev, np.int32(Cfull),
-            np.int32(ep), np.int32(entry_state * full_tables.ncls),
+        statics = dict(
             K=K, W1=w1, CPW1=c1, BITS1=b1, R1=r1, KIND1=k1,
             W2=w2, CPW2=c2, BITS2=b2_, R2=r2, KIND2=k2,
             CAP=cap, NCLS_C=inner.ncls, NCLS_F=full_tables.ncls,
             ESC=ct.esc_premult)
-        t_read = time.perf_counter()
-        summ = np.asarray(summary).astype(np.int64)
+        args = (core_data if isinstance(core_data, jax.Array)
+                else jnp.asarray(core_data),
+                full_data if isinstance(full_data, jax.Array)
+                else jnp.asarray(full_data),
+                fv1, fv2, h2f_dev, np.int32(Cfull),
+                np.int32(ep),
+                np.int32(entry_state * full_tables.ncls))
+        if mesh is None:
+            summary, merged, packed_core = _fused_count(
+                *args, **statics)
+            t_read = time.perf_counter()
+            summ = np.asarray(summary).astype(np.int64)
+        else:
+            summary, merged, packed_core = _fused_count_mesh(
+                *args, mesh=mesh, axis=axis, **statics)
+            t_read = time.perf_counter()
+            summ = _combine_fused_summaries(
+                summary, Cfull, (B1 // ndev) * GROUPS * 1024)
         # phase decomposition for bench/profile_driver.py: enqueue
         # (async jit dispatch) vs blocking summary readback
         ct.last_timing = {"enqueue_s": t_read - t_disp,
@@ -835,14 +1022,15 @@ def _fused_dispatch(ct, full_tables, data_np, chunk_len,
 
 def core_count_fused(ct, full_tables, data_np, chunk_len=DEFAULT_K,
                      entry_state=0, prepared_core=None,
-                     prepared_full=None):
+                     prepared_full=None, mesh=None, axis="data"):
     """Count match-ending boundaries (0..n-1; EOF is the caller's) via
     the fused two-phase path.  Contract of core_count_bytes.  Returns
     None when the shapes disqualify it (different K between the two
     preps, non-dense tiers) — the caller falls back to the legacy
-    paths."""
+    paths.  ``mesh`` shards the two-phase dispatch over devices."""
     d = _fused_dispatch(ct, full_tables, data_np, chunk_len,
-                        entry_state, prepared_core, prepared_full)
+                        entry_state, prepared_core, prepared_full,
+                        mesh=mesh, axis=axis)
     if d is None:
         return None
     if d["n"] == 0:
@@ -857,6 +1045,12 @@ def core_count_fused(ct, full_tables, data_np, chunk_len=DEFAULT_K,
     raw = np.frombuffer(data_np, dtype=np.uint8) \
         if not isinstance(data_np, np.ndarray) else data_np
     ct.last_repair = None
+    # why the last fused scan repaired on host (None = it didn't):
+    # "overflow" = more escapes than the device redo cap (a core-
+    # quality problem — re-coring helps), "miss" = the phase-2 redo
+    # failed to certify (the FULL machine's warmup did not converge
+    # on the escape regions — warmup-ladder escalation helps)
+    ct.last_fused_cause = None
 
     if summ is None:
         e_full, total = entry_state, 0
@@ -875,6 +1069,7 @@ def core_count_fused(ct, full_tables, data_np, chunk_len=DEFAULT_K,
     elif bool(summ[7]):
         # overflow: more escapes than the device redo cap — legacy
         # host fold over the CORE-space planes
+        ct.last_fused_cause = "overflow"
         fold = _Fold(ct, np.asarray(packed_core).reshape(
             3, B1, GROUPS, 8, 128), Cfull, K, min(n, Cfull * K),
             quiet=False)
@@ -899,6 +1094,7 @@ def core_count_fused(ct, full_tables, data_np, chunk_len=DEFAULT_K,
     else:
         # residual speculation miss: walk the MERGED (full-space)
         # planes from the first break — rare, a few chunks
+        ct.last_fused_cause = "miss"
         phi_m, fm_m, swarm_m = np.asarray(merged).astype(np.int64)
         c = int(summ[1])
         # int64 prefix when the int32 device sum could wrap
@@ -929,7 +1125,7 @@ def core_count_fused(ct, full_tables, data_np, chunk_len=DEFAULT_K,
 
 def core_scan_fused(ct, full_tables, data_np, chunk_len=DEFAULT_K,
                     entry_state=0, prepared_core=None,
-                    prepared_full=None):
+                    prepared_full=None, mesh=None, axis="data"):
     """First-match scan via the fused two-phase path.  Contract of
     core_scan_bytes / spec_scan_bytes: returns (state, boundary or
     -1) with the state AT the boundary on a match (boundaries
@@ -938,7 +1134,8 @@ def core_scan_fused(ct, full_tables, data_np, chunk_len=DEFAULT_K,
     position is pinned with ONE native full-machine chunk scan from
     its validated entry."""
     d = _fused_dispatch(ct, full_tables, data_np, chunk_len,
-                        entry_state, prepared_core, prepared_full)
+                        entry_state, prepared_core, prepared_full,
+                        mesh=mesh, axis=axis)
     if d is None:
         return None
     if d["n"] == 0:
@@ -952,6 +1149,7 @@ def core_scan_fused(ct, full_tables, data_np, chunk_len=DEFAULT_K,
     raw = np.frombuffer(data_np, dtype=np.uint8) \
         if not isinstance(data_np, np.ndarray) else data_np
     ct.last_repair = None
+    ct.last_fused_cause = None     # see core_count_fused
 
     e_full = entry_state
     if summ is not None:
@@ -969,6 +1167,7 @@ def core_scan_fused(ct, full_tables, data_np, chunk_len=DEFAULT_K,
         elif bool(summ[7]):
             # overflow: legacy CORE-plane fold (quiet: any fired or
             # escaped chunk re-scans natively and may return a match)
+            ct.last_fused_cause = "overflow"
             fold = _Fold(ct, np.asarray(packed_core).reshape(
                 3, B1, GROUPS, 8, 128), Cfull, K, min(n, Cfull * K),
                 quiet=True)
@@ -992,6 +1191,7 @@ def core_scan_fused(ct, full_tables, data_np, chunk_len=DEFAULT_K,
             ct.last_repair = (nat, Cfull)
         else:
             # chain broke before any fire: walk the merged planes
+            ct.last_fused_cause = "miss"
             phi_m, fm_m, swarm_m = np.asarray(merged).astype(np.int64)
             e = int(summ[2])
             c = int(summ[1])

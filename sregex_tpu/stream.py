@@ -280,14 +280,20 @@ class PreparedCorpus:
             self._raw_dev.block_until_ready()
         return self._raw_dev
 
-    def for_tables(self, tables):
-        key = id(tables)
+    def for_tables(self, tables, chunk_len=None):
+        """Packed prep for one tables object.  ``chunk_len`` overrides
+        the corpus default — the fused two-phase tier aligns its TWO
+        preps (core + full machine) on one chunk length, which can
+        differ from either tier's own clamp once the warmup ladder
+        escalates the full machine (pallas_core.fused_chunk)."""
+        ck = self.chunk_len if chunk_len is None else chunk_len
+        key = (id(tables), ck)
         p = self._by_tables.get(key)
         if p is None:
             if hasattr(tables, "nseg") or hasattr(tables, "SB"):
                 # φ tiers (lane-packed / sublane-group): own layouts
                 from .ops.pallas_phi import phi_prepare
-                p = phi_prepare(tables, self.data, self.chunk_len)
+                p = phi_prepare(tables, self.data, ck)
             else:
                 import os
                 from .ops.prep import prepare_auto, DEVICE_PREP_MIN
@@ -295,7 +301,7 @@ class PreparedCorpus:
                 use_dev = (len(self.data) >= DEVICE_PREP_MIN
                            if knob is None else knob == "1")
                 src = self._raw() if use_dev else self.data
-                p = prepare_auto(tables, src, self.chunk_len)
+                p = prepare_auto(tables, src, ck)
             self._by_tables[key] = p
         return p
 
@@ -461,7 +467,6 @@ class Scanner:
         if getattr(self, "_fusedct", None) is None:
             self._fusedct = False
             if (self.dfa is None or not self.use_device
-                    or self.mesh is not None
                     or os.environ.get("SREGEX_FUSED") == "0"
                     or os.environ.get("SREGEX_CORE") == "0"):
                 # SREGEX_CORE=0 keeps ALL core tiers out (the fused
@@ -523,7 +528,8 @@ class Scanner:
                 r = core_count_fused(
                     fct, self._spec, ab,
                     prepared_core=abp.for_tables(fct.inner),
-                    prepared_full=abp.for_tables(self._spec))
+                    prepared_full=abp.for_tables(self._spec),
+                    mesh=self.mesh)
                 if r is not None:
                     return r
             return core_count_bytes(ct, ab,
@@ -640,6 +646,26 @@ class Scanner:
     # raised scoped-VMEM budget (max_chunk_bytes) hosts the window.
     WARM_LADDER = (128, 512, 2048)
 
+    def _escalate_warmup(self):
+        """Advance the static/full tables one rung up WARM_LADDER.
+        Returns True on escalation.  Shared by _spec_note and the
+        fused path's _fused_note: the escalated tables thread straight
+        into the fused phase-2 redo, which certifies with the FULL
+        machine's warmup (VERDICT r4 #2)."""
+        sp = self._spec
+        if sp is None:
+            return False
+        from .ops.pallas_scan import with_warmup
+        nxt = next((w for w in self.WARM_LADDER
+                    if w > sp.warmup), None)
+        t = with_warmup(sp, nxt) if nxt is not None else None
+        if t is None:
+            return False
+        self._spec = t
+        self._warm_escalations = getattr(
+            self, "_warm_escalations", 0) + 1
+        return True
+
     def _spec_note(self):
         sp = self._spec
         if sp is None or sp.last_repair is None:
@@ -650,15 +676,8 @@ class Scanner:
             self._warm_strikes = s
             if s >= 2:
                 self._warm_strikes = 0
-                from .ops.pallas_scan import with_warmup
-                nxt = next((w for w in self.WARM_LADDER
-                            if w > sp.warmup), None)
-                t = with_warmup(sp, nxt) if nxt is not None else None
-                if t is not None:
-                    self._spec = t
-                    self._warm_escalations = getattr(
-                        self, "_warm_escalations", 0) + 1
-                elif self._phi_tables() is not None:
+                if not self._escalate_warmup() \
+                        and self._phi_tables() is not None:
                     # warmup ladder exhausted (or the tier can't host
                     # a window): never-converging machine — switch to
                     # the exact transfer-composition kernel (zero
@@ -668,6 +687,55 @@ class Scanner:
                         self, "_warm_escalations", 0) + 1
         else:
             self._warm_strikes = 0
+
+    def _fused_note(self, fct):
+        """Post-scan bookkeeping for the fused two-phase tier.  Host
+        repairs on this path have exactly two causes, recorded by
+        core_count_fused/core_scan_fused per scan:
+
+        - "overflow": more escaped chunks than the device redo cap —
+          a core-quality problem; the standard drift logic re-cores
+          (or declines) the tier.
+        - "miss": the merged validation chain broke — a speculative
+          warmup failed to converge over a long excursion.  That can
+          be the PHASE-2 redo (escaped chunks certify with the FULL
+          machine's warmup) or PHASE 1 itself (a chunk that stays
+          inside the core but enters mid-excursion: its exit merges
+          so it never escapes, yet its swarm cannot certify).
+          Re-coring cannot help either case; instead escalate the
+          warmup ladder on BOTH machines in lockstep — self._spec
+          threads straight into the phase-2 tables, and the core's
+          inner tables carry the same window for phase 1 — restoring
+          the fused tier's zero-host-repair property for
+          long-excursion corpora (VERDICT r4 #2)."""
+        cause = getattr(fct, "last_fused_cause", None)
+        if cause != "miss":
+            self._core_note(fct, "_fusedct")
+            return
+        rep = fct.last_repair
+        if rep is None:
+            return
+        nat, C = rep
+        if C >= 16 and nat > C * self.CORE_DRIFT_FRAC:
+            s = getattr(self, "_fused_warm_strikes", 0) + 1
+            self._fused_warm_strikes = s
+            if s >= 2:
+                self._fused_warm_strikes = 0
+                self._escalate_warmup()
+                sp = self._spec
+                if sp is not None and sp.warmup > fct.inner.warmup:
+                    from .ops.pallas_scan import with_warmup
+                    inner2 = with_warmup(fct.inner, sp.warmup)
+                    if inner2 is not None:
+                        fct.inner = inner2
+                    else:
+                        # the core can't host the window the full
+                        # machine needs: decline fused — the static
+                        # tier (whose own ladder already escalated)
+                        # serves instead
+                        self._fusedct = False
+        else:
+            self._fused_warm_strikes = 0
 
     def _phi_tables(self):
         """Exact φ-composition tier (ops/pallas_phi.py) for S <= 128
@@ -722,20 +790,24 @@ class Scanner:
         fct = (self._fused_core_tables(data)
                if len(data) >= self.DEVICE_THRESHOLD else None)
         if fct is not None:
-            from .ops.pallas_core import core_scan_fused
+            from .ops.pallas_core import core_scan_fused, fused_chunk
             spec = self._spec
+            ck = fused_chunk(fct.inner, spec) if prepared else None
             r = _try_device(self, "fused-dispatch", "_fusedct",
                             lambda: core_scan_fused(
                                 fct, spec, data,
                                 prepared_core=prepared.for_tables(
-                                    fct.inner) if prepared else None,
+                                    fct.inner, ck)
+                                if prepared and ck else None,
                                 prepared_full=prepared.for_tables(
-                                    spec) if prepared else None))
+                                    spec, ck)
+                                if prepared and ck else None,
+                                mesh=self.mesh))
             if r is None:
                 self._fusedct = False
             else:
                 state, first = r
-                self._core_note(fct, "_fusedct")
+                self._fused_note(fct)
                 self._note_stats("scan", fct, len(data), t0)
                 self._maybe_tier_ab(data)
                 return first, state
@@ -867,22 +939,26 @@ class Scanner:
         fct = (self._fused_core_tables(data)
                if len(data) >= self.DEVICE_THRESHOLD else None)
         if fct is not None:
-            from .ops.pallas_core import core_count_fused
+            from .ops.pallas_core import core_count_fused, fused_chunk
             spec = self._spec
+            ck = fused_chunk(fct.inner, spec) if prepared else None
             r = _try_device(self, "fused-dispatch", "_fusedct",
                             lambda: core_count_fused(
                                 fct, spec, data,
                                 prepared_core=prepared.for_tables(
-                                    fct.inner) if prepared else None,
+                                    fct.inner, ck)
+                                if prepared and ck else None,
                                 prepared_full=prepared.for_tables(
-                                    spec) if prepared else None))
+                                    spec, ck)
+                                if prepared and ck else None,
+                                mesh=self.mesh))
             if r is None:
                 # disqualified (shape mismatch) or failed: declined
                 self._fusedct = False
             else:
                 state, c = r
                 served = True
-                self._core_note(fct, "_fusedct")
+                self._fused_note(fct)
                 self._note_stats("count", fct, len(data), t0)
                 self._maybe_tier_ab(data)
         ct = (self._core_tables(data)

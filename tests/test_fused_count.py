@@ -322,3 +322,183 @@ def test_scanner_fused_over_big_tier(monkeypatch):
     # legitimately if no core covers this corpus — assert it at
     # least TRIED and stayed exact)
     assert sc._fusedct is not None
+
+
+def test_fused_phase2_warmup_ladder_escalation():
+    """VERDICT r4 #2: corpora whose escape regions exceed the FULL
+    machine's default 32-byte warmup used to repair those chunks on
+    host forever (the phase-2 redo could never certify).  The fused
+    path now escalates the warmup ladder on sustained chain-miss
+    repairs, and the escalated tables thread straight into the
+    phase-2 tables — after which the same corpus scans with (near)
+    zero host repairs.  Matches the corpus-independence of the
+    reference JIT (sre_vm_thompson_x64.dasc:738-889)."""
+    import os
+    from sregex_tpu import parse
+    from sregex_tpu.stream import Scanner
+
+    os.environ["SREGEX_AFFINE"] = "0"   # pin the fused path (the
+    try:                                # affine tier would grab this)
+        ast, _ = parse(b"a{200,400}b")
+        sc = Scanner(compile_regex(ast), use_device=True, ast=ast)
+        from sregex_tpu.ops.pallas_scan import SpecTablesWide
+        assert isinstance(sc._spec, SpecTablesWide) and \
+            sc._spec.rows > 4, "machine left the fused band"
+        assert sc._spec.warmup == 32
+        sc.DEVICE_THRESHOLD = 1 << 12
+
+        rng = random.Random(7)
+        # benign head (short runs: every window converges) feeds the
+        # core sample; long excursions (250..450-byte 'a' runs) only
+        # appear PAST the sample, so they escape the core and the
+        # phase-2 redo must certify mid-run — impossible at W=32
+        head = bytearray()
+        while len(head) < sc.CORE_SAMPLE:
+            head += b"a" * rng.randrange(5, 40) + b" "
+        body = bytearray(bytes(head[:sc.CORE_SAMPLE]))
+        while len(body) < 500_000:
+            body += b"a" * rng.randrange(250, 450) \
+                + rng.choice([b"b", b" "]) \
+                + b"a" * rng.randrange(5, 40) + b" "
+        data = bytes(body[:500_000])
+
+        native = NativeDfa(sc.dfa)
+        exp_c, exp_st = native.count(data, 0)
+        exp = exp_c + int(sc.dfa.match_eof[exp_st])
+
+        reps = []
+        for _ in range(6):
+            assert sc.count(data) == exp      # exact at every rung
+            st = sc.stats()
+            assert st.tier == "CoreTables", st
+            reps.append((sc._spec.warmup, st.repaired, st.chunks))
+            if sc._spec.warmup >= 512 and st.repaired <= 1:
+                break
+        # the ladder engaged (32 -> ... -> >= 512) and the final scan
+        # kept the fused tier's zero-host-repair property
+        assert sc._fusedct not in (None, False), reps
+        assert reps[0][1] > reps[0][2] * 0.25, reps  # hostile at W=32
+        assert sc._spec.warmup >= 512, reps
+        assert reps[-1][1] <= 1, reps
+    finally:
+        os.environ.pop("SREGEX_AFFINE", None)
+
+
+# ---------------------------------------------------------------------
+# Fused two-phase on a device mesh (VERDICT r4 #3): the whole
+# dispatch shard_maps over the chunk-block dim — phase-1 planes,
+# escape compaction, the phase-2 window gather and the merge are
+# shard-local; the validation chain stitches shards with one ppermute
+# of each shard's last exit; the per-shard summaries fold back into
+# the single-chip contract on host.
+# ---------------------------------------------------------------------
+
+import jax as _jax
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module")
+def mesh():
+    if len(_jax.devices()) < 2:
+        _pytest.skip("needs multi-device (virtual) platform")
+    from sregex_tpu.parallel import make_mesh
+    return make_mesh()
+
+
+def _fused_setup(n=400_000, plant_every=8192, chunk0=True, seed=2):
+    dfa, words = _multi_machine(seed=seed)
+    from sregex_tpu.ops.pallas_scan import SpecTables, SpecTablesWide
+    try:
+        full = SpecTables(dfa)
+    except ValueError:
+        full = SpecTablesWide(dfa)
+    data = bytearray(_corpus(words, n, seed=seed,
+                             plant_every=plant_every))
+    if chunk0:
+        w = words[0]
+        data[10:10 + len(w) + 2] = b" " + w + b" "
+    data = bytes(data)
+    ct = CoreTables(dfa, data[:64 << 10], require_fast=False,
+                    no_pair=True)
+    return dfa, full, ct, data
+
+
+def test_fused_mesh_count_and_scan_exact(mesh):
+    """Counts/first-match over the mesh must equal the native oracle
+    — including a chunk-0 escape (shard-0 stitch takes the caller's
+    entry) and plants that straddle shard boundaries."""
+    dfa, full, ct, data = _fused_setup()
+    native = NativeDfa(dfa)
+    exp_c, exp_st = native.count(data, 0)
+    r = core_count_fused(ct, full, data, chunk_len=512, mesh=mesh)
+    assert r is not None, "fused mesh path declined"
+    st, got = r
+    assert (got, st) == (exp_c, exp_st)
+    # escapes happened and were redone on device, shard-locally
+    assert ct.last_repair == (0, ct.last_repair[1])
+    from sregex_tpu.ops.pallas_core import core_scan_fused
+    exp_f, exp_s = native.scan_first(data, 0)
+    stf, first = core_scan_fused(ct, full, data, chunk_len=512,
+                                 mesh=mesh)
+    assert (first, stf) == (exp_f, exp_s)
+
+
+def test_fused_mesh_matches_single_chip(mesh):
+    """Same corpus, mesh vs single-chip fused: identical results."""
+    dfa, full, ct, data = _fused_setup(n=300_000, plant_every=4096,
+                                       seed=5)
+    st1, got1 = core_count_fused(ct, full, data, chunk_len=512)
+    st2, got2 = core_count_fused(ct, full, data, chunk_len=512,
+                                 mesh=mesh)
+    assert (st1, got1) == (st2, got2)
+
+
+def test_fused_mesh_overflow_falls_back_exact(mesh, monkeypatch):
+    """Per-shard escape overflow on the mesh: the legacy host fold
+    over the global core planes still serves, exact."""
+    import sregex_tpu.ops.pallas_core as pc
+    monkeypatch.setattr(pc, "FUSED_CAP", 4096)
+    dfa, words = _multi_machine(nwords=8, wordlen=4, seed=11)
+    from sregex_tpu.ops.pallas_scan import SpecTables, SpecTablesWide
+    try:
+        full = SpecTables(dfa)
+    except ValueError:
+        full = SpecTablesWide(dfa)
+    data = bytearray(_corpus(words, 300_000, seed=3,
+                             plant_every=1 << 20))
+    for pos in range(64, len(data) - 16, 256):
+        w = words[pos % len(words)]
+        data[pos:pos + len(w) + 2] = b" " + w + b" "
+    data = bytes(data)
+    ct = CoreTables(dfa, data[:8 << 10], require_fast=False,
+                    max_escape_frac=0.5)
+    native = NativeDfa(dfa)
+    exp_c, exp_st = native.count(data, 0)
+    r = pc.core_count_fused(ct, full, data, chunk_len=512, mesh=mesh)
+    assert r is not None
+    st, got = r
+    assert (got, st) == (exp_c, exp_st)
+
+
+def test_scanner_mesh_serves_fused(mesh):
+    """A Scanner built with mesh= must serve the fused tier (the
+    round-4 decline at the fused-band gate is gone) with exact
+    results."""
+    import random as _r
+    from sregex_tpu import parse_multi
+    from sregex_tpu.stream import Scanner
+    rng = _r.Random(2)
+    words = list({("".join(rng.choice("abcdefghijklmn")
+                           for _ in range(4))).encode()
+                  for _ in range(14)})
+    ast, _ = parse_multi(words)
+    sc = Scanner(compile_regex(ast), use_device=True, ast=ast,
+                 mesh=mesh)
+    sc.DEVICE_THRESHOLD = 1 << 12
+    data = _corpus(words, 400_000, seed=7)
+    native = NativeDfa(sc.dfa)
+    exp_c, exp_st = native.count(data, 0)
+    exp = exp_c + int(sc.dfa.match_eof[exp_st])
+    assert sc.count(data) == exp
+    assert sc._fusedct not in (None, False), "fused declined on mesh"
+    assert sc.stats().tier == "CoreTables"
