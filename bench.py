@@ -92,10 +92,36 @@ def bench_multi(log):
     del body, out
     n = len(corpus)
 
+    # overlap the remote kernel compiles with the host-only oracle
+    # count (VERDICT r4 #8): precompile() pushes a zero-filled
+    # same-shape stand-in (HBM fill, no upload) through the exact
+    # prep + fused-dispatch flow in a worker thread while the native
+    # C++ count (ctypes, GIL released) runs here.  SREGEX_PRECOMPILE=0
+    # restores the serialized flow.
+    pre = {}
+    th = None
+    if os.environ.get("SREGEX_PRECOMPILE", "1") != "0":
+        import threading
+
+        def _warm():
+            try:
+                pre["s"] = sc.precompile(
+                    n, sample=corpus[:sc.CORE_SAMPLE])
+            except Exception as e:       # never let warmup kill the run
+                pre["err"] = repr(e)
+
+        th = threading.Thread(target=_warm, daemon=True)
+        th.start()
+
     t0 = time.time()
     k, st_final = sc._native.count(corpus, 0)
     exp = k + int(sc.dfa.match_eof[st_final])
     log("multi: native count %d (%.1fs)" % (exp, time.time() - t0))
+    if th is not None:
+        th.join()
+        log("multi: precompile %s (overlapped with oracle)"
+            % (("%.1fs" % pre["s"]) if "s" in pre
+               else pre.get("err", "?")))
 
     t0 = time.time()
     prepared = sc.prepare(corpus)

@@ -83,7 +83,7 @@ class PreparedBatch:
     it only with the documents it was built from."""
 
     __slots__ = ("K", "spans", "prepared", "nbytes", "_key",
-                 "b_multiple")
+                 "b_multiple", "full")
 
     def __init__(self, K, spans, prepared, nbytes, key,
                  b_multiple=1):
@@ -93,6 +93,9 @@ class PreparedBatch:
         self.nbytes = nbytes
         self._key = key
         self.b_multiple = b_multiple
+        # optional second prep under the FULL machine's layout (the
+        # fused batch path needs both; Scanner.prepare_many fills it)
+        self.full = None
 
 
 def _pack_key(tables):
@@ -244,6 +247,220 @@ def spec_scan_many(tables, docs, chunk_len=DEFAULT_K,
             e = topm(st)
         results.append(hit if hit is not None else (frpm(e), -1))
     return results, nat, len(phi)
+
+
+def _fused_batch_dispatch(ct, full_tables, docs, chunk_len,
+                          prepared_core, prepared_full):
+    """Setup + dispatch for the FUSED batched scan (the two-phase
+    count/scan discipline applied to the document stream): both batch
+    preps aligned on one chunk length, phase-1 entry planes with the
+    warmup frozen at document starts, phase-2 j0 plane likewise (a
+    document-start redo must not warm up over the previous document's
+    tail).  Returns None when the shapes disqualify the fused path
+    (the caller falls back to the legacy core/spec batch paths)."""
+    from .pallas_big import SpecTablesBig
+    from .pallas_scan import SpecTables, SpecTablesWide
+    from .pallas_core import (fused_chunk, _tier_statics,
+                              _fused_batch, FUSED_CAP)
+    inner = ct.inner
+    if not isinstance(inner, (SpecTables, SpecTablesWide)) \
+            or not isinstance(full_tables, (SpecTables,
+                                            SpecTablesWide,
+                                            SpecTablesBig)):
+        return None
+    if getattr(inner, "bpu", 1) != 1 \
+            or getattr(full_tables, "bpu", 1) != 1:
+        return None
+    K = fused_chunk(inner, full_tables, chunk_len)
+    if K is None:
+        return None
+
+    def prep(tables, prepared):
+        if (prepared is None or prepared._key != _pack_key(tables)
+                or prepared.K != K
+                or len(prepared.spans) != len(docs)
+                or any(s[2] != len(d)
+                       for s, d in zip(prepared.spans, docs))):
+            prepared = batch_prepare(tables, docs, K)
+        return prepared
+
+    pc = prep(inner, prepared_core)
+    pf = prep(full_tables, prepared_full)
+    spans = pc.spans
+    assert pf.spans == spans, "batch preps disagree on spans"
+    core_data, C, Kp, J1, B1 = pc.prepared
+    full_data, Cf, Kf, J2, Bf = pf.prepared
+    assert (C, Kp) == (Cf, Kf) == (C, K)
+
+    k1, w1, c1, b1, r1 = _tier_statics(inner)
+    k2, w2, c2, b2_, r2 = _tier_statics(full_tables)
+    h2f_dev = getattr(ct, "_h2f_dev", None)
+    if h2f_dev is None:
+        h2f = np.full(ct.H + 1, -1, dtype=np.int32)
+        h2f[:ct.H] = np.asarray(ct.hot2full[:ct.H], dtype=np.int32)
+        h2f_dev = jnp.asarray(h2f)
+        ct._h2f_dev = h2f_dev
+    blk = GROUPS * 1024
+    cap = min(FUSED_CAP, B1 * blk)
+    cap = max(blk, -(-cap // blk) * blk)
+
+    starts = [s for s, _, _ in spans]
+    seed_c = jnp.int32(0)     # core seed premult is 0 by construction
+    s01, j01 = _batch_entry_planes(jnp.int32(w1), starts, seed_c,
+                                   B=B1)
+    _, j02p = _batch_entry_planes(jnp.int32(w2), starts, seed_c,
+                                  B=B1)
+    fv1 = inner.fused_vec if k1 == "narrow" else inner.fused_rows
+    fv2 = full_tables.fused_vec if k2 == "narrow" \
+        else full_tables.fused_rows
+    merged, packed, flags = _fused_batch(
+        core_data if isinstance(core_data, jax.Array)
+        else jnp.asarray(core_data),
+        full_data if isinstance(full_data, jax.Array)
+        else jnp.asarray(full_data),
+        s01, j01, j02p.reshape(-1), fv1, fv2, h2f_dev, np.int32(C),
+        K=K, W1=w1, CPW1=c1, BITS1=b1, R1=r1, KIND1=k1,
+        W2=w2, CPW2=c2, BITS2=b2_, R2=r2, KIND2=k2,
+        CAP=cap, NCLS_C=inner.ncls, NCLS_F=full_tables.ncls,
+        ESC=ct.esc_premult)
+    flags = np.asarray(flags)
+    return {"K": K, "spans": spans, "C": C,
+            "merged": np.asarray(merged).astype(np.int64),
+            "packed": np.asarray(packed).astype(np.int64),
+            "n_esc": int(flags[0]), "overflow": bool(flags[1])}
+
+
+def core_count_many_fused(ct, full_tables, docs, chunk_len=DEFAULT_K,
+                          prepared_core=None, prepared_full=None):
+    """Per-document counts via the FUSED two-phase batch dispatch:
+    escaped chunks are redone by the FULL machine's kernel on device
+    (one dispatch for the whole set) instead of one native host walk
+    each — the batched analogue of core_count_fused, for the serving
+    shape (many documents, big machine).  Contract of
+    core_count_many; returns None when the shapes disqualify the
+    fused path."""
+    d = _fused_batch_dispatch(ct, full_tables, docs, chunk_len,
+                              prepared_core, prepared_full)
+    if d is None:
+        return None
+    K, spans = d["K"], d["spans"]
+    native = ct.native
+    ncls_f = full_tables.ncls
+    counts, finals, nat = [], [], 0
+    if d["overflow"]:
+        # more escapes than the device redo cap: legacy fold over the
+        # CORE-space planes (identical to core_count_many's loop)
+        phi, cnt, swarm = d["packed"]
+        esc = ct.esc_premult
+        for (c0, cd, n), doc in zip(spans, docs):
+            raw = doc if isinstance(doc, (bytes, bytearray)) \
+                else bytes(doc)
+            e_full = 0
+            total = 0
+            for c in range(c0, c0 + cd):
+                lo = (c - c0) * K
+                hi = min(lo + K, n)
+                cp = ct.to_core_premult(e_full)
+                if (hi - lo == K and cp >= 0 and int(swarm[c]) == cp
+                        and int(phi[c]) != esc):
+                    total += int(cnt[c])
+                    e_full = ct.to_full(int(phi[c]))
+                else:
+                    k, st = native.count(bytes(raw[lo:hi]), e_full)
+                    total += k
+                    e_full = st
+                    nat += 1
+            counts.append(total)
+            finals.append(e_full)
+        return counts, finals, nat, d["C"]
+    phi_m, fm_m, swarm_m = d["merged"]
+    for (c0, cd, n), doc in zip(spans, docs):
+        raw = doc if isinstance(doc, (bytes, bytearray)) \
+            else bytes(doc)
+        e = 0                       # full premult; seed premult is 0
+        total = 0
+        for c in range(c0, c0 + cd):
+            lo = (c - c0) * K
+            hi = min(lo + K, n)
+            if hi - lo == K and e >= 0 and int(swarm_m[c]) == e:
+                total += int(fm_m[c])
+                e = int(phi_m[c])
+            else:
+                k, st = native.count(bytes(raw[lo:hi]),
+                                     max(e, 0) // ncls_f)
+                total += k
+                e = st * ncls_f
+                nat += 1
+        counts.append(total)
+        finals.append(max(e, 0) // ncls_f)
+    return counts, finals, nat, d["C"]
+
+
+def core_scan_many_fused(ct, full_tables, docs, chunk_len=DEFAULT_K,
+                         prepared_core=None, prepared_full=None):
+    """Per-document first-match scan via the fused batch dispatch;
+    contract of core_scan_many (FULL-machine states).  Returns None
+    when the shapes disqualify the fused path."""
+    d = _fused_batch_dispatch(ct, full_tables, docs, chunk_len,
+                              prepared_core, prepared_full)
+    if d is None:
+        return None
+    K, spans = d["K"], d["spans"]
+    native = ct.native
+    ncls_f = full_tables.ncls
+    results, nat = [], 0
+    if d["overflow"]:
+        phi, many, swarm = d["packed"]
+        esc = ct.esc_premult
+        for (c0, cd, n), doc in zip(spans, docs):
+            raw = doc if isinstance(doc, (bytes, bytearray)) \
+                else bytes(doc)
+            e_full = 0
+            hit = None
+            for c in range(c0, c0 + cd):
+                lo = (c - c0) * K
+                hi = min(lo + K, n)
+                cp = ct.to_core_premult(e_full)
+                trusted = (hi - lo == K and cp >= 0
+                           and int(swarm[c]) == cp
+                           and int(phi[c]) != esc)
+                if trusted and not many[c]:
+                    e_full = ct.to_full(int(phi[c]))
+                    continue
+                f, st = native.scan_first(bytes(raw[lo:hi]), e_full)
+                if not trusted:
+                    nat += 1
+                if f >= 0:
+                    hit = (st, lo + f)
+                    break
+                e_full = st
+            results.append(hit if hit is not None else (e_full, -1))
+        return results, nat, d["C"]
+    phi_m, fm_m, swarm_m = d["merged"]
+    for (c0, cd, n), doc in zip(spans, docs):
+        raw = doc if isinstance(doc, (bytes, bytearray)) \
+            else bytes(doc)
+        e = 0
+        hit = None
+        for c in range(c0, c0 + cd):
+            lo = (c - c0) * K
+            hi = min(lo + K, n)
+            trusted = hi - lo == K and e >= 0 \
+                and int(swarm_m[c]) == e
+            if trusted and not fm_m[c]:
+                e = int(phi_m[c])
+                continue
+            f, st = native.scan_first(bytes(raw[lo:hi]),
+                                      max(e, 0) // ncls_f)
+            if not trusted:
+                nat += 1
+            if f >= 0:
+                hit = (st, lo + f)
+                break
+            e = st * ncls_f
+        results.append(hit if hit is not None
+                       else (max(e, 0) // ncls_f, -1))
+    return results, nat, d["C"]
 
 
 def core_count_many(ct, docs, chunk_len=DEFAULT_K, prepared=None,

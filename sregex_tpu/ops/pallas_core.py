@@ -616,7 +616,8 @@ def _fused_phases(core_data, full_data, s01, j01, core_fused,
                   full_fused, hot2full, live, *,
                   K, W1, CPW1, BITS1, R1, KIND1,
                   W2, CPW2, BITS2, R2, KIND2,
-                  CAP, NCLS_C, NCLS_F, ESC):
+                  CAP, NCLS_C, NCLS_F, ESC,
+                  p2_j0=None):
     """The two kernel phases + on-device escape compaction + merge
     over ONE device's blocks (called directly single-chip, or inside
     the shard_map body of the mesh path — all index arithmetic here
@@ -624,7 +625,13 @@ def _fused_phases(core_data, full_data, s01, j01, core_fused,
     FULL premult space, the phase-1 core planes, n_esc and the
     overflow flag.  ``live`` masks the chunk slots that carry real
     corpus chunks (the caller computes it from the GLOBAL chunk
-    index, so mesh shards mask correctly)."""
+    index, so mesh shards mask correctly).
+
+    ``p2_j0``: optional int32 [Cp] per-chunk phase-2 j0 (gathered
+    through the escape compaction) — the batched-document path
+    freezes the redo warmup (j0 = W2) at document-start chunks, whose
+    physical warmup window holds the PREVIOUS document's tail; all
+    other chunks speculate from the seed at j0 = 0 as usual."""
     G = GROUPS
     B1 = core_data.shape[0]
     Cp = B1 * G * 8 * 128
@@ -695,7 +702,9 @@ def _fused_phases(core_data, full_data, s01, j01, core_fused,
         (lambda i: (0, 0)) if n2_ else (lambda i: (0, 0, 0)),
         memory_space=pltpu.VMEM)
     z2 = jnp.zeros((B2, G, 8, 128), jnp.int32)
-    phi2, fm2, swarm2 = _dispatch_kernel(k2, blk, z2, z2, full_fused,
+    j02 = z2 if p2_j0 is None \
+        else p2_j0[sel_g].reshape(B2, G, 8, 128)
+    phi2, fm2, swarm2 = _dispatch_kernel(k2, blk, z2, j02, full_fused,
                                          spec2, None, None)
     phi2 = phi2.reshape(CAP)
     fm2 = fm2.reshape(CAP)
@@ -763,6 +772,46 @@ def _fused_count(core_data, full_data, core_fused, full_fused,
     merged = jnp.stack([phi_m, fm_m, swarm_m])
     packed_core = jnp.stack([phi1, fm1, swarm1])
     return summary, merged, packed_core
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "K", "W1", "CPW1", "BITS1", "R1", "KIND1",
+    "W2", "CPW2", "BITS2", "R2", "KIND2",
+    "CAP", "NCLS_C", "NCLS_F", "ESC"))
+def _fused_batch(core_data, full_data, s01, j01, p2_j0, core_fused,
+                 full_fused, hot2full, C, *,
+                 K, W1, CPW1, BITS1, R1, KIND1,
+                 W2, CPW2, BITS2, R2, KIND2,
+                 CAP, NCLS_C, NCLS_F, ESC):
+    """Fused two-phase dispatch for the BATCHED document stream
+    (ops/batch.py): both kernel phases + on-device escape redo in one
+    jit, but NO global validation chain or summary — document
+    boundaries break the chain by construction, so the per-document
+    fold on host reads the merged planes directly (they are the
+    readback either way on this path).  The win over the legacy
+    core_count_many is that escaped chunks are redone by the FULL
+    machine's kernel on device instead of one native host walk each.
+
+    s01/j01: phase-1 entry planes (seed at every document start,
+    j0 = W1 frozen — ops/batch._batch_entry_planes).  p2_j0: int32
+    [Cp] phase-2 j0 per chunk (W2 at document starts).  Returns
+    (merged [3, Cp] FULL premult, packed core planes [3, Cp],
+    flags [n_esc, overflow])."""
+    Cp = core_data.shape[0] * GROUPS * 8 * 128
+    idx = jnp.arange(Cp, dtype=jnp.int32)
+    live = idx < C
+    (phi_m, fm_m, swarm_m, phi1, fm1, swarm1, n_esc,
+     overflow) = _fused_phases(
+        core_data, full_data, s01, j01, core_fused, full_fused,
+        hot2full, live,
+        K=K, W1=W1, CPW1=CPW1, BITS1=BITS1, R1=R1, KIND1=KIND1,
+        W2=W2, CPW2=CPW2, BITS2=BITS2, R2=R2, KIND2=KIND2,
+        CAP=CAP, NCLS_C=NCLS_C, NCLS_F=NCLS_F, ESC=ESC,
+        p2_j0=p2_j0)
+    merged = jnp.stack([phi_m, fm_m, swarm_m])
+    packed = jnp.stack([phi1, fm1, swarm1])
+    flags = jnp.stack([n_esc, overflow.astype(jnp.int32)])
+    return merged, packed, flags
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -1121,6 +1170,110 @@ def core_count_fused(ct, full_tables, data_np, chunk_len=DEFAULT_K,
         k, e_full = native.count(raw[tail_lo:].tobytes(), e_full)
         total += k
     return e_full, total
+
+
+def core_chunk_map_fused(ct, full_tables, data_np,
+                         chunk_len=DEFAULT_K, entry_state=0,
+                         prepared_core=None, prepared_full=None,
+                         mesh=None, axis="data"):
+    """Validated per-chunk scan map via the fused two-phase path:
+    (entries [C] FULL plain states, counts [C], final FULL state),
+    all exact — the contract of core_chunk_map (the finditer start
+    locator's building block), with escaped chunks redone by the
+    full machine's kernel ON DEVICE instead of one native host walk
+    each.  Returns None when the shapes disqualify the fused path."""
+    d = _fused_dispatch(ct, full_tables, data_np, chunk_len,
+                        entry_state, prepared_core, prepared_full,
+                        mesh=mesh, axis=axis)
+    if d is None:
+        return None
+    if d["n"] == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                entry_state)
+    summ, C, Cfull, K, n, B1 = (d["summ"], d["C"], d["Cfull"],
+                                d["K"], d["n"], d["B1"])
+    merged, packed_core = d["merged"], d["packed_core"]
+    native = ct.native
+    ncls_f = full_tables.ncls
+    raw = np.frombuffer(data_np, dtype=np.uint8) \
+        if not isinstance(data_np, np.ndarray) else data_np
+    ct.last_repair = None
+    ct.last_fused_cause = None
+    entries = np.zeros(C, dtype=np.int64)
+    counts = np.zeros(C, dtype=np.int64)
+
+    if summ is not None and bool(summ[7]):
+        # escape overflow: the legacy CORE-plane fold (identical to
+        # core_chunk_map's repair discipline)
+        ct.last_fused_cause = "overflow"
+        fold = _Fold(ct, np.asarray(packed_core).reshape(
+            3, B1, GROUPS, 8, 128), Cfull, K, min(n, Cfull * K),
+            quiet=False)
+        counts[:Cfull] = fold.cnt
+        e_full = entry_state
+        c = 0
+        nat = 0
+        while c < Cfull:
+            if fold.trusted(c, e_full):
+                b = fold.run_end(c)
+                entries[c:b + 1] = ct.to_full_vec(fold.swarm[c:b + 1])
+                entries[c] = e_full
+                e_full = ct.to_full(int(fold.phi[b]))
+                c = b + 1
+                continue
+            lo = c * K
+            entries[c] = e_full
+            k, st = native.count(raw[lo:lo + K].tobytes(), e_full)
+            counts[c] = k
+            e_full = st
+            c += 1
+            nat += 1
+        ct.last_repair = (nat, Cfull)
+    elif summ is not None:
+        phi_m, fm_m, swarm_m = np.asarray(merged).astype(np.int64)
+        counts[:Cfull] = fm_m[:Cfull]
+        fb = Cfull if bool(summ[0]) else int(summ[1])
+        if fb > 0:
+            # validated prefix: every chunk's entry is its validated
+            # speculation (FULL premult)
+            entries[:fb] = swarm_m[:fb] // ncls_f
+            entries[0] = entry_state
+            e = int(phi_m[fb - 1])
+        else:
+            e = entry_state * ncls_f
+        c = fb
+        nat = 0
+        while c < Cfull:
+            if e >= 0 and int(swarm_m[c]) == e:
+                entries[c] = e // ncls_f
+                e = int(phi_m[c])
+                c += 1
+                continue
+            if nat == 0:
+                ct.last_fused_cause = "miss"
+            lo = c * K
+            entries[c] = max(e, 0) // ncls_f
+            k, st = native.count(raw[lo:lo + K].tobytes(),
+                                 max(e, 0) // ncls_f)
+            counts[c] = k
+            e = st * ncls_f
+            c += 1
+            nat += 1
+        e_full = max(e, 0) // ncls_f
+        ct.last_repair = (nat, Cfull)
+    else:
+        e_full = entry_state
+        ct.last_repair = (0, 0)
+
+    # ragged tail chunk (and any chunk past Cfull): native
+    for c in range(Cfull, C):
+        lo = c * K
+        hi = min(lo + K, n)
+        entries[c] = e_full
+        k, st = native.count(raw[lo:hi].tobytes(), e_full)
+        counts[c] = k
+        e_full = st
+    return entries, counts, e_full
 
 
 def core_scan_fused(ct, full_tables, data_np, chunk_len=DEFAULT_K,

@@ -754,6 +754,36 @@ class Scanner:
                     self._phi = False
         return self._phi or None
 
+    def _rev_fused_core_tables(self, data):
+        """Fused-band core tier for the REVERSE machine (round 5):
+        when the reverse static tier is a long-chain wide or big
+        tier, the finditer start locator's chunk map runs the fused
+        two-phase dispatch (escapes redone on device) instead of
+        repairing escapes natively per chunk.  Protocol of
+        _fused_core_tables; cached per Scanner."""
+        import os
+        if getattr(self, "_rev_fusedct", None) is None:
+            self._rev_fusedct = False
+            rev = self._rev_dfa()
+            if (rev is None or not self.use_device
+                    or os.environ.get("SREGEX_FUSED") == "0"
+                    or os.environ.get("SREGEX_CORE") == "0"):
+                return None
+            from .ops.pallas_scan import SpecTablesWide
+            from .ops.pallas_big import SpecTablesBig
+            sp = self._rev_spec
+            if not ((isinstance(sp, SpecTablesWide) and sp.rows > 4)
+                    or isinstance(sp, SpecTablesBig)):
+                return None
+            try:
+                from .ops.pallas_core import CoreTables
+                self._rev_fusedct = CoreTables(
+                    rev.dfa, self._core_sample(data)[::-1],
+                    require_fast=False, no_pair=True)
+            except ValueError:
+                self._rev_fusedct = False
+        return self._rev_fusedct or None
+
     def _rev_core_tables(self, data):
         """Core tier for the REVERSE machine (find()'s start scan and
         the finditer start locator).  Same protocol as _core_tables;
@@ -784,6 +814,62 @@ class Scanner:
         per-call pre-pass (production serving: prepare when the
         shard arrives, scan many times)."""
         return PreparedCorpus(data, chunk_len)
+
+    def precompile(self, nbytes, sample=b"", chunk_len=2048):
+        """Warm every device trace a count() over an ``nbytes``-long
+        corpus will need, WITHOUT the corpus: a zero-filled stand-in
+        of the same length is allocated directly in HBM (an XLA fill
+        — no host->device upload, the relay's cold wall) and pushed
+        through the same prep + dispatch flow.  Traces are
+        shape-specialized, so ``nbytes`` must equal the real corpus
+        length.  ``sample`` seeds the adaptive core tiers exactly as
+        the real corpus would (pass the real head bytes: a zeros
+        sample would synthesize a DIFFERENT core machine and compile
+        the wrong trace).  Returns wall seconds spent.
+
+        Production use (bench.py bench_multi): run this concurrently
+        with host-only work — the native oracle count, corpus IO —
+        so the remote kernel compiles (30-900 s variance through the
+        axon relay, docs/PERFORMANCE.md) overlap instead of
+        serializing ahead of the first scan.  The zeros stand-in
+        scans clean (no escapes), so the warmup dispatch itself is
+        cheap."""
+        t0 = time.perf_counter()
+        if self.dfa is None or not self.use_device or nbytes <= 0:
+            return 0.0
+        import numpy as np
+        import jax.numpy as jnp
+        from .ops.prep import prepare_auto
+        spec = self._spec
+        fct = (self._fused_core_tables(bytes(sample))
+               if len(sample) else None)
+        zeros_dev = jnp.zeros(nbytes, jnp.uint8)
+        # host stand-in for the native tail walk: calloc'd zero pages
+        # (only the ragged tail is ever touched)
+        zeros_host = np.zeros(nbytes, np.uint8)
+        if fct is not None and spec is not None:
+            from .ops.pallas_core import core_count_fused, fused_chunk
+            ck = fused_chunk(fct.inner, spec, chunk_len)
+            if ck is not None:
+                pc_ = prepare_auto(fct.inner, zeros_dev, ck)
+                pf_ = prepare_auto(spec, zeros_dev, ck)
+                _try_device(self, "fused-dispatch", "_fusedct",
+                            lambda: core_count_fused(
+                                fct, spec, zeros_host, chunk_len=ck,
+                                prepared_core=pc_, prepared_full=pf_,
+                                mesh=self.mesh))
+                return time.perf_counter() - t0
+        if spec is not None:
+            from .ops.pallas_scan import spec_count_bytes
+            p = prepare_auto(spec, zeros_dev, chunk_len,
+                             b_multiple=(self.mesh.devices.size
+                                         if self.mesh is not None
+                                         else 1))
+            _try_device(self, "spec-dispatch", "_spec",
+                        lambda: spec_count_bytes(
+                            spec, zeros_host, chunk_len, prepared=p,
+                            mesh=self.mesh))
+        return time.perf_counter() - t0
 
     def _scan_first(self, data, prepared=None):
         t0 = time.perf_counter()
@@ -1033,6 +1119,21 @@ class Scanner:
         sample = b"".join(bytes(d[:1 << 16]) for d in docs[:256])
         return self._core_tables(sample)
 
+    def _batch_fused_core(self, docs):
+        """Fused-band core tier for a BATCHED scan (the *_many
+        analogue of _fused_core_tables): the document set's escaped
+        chunks are redone by the full machine's kernel inside the one
+        batch dispatch instead of one native host walk each.  None
+        when the fused band doesn't apply (then the legacy batch core
+        or static paths serve).  Single-chip only for now — a mesh
+        Scanner's batches ride the legacy shard_mapped paths."""
+        if (self.dfa is None or not self.use_device
+                or self.mesh is not None
+                or sum(len(d) for d in docs) < self.DEVICE_THRESHOLD):
+            return None
+        sample = b"".join(bytes(d[:1 << 16]) for d in docs[:256])
+        return self._fused_core_tables(sample)
+
     def prepare_many(self, docs, chunk_len=2048, for_find=False):
         """Pack/upload a document set ONCE (PreparedBatch) for reuse
         across count_many/scan_many calls — the batch analogue of
@@ -1043,17 +1144,29 @@ class Scanner:
         *_many calls simply loop)."""
         docs = [d if isinstance(d, (bytes, bytearray)) else bytes(d)
                 for d in docs]
+        full = None
         if for_find:
             tables = self._tdfa_spec
         else:
-            ct = self._batch_core(docs)
+            fct = self._batch_fused_core(docs)
+            ct = fct or self._batch_core(docs)
             tables = ct.inner if ct is not None else self._spec
+            if fct is not None:
+                # the fused batch needs the FULL machine's prep too;
+                # align both on one chunk length
+                from .ops.pallas_core import fused_chunk
+                ck = fused_chunk(fct.inner, self._spec, chunk_len)
+                full = self._spec if ck is not None else None
+                chunk_len = ck if ck is not None else chunk_len
         if tables is None or not self.use_device \
                 or sum(len(d) for d in docs) < self.DEVICE_THRESHOLD:
             return None
         from .ops.batch import batch_prepare, BatchUnsupported
         try:
-            return batch_prepare(tables, docs, chunk_len)
+            pb = batch_prepare(tables, docs, chunk_len)
+            if full is not None:
+                pb.full = batch_prepare(full, docs, chunk_len)
+            return pb
         except BatchUnsupported:
             return None
 
@@ -1071,6 +1184,30 @@ class Scanner:
         docs = [d if isinstance(d, (bytes, bytearray)) else bytes(d)
                 for d in docs]
         t0 = time.perf_counter()
+        fct = self._batch_fused_core(docs)
+        if fct is not None:
+            from .ops.batch import (core_count_many_fused,
+                                    BatchUnsupported)
+            spec = self._spec
+
+            def thunk():
+                try:
+                    return core_count_many_fused(
+                        fct, spec, docs, chunk_len,
+                        prepared_core=prepared,
+                        prepared_full=getattr(prepared, "full", None))
+                except BatchUnsupported:
+                    return None     # no pad byte: legacy paths serve
+
+            r = _try_device(self, "fused-batch", "_fusedct", thunk)
+            if r is not None:
+                counts, finals, nat, C = r
+                fct.last_repair = (nat, C)
+                self._note_stats("count_many", fct,
+                                 sum(len(d) for d in docs), t0)
+                eof = self.dfa.match_eof
+                return [c + (1 if eof[s] else 0)
+                        for c, s in zip(counts, finals)]
         ct = self._batch_core(docs)
         if ct is not None:
             from .ops.batch import core_count_many, BatchUnsupported
@@ -1122,6 +1259,28 @@ class Scanner:
                     out.append((rid, len(d)) if rid >= 0 else None)
             return out
 
+        fct = self._batch_fused_core(docs)
+        if fct is not None:
+            from .ops.batch import (core_scan_many_fused,
+                                    BatchUnsupported)
+            spec = self._spec
+
+            def thunk():
+                try:
+                    return core_scan_many_fused(
+                        fct, spec, docs, chunk_len,
+                        prepared_core=prepared,
+                        prepared_full=getattr(prepared, "full", None))
+                except BatchUnsupported:
+                    return None
+
+            r = _try_device(self, "fused-batch", "_fusedct", thunk)
+            if r is not None:
+                results, nat, C = r
+                fct.last_repair = (nat, C)
+                self._note_stats("scan_many", fct,
+                                 sum(len(d) for d in docs), t0)
+                return resolve(results)
         ct = self._batch_core(docs)
         if ct is not None:
             from .ops.batch import core_scan_many, BatchUnsupported
@@ -1671,6 +1830,12 @@ class Scanner:
         exist for this pattern."""
         rev = self._rev_dfa()
         if rev is not None:
+            fct = self._rev_fused_core_tables(data)
+            if fct is not None:
+                # fused-band reverse machine: the chunk map's escapes
+                # are redone on device (core_chunk_map_fused)
+                return _StartLocator(rev, fct, data,
+                                     full_tables=self._rev_spec)
             tables = self._rev_core_tables(data) or \
                 getattr(self, "_rev_spec", None)
             if tables is None:
@@ -2126,13 +2291,34 @@ class _StartLocator:
 
     CHUNK = 2048
 
-    def __init__(self, rev_native, rev_tables, data):
+    def __init__(self, rev_native, rev_tables, data,
+                 full_tables=None):
         from .ops.pallas_core import CoreTables, core_chunk_map
         from .ops.pallas_scan import effective_chunk
         self.n = len(data)
         self.rdata = data[::-1]
         self.rev = rev_native
         from .ops.pallas_core import LazyCoreTables
+        if full_tables is not None and isinstance(rev_tables,
+                                                  CoreTables):
+            # fused two-phase chunk map (round 5): escaped chunks are
+            # redone by the full reverse machine's kernel on device
+            from .ops.pallas_core import (core_chunk_map_fused,
+                                          fused_chunk)
+            ck = fused_chunk(rev_tables.inner, full_tables,
+                             self.CHUNK)
+            r = core_chunk_map_fused(rev_tables, full_tables,
+                                     self.rdata, ck or self.CHUNK) \
+                if ck is not None else None
+            if r is not None:
+                self.CHUNK = ck
+                self.entries, self.counts, final = r
+                me = rev_native.match_eof
+                self.start0 = bool(me(final)) if callable(me) else \
+                    bool(me[final])
+                self.C = len(self.counts)
+                return
+            # shapes disqualified the fused path: legacy chunk map
         if isinstance(rev_tables, (CoreTables, LazyCoreTables)):
             # the prep may clamp K (8-bit packing VMEM budget); the
             # locator's position math must agree with it

@@ -258,3 +258,93 @@ def test_batch_doc_isolation():
     assert sc.count_many(docs) == [0, 0]
     assert sc.scan_many(docs) == [None, None]
     assert sc.match_many(docs) == [False, False]
+
+
+# ---------------------------------------------------------------------
+# Fused batched scan (round 5, VERDICT r4 #7): escaped chunks of the
+# document stream are redone by the FULL machine's kernel inside the
+# one batch dispatch (core_count_many_fused / core_scan_many_fused)
+# instead of one native host walk each.
+# ---------------------------------------------------------------------
+
+def _kw_scanner(seed=2, nwords=14):
+    from sregex_tpu import parse_multi, compile_regex
+    from sregex_tpu.stream import Scanner
+    rng = random.Random(seed)
+    words = list({("".join(rng.choice("abcdefghijklmn")
+                           for _ in range(4))).encode()
+                  for _ in range(nwords)})
+    ast, _ = parse_multi(words)
+    sc = Scanner(compile_regex(ast), use_device=True, ast=ast)
+    sc.DEVICE_THRESHOLD = 1 << 12
+    host = Scanner(compile_regex(ast), use_device=False, ast=ast)
+    return sc, host, words
+
+
+def _kw_docs(words, n_docs=18, plant_every=4096, doc0_plant=False):
+    filler = [("".join(random.Random(77 + i).choice("nopqrstuv")
+                       for _ in range(5))).encode() for i in range(12)]
+    docs = []
+    for i in range(n_docs):
+        r = random.Random(i)
+        n = 3000 + 977 * i
+        piece = b" ".join(r.choice(filler) for _ in range(40)) + b" "
+        out = bytearray((piece * (n // len(piece) + 1))[:n])
+        for pos in range(2048, n - 16, plant_every):
+            w = words[r.randrange(len(words))]
+            out[pos:pos + len(w) + 2] = b" " + w + b" "
+        docs.append(bytes(out))
+    if doc0_plant:
+        # plant at the very start of a doc: its FIRST chunk escapes,
+        # and the phase-2 redo must ride the frozen doc-start j0
+        # (warming up over the previous doc's tail would be wrong)
+        for i in (0, 3, 7):
+            w = words[i % len(words)]
+            docs[i] = w + b" " + docs[i][len(w) + 1:]
+    return docs + [b"", b"xy"]
+
+
+def test_batch_fused_count_scan_exact():
+    sc, host, words = _kw_scanner()
+    docs = _kw_docs(words, doc0_plant=True)
+    exp_c = [host.count(d) for d in docs]
+    exp_s = [host.scan(d) for d in docs]
+    assert sc.count_many(docs) == exp_c
+    st = sc.stats()
+    assert st.api == "count_many" and st.tier == "CoreTables", st
+    # the plants escape the core, yet only ragged tails repair on
+    # host (the device redo absorbed the escapes) — the legacy batch
+    # core path would repair every planted chunk natively
+    ragged = sum(1 for d in docs if len(d) % 512 or not d)
+    assert sc._fusedct not in (None, False)
+    assert st.repaired <= len(docs), (st.repaired, len(docs))
+    assert sc.scan_many(docs) == exp_s
+    # prepared-handle reuse (prepare_many builds BOTH layouts)
+    h = sc.prepare_many(docs)
+    assert h is not None and h.full is not None
+    assert sc.count_many(docs, prepared=h) == exp_c
+    assert sc.scan_many(docs, prepared=h) == exp_s
+
+
+def test_batch_fused_overflow_exact(monkeypatch):
+    """Overflow fold branch: the device redo cap can't go below one
+    phase-2 block (4096 chunks at G=4), far above what a CPU-mesh
+    corpus can exceed — so force the overflow flag and assert the
+    legacy CORE-plane per-document fold still returns exact results
+    (the production path for > FUSED_CAP escapes)."""
+    import numpy as np
+    import sregex_tpu.ops.pallas_core as pc
+    real = pc._fused_batch
+
+    def force_overflow(*a, **k):
+        merged, packed, flags = real(*a, **k)
+        return merged, packed, np.array([int(flags[0]), 1],
+                                        dtype=np.int32)
+
+    monkeypatch.setattr(pc, "_fused_batch", force_overflow)
+    sc, host, words = _kw_scanner(seed=5, nwords=10)
+    docs = _kw_docs(words, n_docs=10, plant_every=256)
+    exp_c = [host.count(d) for d in docs]
+    exp_s = [host.scan(d) for d in docs]
+    assert sc.count_many(docs, chunk_len=512) == exp_c
+    assert sc.scan_many(docs, chunk_len=512) == exp_s
