@@ -107,8 +107,10 @@ def bench_multi(log):
             try:
                 pre["s"] = sc.precompile(
                     n, sample=corpus[:sc.CORE_SAMPLE])
-            except Exception as e:       # never let warmup kill the run
-                pre["err"] = repr(e)
+            except Exception:            # never let warmup kill the run
+                import traceback
+                pre["err"] = traceback.format_exc().strip() \
+                    .replace("\n", " | ")
 
         th = threading.Thread(target=_warm, daemon=True)
         th.start()

@@ -219,6 +219,13 @@ def prepare_auto(tables, data_np, chunk_len, b_multiple=1,
     knob = os.environ.get("SREGEX_DEVICE_PREP")
     use_dev = (len(data_np) >= DEVICE_PREP_MIN if knob is None
                else knob == "1")
+    import jax
+    if isinstance(data_np, jax.Array):
+        # device-resident input (PreparedCorpus raw sharing,
+        # Scanner.precompile's HBM zeros stand-in): the host path
+        # cannot read it (no buffer protocol off-CPU) — always prep
+        # on device, whatever the size knob says
+        use_dev = True
     if use_dev:
         return prepare_on_device(tables, data_np, chunk_len,
                                  b_multiple=b_multiple,

@@ -495,6 +495,52 @@ def main():
         assert (got[1][2 * gi], got[1][2 * gi + 1]) == m.span(gi), gi
     ok("tdfa-16bit-find")
 
+    # 21. round-5 fused surfaces: batched count/scan over a document
+    # set (escapes redo on device inside the one dispatch) and the
+    # fused reverse chunk map behind make_index/finditer
+    case("fused-many-index")
+    words = [w.encode() for w in
+             ("epsilon theta lambda omicron upsilon "
+              "gamma sigma kappa").split()]
+    ast, _ = parse_multi(words)
+    prog = compile_regex(ast)
+    _ab_save = os.environ.get("SREGEX_TIER_AB")
+    os.environ["SREGEX_TIER_AB"] = "0"
+    try:
+        sc = Scanner(prog, use_device=True, ast=ast)
+        host = Scanner(prog, use_device=False, ast=ast)
+        from sregex_tpu.ops.pallas_scan import SpecTablesWide as _W2
+        if isinstance(sc._spec, _W2) and sc._spec.rows > 4:
+            base = corpus(rng, b"zxqwvu ", 8,
+                          [(0.1, b" lambda "), (0.35, b" kappa "),
+                           (0.6, b" sigma "), (0.85, b" theta ")])
+            docs = [base[i << 20:(i << 20) + (1 << 20 | (i * 4097))]
+                    for i in range(6)]
+            got = sc.count_many(docs)
+            exp = [host.count(d) for d in docs]
+            assert got == exp, (got, exp)
+            assert sc._fusedct not in (None, False), "fused-many off"
+            st = sc.stats()
+            log("   fused-many repaired %d/%d on host"
+                % (st.repaired, st.chunks))
+            data = docs[0]
+            idx = sc.make_index(data)
+            gotf = [m for m in sc.finditer(data, index=idx)]
+            expf = [m for m in host.finditer(data)]
+            assert gotf == expf, (len(gotf), len(expf))
+            if sc._rev_fusedct not in (None, False):
+                log("   fused reverse map repaired %d/%d"
+                    % sc._rev_fusedct.last_repair)
+            ok("fused-many-index")
+        else:
+            log("   SKIP (machine shape below the fused band: %s)"
+                % type(sc._spec).__name__)
+    finally:
+        if _ab_save is None:
+            os.environ.pop("SREGEX_TIER_AB", None)
+        else:
+            os.environ["SREGEX_TIER_AB"] = _ab_save
+
     print("SMOKE_OK", flush=True)
     return 0
 

@@ -149,3 +149,27 @@ def test_device_prep_3bit_bit_identical(monkeypatch):
         dev = prepare_on_device(tables, data, 300)
         assert host[1:] == dev[1:]
         assert np.array_equal(np.asarray(host[0]), np.asarray(dev[0]))
+
+
+def test_prepare_auto_device_input_below_min_routes_to_device():
+    """Round-5 regression: a jax.Array input (PreparedCorpus raw
+    sharing, Scanner.precompile's HBM zeros stand-in) must take the
+    DEVICE prep path even below DEVICE_PREP_MIN — the host path
+    cannot read off-CPU buffers (np.frombuffer raised BufferError on
+    real TPU; CPU tests pin the routing + bit-identity instead)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from sregex_tpu import parse, compile_regex
+    from sregex_tpu.dfa import build_dfa
+    from sregex_tpu.ops.pallas_scan import SpecTables, _prepare
+    from sregex_tpu.ops.prep import prepare_auto, DEVICE_PREP_MIN
+
+    ast, _ = parse("(?:a|b)aa(?:aa|bb)cc(?:a|b)")
+    t = SpecTables(build_dfa(compile_regex(ast)))
+    data = (b"abccc" * 4000)[:17000]
+    assert len(data) < DEVICE_PREP_MIN
+    host = _prepare(t, data, 512)
+    dev = prepare_auto(t, jnp.asarray(np.frombuffer(data, np.uint8)),
+                       512)
+    assert host[1:] == dev[1:], (host[1:], dev[1:])
+    assert np.array_equal(np.asarray(host[0]), np.asarray(dev[0]))
