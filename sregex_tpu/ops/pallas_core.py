@@ -97,12 +97,23 @@ class CoreTables:
     """
 
     def __init__(self, dfa, sample, max_escape_frac=MAX_ESCAPE_FRAC,
-                 require_fast=False, no_pair=False):
+                 require_fast=False, no_pair=False,
+                 prefer_small=False):
         """require_fast=True only accepts a core the 1-gather
         (pair/narrow) tiers can run — used when the FULL machine
         already has a static wide tier, which a wide core could
         never beat.  no_pair=True restricts to byte-unit inners
-        (the fused path's chunking constraint)."""
+        (the fused path's chunking constraint).
+
+        prefer_small=True picks the SMALLEST hot set above the mass
+        floor instead of the largest fit — the FUSED path's policy
+        (round 5): its escapes cost a device redo (~K/R_full per
+        chunk), not a native host walk, so the kernel-rate gain of a
+        smaller machine (wide cost grows with the row count; a small
+        core can drop to the narrow tier) beats the escape tax by a
+        wide margin.  Measured on the 90-keyword bench shape: the
+        legacy largest-fit core is 118 states -> rows 23 wide; the
+        small-fit core is narrow."""
         from ..native import NativeDfa
         self.dfa = dfa                      # the FULL machine
         self.native = NativeDfa(dfa)
@@ -136,10 +147,20 @@ class CoreTables:
                 if inner is not None:
                     fast_fit = (inner, core, hot2full, full2core)
                     break                   # largest fast fit wins
-            if wide_fit is None and not require_fast:
+                    # (the 1-gather tiers' rate is row-independent,
+                    # so among fast fits more states = fewer escapes
+                    # at the same speed)
+            if not require_fast:
                 inner = _inner_tables(core, narrow_only=False,
                                       no_pair=no_pair)
-                if inner is not None:
+                if inner is not None and (wide_fit is None
+                                          or prefer_small):
+                    # legacy keeps the FIRST (largest) wide fit:
+                    # escapes cost a native host walk there, so
+                    # coverage wins.  prefer_small overwrites down
+                    # to the SMALLEST wide fit: the row-select
+                    # chain's per-byte cost grows with the row count
+                    # and the fused path redoes escapes on device
                     wide_fit = (inner, core, hot2full, full2core)
         fit = fast_fit or wide_fit
         if fit is None:
@@ -581,8 +602,85 @@ def core_count_bytes(ct, data_np, chunk_len=DEFAULT_K, entry_state=0,
 
 # max escaped chunks the device redo absorbs per scan (rounded up at
 # dispatch to a whole phase-2 block = GROUPS*1024 chunk slots); more
-# overflow to the legacy host fold
-FUSED_CAP = int(os.environ.get("SREGEX_FUSED_CAP", str(16384)))
+# overflow to the legacy host fold.  32768 covers a ~3% escape rate
+# at 2 GiB / K=2048 (the bench-multi shape measured 2.6% at 1 GiB —
+# 16384 would overflow at the 1920 MB bench size); phase-2 blocks
+# holding no real escapes are gated off on device, so unused
+# capacity costs only the window gather's bandwidth
+FUSED_CAP = int(os.environ.get("SREGEX_FUSED_CAP", str(32768)))
+
+# sampled visit mass allowed outside a FUSED-path core (per byte):
+# escapes there cost a device redo (~K bytes through the full
+# machine's kernel, compacted), not a native host walk, so the
+# break-even escape rate is orders of magnitude higher than
+# MAX_ESCAPE_FRAC — and admitting it lets the candidate search drop
+# rare states (sampled keyword plants) for a much smaller, much
+# faster core machine
+FUSED_ESCAPE_FRAC = float(os.environ.get("SREGEX_FUSED_ESCAPE",
+                                         "1e-3"))
+
+
+def _dispatch_kernel_gated(kernel, data, s0, j0, fused, flags):
+    """pallas_scan._dispatch_kernel with a per-block SMEM gate: grid
+    blocks whose flag is 0 skip the whole kernel body (pl.when).  The
+    fused phase-2 redo allocates a STATIC escape capacity (CAP chunk
+    slots) but real escapes compact into a prefix — gating lets the
+    unused capacity cost only its window gather's bandwidth instead
+    of a full-machine scan of padding chunks every dispatch."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from .pallas_scan import compiler_params, footprint_bytes
+    interpret = jax.default_backend() == "cpu"
+    G = GROUPS
+    B, Jw = data.shape[0], data.shape[1]
+    small = pl.BlockSpec((1, G, 8, 128),
+                         lambda i, *refs: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    # scalar-prefetch index maps receive the prefetch refs too, so
+    # the caller's fused spec (plain lambda i) can't be reused here
+    if fused.ndim == 3:
+        fused_spec = pl.BlockSpec((fused.shape[0], 8, 128),
+                                  lambda i, *refs: (0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    else:
+        fused_spec = pl.BlockSpec((8, 128),
+                                  lambda i, *refs: (0, 0),
+                                  memory_space=pltpu.VMEM)
+
+    def gated(flags_ref, data_ref, s0_ref, j0_ref, fused_ref,
+              phi_ref, fm_ref, swarm_ref):
+        # inactive blocks leave their outputs untouched — every one
+        # of their chunk slots is scatter-padding (mode="drop"), so
+        # the garbage never lands in the merged planes
+        @pl.when(flags_ref[pl.program_id(0)] != 0)
+        def _():
+            kernel(data_ref, s0_ref, j0_ref, fused_ref,
+                   phi_ref, fm_ref, swarm_ref)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Jw, G, 8, 128),
+                         lambda i, *refs: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            small, small,
+            fused_spec,
+        ],
+        out_specs=[small, small, small],
+    )
+    return pl.pallas_call(
+        gated,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int32),
+        ],
+        interpret=interpret,
+        compiler_params=compiler_params(footprint_bytes(
+            Jw, fused.shape[0] if fused.ndim == 3 else 1)),
+    )(flags, data, s0, j0, fused)
 
 
 def _tier_statics(tables):
@@ -696,16 +794,17 @@ def _fused_phases(core_data, full_data, s01, j01, core_fused,
     # ---- phase 2: full-machine kernel over the compacted block ----
     J2 = W2 + K
     k2 = _mk_kernel(KIND2, J2, W2, CPW2, BITS2, R2)
-    n2_ = KIND2 == "narrow"
-    spec2 = pl.BlockSpec(
-        (8, 128) if n2_ else (R2, 8, 128),
-        (lambda i: (0, 0)) if n2_ else (lambda i: (0, 0, 0)),
-        memory_space=pltpu.VMEM)
     z2 = jnp.zeros((B2, G, 8, 128), jnp.int32)
     j02 = z2 if p2_j0 is None \
         else p2_j0[sel_g].reshape(B2, G, 8, 128)
-    phi2, fm2, swarm2 = _dispatch_kernel(k2, blk, z2, j02, full_fused,
-                                         spec2, None, None)
+    # escapes compact into a PREFIX of the CAP slots, so whole blocks
+    # past ceil(n_esc / blockslots) carry only padding — gate them off
+    blkslots = G * 1024
+    nblk = (n_esc + blkslots - 1) // blkslots
+    flags = (jnp.arange(B2, dtype=jnp.int32)
+             < nblk).astype(jnp.int32)
+    phi2, fm2, swarm2 = _dispatch_kernel_gated(k2, blk, z2, j02,
+                                               full_fused, flags)
     phi2 = phi2.reshape(CAP)
     fm2 = fm2.reshape(CAP)
     swarm2 = swarm2.reshape(CAP)

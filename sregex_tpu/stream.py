@@ -479,11 +479,13 @@ class Scanner:
                     or isinstance(sp, SpecTablesBig)):
                 return None
             try:
-                from .ops.pallas_core import CoreTables
-                self._fusedct = CoreTables(self.dfa,
-                                           self._core_sample(data),
-                                           require_fast=False,
-                                           no_pair=True)
+                from .ops.pallas_core import (CoreTables,
+                                              FUSED_ESCAPE_FRAC)
+                self._fusedct = CoreTables(
+                    self.dfa, self._core_sample(data),
+                    max_escape_frac=FUSED_ESCAPE_FRAC,
+                    require_fast=False, no_pair=True,
+                    prefer_small=True)
                 if os.environ.get("SREGEX_TIER_AB") != "0" \
                         and _core_band(sp) == "ab":
                     self._ab_pending = True
@@ -776,10 +778,13 @@ class Scanner:
                     or isinstance(sp, SpecTablesBig)):
                 return None
             try:
-                from .ops.pallas_core import CoreTables
+                from .ops.pallas_core import (CoreTables,
+                                              FUSED_ESCAPE_FRAC)
                 self._rev_fusedct = CoreTables(
                     rev.dfa, self._core_sample(data)[::-1],
-                    require_fast=False, no_pair=True)
+                    max_escape_frac=FUSED_ESCAPE_FRAC,
+                    require_fast=False, no_pair=True,
+                    prefer_small=True)
             except ValueError:
                 self._rev_fusedct = False
         return self._rev_fusedct or None
