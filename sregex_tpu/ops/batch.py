@@ -83,7 +83,7 @@ class PreparedBatch:
     it only with the documents it was built from."""
 
     __slots__ = ("K", "spans", "prepared", "nbytes", "_key",
-                 "b_multiple", "full")
+                 "b_multiple", "full", "aux")
 
     def __init__(self, K, spans, prepared, nbytes, key,
                  b_multiple=1):
@@ -96,6 +96,10 @@ class PreparedBatch:
         # optional second prep under the FULL machine's layout (the
         # fused batch path needs both; Scanner.prepare_many fills it)
         self.full = None
+        # device-resident per-chunk doc metadata for the fused batch
+        # summary (built lazily by _fused_batch_dispatch; reused
+        # across calls so the ~C-int upload is paid once)
+        self.aux = None
 
 
 def _pack_key(tables):
@@ -171,6 +175,64 @@ def _batch_dispatch(tables, docs, chunk_len, count, prepared=None,
     return K, spans, phi, aux, swarm
 
 
+class _DocFold:
+    """Vectorized per-document repair fold over the per-chunk planes
+    — the batch analogue of pallas_core._Fold.  The scalar per-chunk
+    walk is O(total chunks) Python (measured: a 256-doc x 1 MB set is
+    131,072 iterations, ~0.3 s — 16x the kernel time); here the chain
+    links are precomputed with numpy and each maximal TRUSTED RUN
+    resolves in O(1), so Python work scales with docs + breaks +
+    repairs.
+
+    ok[c] marks an intrinsically trustable chunk (full-length, plus
+    any caller condition like phi != ESC; fire-free when quiet);
+    cont[c] says the run may extend to c+1 (c+1 trustable, its
+    speculated entry matches c's exit, and c+1 does not start a new
+    document — document starts always begin a fresh run at the
+    seed)."""
+
+    __slots__ = ("phi", "cnt", "swarm", "ok", "ok_raw", "breaks",
+                 "cum")
+
+    def __init__(self, phi, cnt, swarm, spans, K, quiet=False,
+                 ok_extra=None):
+        C = len(phi)
+        self.phi, self.cnt, self.swarm = phi, cnt, swarm
+        full = np.zeros(C, dtype=bool)
+        doc_start = np.zeros(C, dtype=bool)
+        for c0, cd, n in spans:
+            full[c0:c0 + cd] = True
+            if cd * K > n:
+                full[c0 + cd - 1] = False   # ragged tail: never trust
+            doc_start[c0] = True
+        ok = full
+        if ok_extra is not None:
+            ok = ok & ok_extra
+        # ok_raw ignores the quiet (fire-free) condition: scan folds
+        # use it to tell a trusted-but-FIRING chunk (exact native pin
+        # from a validated entry — not a repair) from a real miss
+        self.ok_raw = ok
+        if quiet:
+            ok = ok & (cnt == 0)
+        self.ok = ok
+        cont = np.zeros(C, dtype=bool)
+        if C > 1:
+            cont[:C - 1] = (ok[1:] & (swarm[1:] == phi[:C - 1])
+                            & ~doc_start[1:])
+        self.breaks = np.flatnonzero(~cont)   # C-1 is always a break
+        self.cum = np.cumsum(cnt.astype(np.int64))
+
+    def run_end(self, c):
+        """Last chunk b >= c of the maximal trusted run from c (never
+        crosses a document boundary: doc starts break cont)."""
+        i = np.searchsorted(self.breaks, c)
+        return int(self.breaks[i])
+
+    def run_count(self, c, b):
+        lo = self.cum[c - 1] if c else 0
+        return int(self.cum[b] - lo)
+
+
 def spec_count_many(tables, docs, chunk_len=DEFAULT_K,
                     prepared=None, mesh=None):
     """Per-document match-boundary counts (boundaries 0..n_d-1; the
@@ -186,6 +248,7 @@ def spec_count_many(tables, docs, chunk_len=DEFAULT_K,
     topm = getattr(tables, "to_premult", None) or (lambda v: v * ncls)
     frpm = getattr(tables, "from_premult", None) or (lambda v: v // ncls)
     native = NativeDfa(tables.dfa)
+    fold = _DocFold(phi, cnt, swarm, spans, K)
     counts = []
     finals = []
     nat = 0
@@ -193,17 +256,22 @@ def spec_count_many(tables, docs, chunk_len=DEFAULT_K,
         raw = doc if isinstance(doc, (bytes, bytearray)) else bytes(doc)
         e = topm(0)                 # seed, premultiplied
         total = 0
-        for c in range(c0, c0 + cd):
+        c = c0
+        end = c0 + cd
+        while c < end:
+            if fold.ok[c] and int(swarm[c]) == e:
+                b = fold.run_end(c)     # trusted run [c..b], in-doc
+                total += fold.run_count(c, b)
+                e = int(phi[b])
+                c = b + 1
+                continue
             lo = (c - c0) * K
             hi = min(lo + K, n)
-            if hi - lo == K and swarm[c] == e:
-                total += int(cnt[c])
-                e = int(phi[c])
-            else:
-                k, st = native.count(bytes(raw[lo:hi]), frpm(e))
-                total += k
-                e = topm(st)
-                nat += 1
+            k, st = native.count(bytes(raw[lo:hi]), frpm(e))
+            total += k
+            e = topm(st)
+            nat += 1
+            c += 1
         counts.append(total)
         finals.append(frpm(e))
     return counts, finals, nat, len(phi)
@@ -224,27 +292,32 @@ def spec_scan_many(tables, docs, chunk_len=DEFAULT_K,
     topm = getattr(tables, "to_premult", None) or (lambda v: v * ncls)
     frpm = getattr(tables, "from_premult", None) or (lambda v: v // ncls)
     native = NativeDfa(tables.dfa)
+    fold = _DocFold(phi, many, swarm, spans, K, quiet=True)
     results = []
     nat = 0
     for (c0, cd, n), doc in zip(spans, docs):
         raw = doc if isinstance(doc, (bytes, bytearray)) else bytes(doc)
         e = topm(0)
         hit = None
-        for c in range(c0, c0 + cd):
+        c = c0
+        end = c0 + cd
+        while c < end:
+            if fold.ok[c] and int(swarm[c]) == e:
+                b = fold.run_end(c)     # fire-free trusted run
+                e = int(phi[b])
+                c = b + 1
+                continue
             lo = (c - c0) * K
             hi = min(lo + K, n)
-            trusted = hi - lo == K and swarm[c] == e
-            if trusted and not many[c]:
-                e = int(phi[c])
-                continue
             # fired or untrusted: one native scan pins it exactly
             f, st = native.scan_first(bytes(raw[lo:hi]), frpm(e))
-            if not trusted:
+            if not (fold.ok_raw[c] and int(swarm[c]) == e):
                 nat += 1
             if f >= 0:
                 hit = (st, lo + f)
                 break
             e = topm(st)
+            c += 1
         results.append(hit if hit is not None else (frpm(e), -1))
     return results, nat, len(phi)
 
@@ -313,21 +386,51 @@ def _fused_batch_dispatch(ct, full_tables, docs, chunk_len,
     fv1 = inner.fused_vec if k1 == "narrow" else inner.fused_rows
     fv2 = full_tables.fused_vec if k2 == "narrow" \
         else full_tables.fused_rows
-    merged, packed, flags = _fused_batch(
+
+    # per-chunk doc metadata for the DEVICE-side per-document fold
+    # (device-resident, cached on the core prep handle: the ~C-int
+    # upload is paid once per prepared set, and the common-case
+    # readback is the tiny summary instead of megabytes of planes)
+    ndocs = len(docs)
+    if pc.aux is None:
+        Cp = B1 * GROUPS * 1024
+        doc_id = np.full(Cp, ndocs, np.int32)
+        fullv = np.zeros(Cp, np.int32)
+        startv = np.zeros(Cp, np.int32)
+        last_full = np.full(ndocs, -1, np.int32)
+        for i, (c0, cd, nd) in enumerate(spans):
+            doc_id[c0:c0 + cd] = i
+            fullv[c0:c0 + cd] = 1
+            fcd = cd - 1 if cd * K > nd else cd
+            if fcd < cd:
+                fullv[c0 + cd - 1] = 0
+            startv[c0] = 1
+            if fcd > 0:
+                last_full[i] = c0 + fcd - 1
+        pc.aux = (jnp.asarray(doc_id), jnp.asarray(fullv),
+                  jnp.asarray(startv), jnp.asarray(last_full))
+    doc_id_d, fullv_d, startv_d, last_full_d = pc.aux
+
+    summary, merged, packed, flags = _fused_batch(
         core_data if isinstance(core_data, jax.Array)
         else jnp.asarray(core_data),
         full_data if isinstance(full_data, jax.Array)
         else jnp.asarray(full_data),
         s01, j01, j02p.reshape(-1), fv1, fv2, h2f_dev, np.int32(C),
+        doc_id_d, fullv_d, startv_d, last_full_d,
         K=K, W1=w1, CPW1=c1, BITS1=b1, R1=r1, KIND1=k1,
         W2=w2, CPW2=c2, BITS2=b2_, R2=r2, KIND2=k2,
         CAP=cap, NCLS_C=inner.ncls, NCLS_F=full_tables.ncls,
-        ESC=ct.esc_premult)
-    flags = np.asarray(flags)
+        ESC=ct.esc_premult, NDOCS=ndocs)
+    summ = np.asarray(summary).astype(np.int64)
     return {"K": K, "spans": spans, "C": C,
-            "merged": np.asarray(merged).astype(np.int64),
-            "packed": np.asarray(packed).astype(np.int64),
-            "n_esc": int(flags[0]), "overflow": bool(flags[1])}
+            "all_ok": bool(summ[0]), "n_esc": int(summ[1]),
+            "overflow": int(summ[1]) > cap,
+            "dcounts": summ[2:2 + ndocs],
+            "dfinals": summ[2 + ndocs:],
+            # plane handles stay LAZY: ~50 MB/s relay readback makes
+            # them the dominant cost — only the repair paths pull them
+            "merged_dev": merged, "packed_dev": packed}
 
 
 def core_count_many_fused(ct, full_tables, docs, chunk_len=DEFAULT_K,
@@ -347,50 +450,89 @@ def core_count_many_fused(ct, full_tables, docs, chunk_len=DEFAULT_K,
     native = ct.native
     ncls_f = full_tables.ncls
     counts, finals, nat = [], [], 0
+    if d["all_ok"] and sum(s[2] for s in spans) < 2 ** 31:
+        # every document's full-chunk chain validated ON DEVICE: the
+        # readback was the ~2*ndocs-int summary, no planes.  Only
+        # ragged tails finish on host, from each doc's device exit.
+        dcounts, dfinals = d["dcounts"], d["dfinals"]
+        for i, ((c0, cd, nd), doc) in enumerate(zip(spans, docs)):
+            raw = doc if isinstance(doc, (bytes, bytearray)) \
+                else bytes(doc)
+            fcd = cd - 1 if cd * K > nd else cd
+            if fcd > 0:
+                total = int(dcounts[i])
+                e_full = int(dfinals[i]) // ncls_f
+            else:
+                total = 0
+                e_full = 0
+            lo = fcd * K
+            if lo < nd:
+                k, st = native.count(bytes(raw[lo:nd]), e_full)
+                total += k
+                e_full = st
+                nat += 1
+            counts.append(total)
+            finals.append(e_full)
+        return counts, finals, nat, d["C"]
     if d["overflow"]:
         # more escapes than the device redo cap: legacy fold over the
-        # CORE-space planes (identical to core_count_many's loop)
-        phi, cnt, swarm = d["packed"]
+        # CORE-space planes (core_count_many's discipline)
+        phi, cnt, swarm = np.asarray(
+            d["packed_dev"]).astype(np.int64)
         esc = ct.esc_premult
+        fold = _DocFold(phi, cnt, swarm, spans, K,
+                        ok_extra=(phi != esc))
         for (c0, cd, n), doc in zip(spans, docs):
             raw = doc if isinstance(doc, (bytes, bytearray)) \
                 else bytes(doc)
             e_full = 0
             total = 0
-            for c in range(c0, c0 + cd):
+            c = c0
+            end = c0 + cd
+            while c < end:
+                cp = ct.to_core_premult(e_full)
+                if cp >= 0 and fold.ok[c] and int(swarm[c]) == cp:
+                    b = fold.run_end(c)
+                    total += fold.run_count(c, b)
+                    e_full = ct.to_full(int(fold.phi[b]))
+                    c = b + 1
+                    continue
                 lo = (c - c0) * K
                 hi = min(lo + K, n)
-                cp = ct.to_core_premult(e_full)
-                if (hi - lo == K and cp >= 0 and int(swarm[c]) == cp
-                        and int(phi[c]) != esc):
-                    total += int(cnt[c])
-                    e_full = ct.to_full(int(phi[c]))
-                else:
-                    k, st = native.count(bytes(raw[lo:hi]), e_full)
-                    total += k
-                    e_full = st
-                    nat += 1
+                k, st = native.count(bytes(raw[lo:hi]), e_full)
+                total += k
+                e_full = st
+                nat += 1
+                c += 1
             counts.append(total)
             finals.append(e_full)
         return counts, finals, nat, d["C"]
-    phi_m, fm_m, swarm_m = d["merged"]
+    phi_m, fm_m, swarm_m = np.asarray(
+        d["merged_dev"]).astype(np.int64)
+    fold = _DocFold(phi_m, fm_m, swarm_m, spans, K,
+                    ok_extra=(phi_m >= 0))
     for (c0, cd, n), doc in zip(spans, docs):
         raw = doc if isinstance(doc, (bytes, bytearray)) \
             else bytes(doc)
         e = 0                       # full premult; seed premult is 0
         total = 0
-        for c in range(c0, c0 + cd):
+        c = c0
+        end = c0 + cd
+        while c < end:
+            if e >= 0 and fold.ok[c] and int(swarm_m[c]) == e:
+                b = fold.run_end(c)
+                total += fold.run_count(c, b)
+                e = int(phi_m[b])
+                c = b + 1
+                continue
             lo = (c - c0) * K
             hi = min(lo + K, n)
-            if hi - lo == K and e >= 0 and int(swarm_m[c]) == e:
-                total += int(fm_m[c])
-                e = int(phi_m[c])
-            else:
-                k, st = native.count(bytes(raw[lo:hi]),
-                                     max(e, 0) // ncls_f)
-                total += k
-                e = st * ncls_f
-                nat += 1
+            k, st = native.count(bytes(raw[lo:hi]),
+                                 max(e, 0) // ncls_f)
+            total += k
+            e = st * ncls_f
+            nat += 1
+            c += 1
         counts.append(total)
         finals.append(max(e, 0) // ncls_f)
     return counts, finals, nat, d["C"]
@@ -409,55 +551,94 @@ def core_scan_many_fused(ct, full_tables, docs, chunk_len=DEFAULT_K,
     native = ct.native
     ncls_f = full_tables.ncls
     results, nat = [], 0
+    if d["all_ok"] and sum(s[2] for s in spans) < 2 ** 31:
+        # device-validated: fire-free documents advance straight to
+        # their tail; a firing document resolves with ONE early-exit
+        # native scan from its start (exact; sparse in the serving
+        # shape — finditer_many uses this to filter match-free docs)
+        dcounts, dfinals = d["dcounts"], d["dfinals"]
+        for i, ((c0, cd, nd), doc) in enumerate(zip(spans, docs)):
+            raw = doc if isinstance(doc, (bytes, bytearray)) \
+                else bytes(doc)
+            fcd = cd - 1 if cd * K > nd else cd
+            if int(dcounts[i]) > 0:
+                f, st = native.scan_first(bytes(raw[:nd]), 0)
+                results.append((st, f))
+                continue
+            e_full = int(dfinals[i]) // ncls_f if fcd > 0 else 0
+            lo = fcd * K
+            hit = None
+            if lo < nd:
+                f, st = native.scan_first(bytes(raw[lo:nd]), e_full)
+                nat += 1
+                if f >= 0:
+                    hit = (st, lo + f)
+                else:
+                    e_full = st
+            results.append(hit if hit is not None else (e_full, -1))
+        return results, nat, d["C"]
     if d["overflow"]:
-        phi, many, swarm = d["packed"]
+        phi, many, swarm = np.asarray(
+            d["packed_dev"]).astype(np.int64)
         esc = ct.esc_premult
+        fold = _DocFold(phi, many, swarm, spans, K, quiet=True,
+                        ok_extra=(phi != esc))
         for (c0, cd, n), doc in zip(spans, docs):
             raw = doc if isinstance(doc, (bytes, bytearray)) \
                 else bytes(doc)
             e_full = 0
             hit = None
-            for c in range(c0, c0 + cd):
+            c = c0
+            end = c0 + cd
+            while c < end:
+                cp = ct.to_core_premult(e_full)
+                if cp >= 0 and fold.ok[c] and int(swarm[c]) == cp:
+                    b = fold.run_end(c)
+                    e_full = ct.to_full(int(fold.phi[b]))
+                    c = b + 1
+                    continue
                 lo = (c - c0) * K
                 hi = min(lo + K, n)
-                cp = ct.to_core_premult(e_full)
-                trusted = (hi - lo == K and cp >= 0
-                           and int(swarm[c]) == cp
-                           and int(phi[c]) != esc)
-                if trusted and not many[c]:
-                    e_full = ct.to_full(int(phi[c]))
-                    continue
                 f, st = native.scan_first(bytes(raw[lo:hi]), e_full)
-                if not trusted:
+                if not (cp >= 0 and fold.ok_raw[c]
+                        and int(swarm[c]) == cp):
                     nat += 1
                 if f >= 0:
                     hit = (st, lo + f)
                     break
                 e_full = st
+                c += 1
             results.append(hit if hit is not None else (e_full, -1))
         return results, nat, d["C"]
-    phi_m, fm_m, swarm_m = d["merged"]
+    phi_m, fm_m, swarm_m = np.asarray(
+        d["merged_dev"]).astype(np.int64)
+    fold = _DocFold(phi_m, fm_m, swarm_m, spans, K, quiet=True,
+                    ok_extra=(phi_m >= 0))
     for (c0, cd, n), doc in zip(spans, docs):
         raw = doc if isinstance(doc, (bytes, bytearray)) \
             else bytes(doc)
         e = 0
         hit = None
-        for c in range(c0, c0 + cd):
+        c = c0
+        end = c0 + cd
+        while c < end:
+            if e >= 0 and fold.ok[c] and int(swarm_m[c]) == e:
+                b = fold.run_end(c)
+                e = int(phi_m[b])
+                c = b + 1
+                continue
             lo = (c - c0) * K
             hi = min(lo + K, n)
-            trusted = hi - lo == K and e >= 0 \
-                and int(swarm_m[c]) == e
-            if trusted and not fm_m[c]:
-                e = int(phi_m[c])
-                continue
             f, st = native.scan_first(bytes(raw[lo:hi]),
                                       max(e, 0) // ncls_f)
-            if not trusted:
+            if not (e >= 0 and fold.ok_raw[c]
+                    and int(swarm_m[c]) == e):
                 nat += 1
             if f >= 0:
                 hit = (st, lo + f)
                 break
             e = st * ncls_f
+            c += 1
         results.append(hit if hit is not None
                        else (max(e, 0) // ncls_f, -1))
     return results, nat, d["C"]
@@ -483,24 +664,29 @@ def core_count_many(ct, docs, chunk_len=DEFAULT_K, prepared=None,
         esc=ct.esc_premult)
     native = ct.native
     esc = ct.esc_premult
+    fold = _DocFold(phi, cnt, swarm, spans, K, ok_extra=(phi != esc))
     counts, finals, nat = [], [], 0
     for (c0, cd, n), doc in zip(spans, docs):
         raw = doc if isinstance(doc, (bytes, bytearray)) else bytes(doc)
         e_full = 0                   # every document starts at the seed
         total = 0
-        for c in range(c0, c0 + cd):
+        c = c0
+        end = c0 + cd
+        while c < end:
+            cp = ct.to_core_premult(e_full)
+            if cp >= 0 and fold.ok[c] and int(swarm[c]) == cp:
+                b = fold.run_end(c)
+                total += fold.run_count(c, b)
+                e_full = ct.to_full(int(fold.phi[b]))
+                c = b + 1
+                continue
             lo = (c - c0) * K
             hi = min(lo + K, n)
-            cp = ct.to_core_premult(e_full)
-            if (hi - lo == K and cp >= 0 and int(swarm[c]) == cp
-                    and int(phi[c]) != esc):
-                total += int(cnt[c])
-                e_full = ct.to_full(int(phi[c]))
-            else:
-                k, st = native.count(bytes(raw[lo:hi]), e_full)
-                total += k
-                e_full = st
-                nat += 1
+            k, st = native.count(bytes(raw[lo:hi]), e_full)
+            total += k
+            e_full = st
+            nat += 1
+            c += 1
         counts.append(total)
         finals.append(e_full)
     return counts, finals, nat, len(phi)
@@ -516,26 +702,32 @@ def core_scan_many(ct, docs, chunk_len=DEFAULT_K, prepared=None,
         esc=ct.esc_premult)
     native = ct.native
     esc = ct.esc_premult
+    fold = _DocFold(phi, many, swarm, spans, K, quiet=True,
+                    ok_extra=(phi != esc))
     results, nat = [], 0
     for (c0, cd, n), doc in zip(spans, docs):
         raw = doc if isinstance(doc, (bytes, bytearray)) else bytes(doc)
         e_full = 0
         hit = None
-        for c in range(c0, c0 + cd):
+        c = c0
+        end = c0 + cd
+        while c < end:
+            cp = ct.to_core_premult(e_full)
+            if cp >= 0 and fold.ok[c] and int(swarm[c]) == cp:
+                b = fold.run_end(c)
+                e_full = ct.to_full(int(fold.phi[b]))
+                c = b + 1
+                continue
             lo = (c - c0) * K
             hi = min(lo + K, n)
-            cp = ct.to_core_premult(e_full)
-            trusted = (hi - lo == K and cp >= 0
-                       and int(swarm[c]) == cp and int(phi[c]) != esc)
-            if trusted and not many[c]:
-                e_full = ct.to_full(int(phi[c]))
-                continue
             f, st = native.scan_first(bytes(raw[lo:hi]), e_full)
-            if not trusted:
+            if not (cp >= 0 and fold.ok_raw[c]
+                    and int(swarm[c]) == cp):
                 nat += 1
             if f >= 0:
                 hit = (st, lo + f)
                 break
             e_full = st
+            c += 1
         results.append(hit if hit is not None else (e_full, -1))
     return results, nat, len(phi)

@@ -876,26 +876,38 @@ def _fused_count(core_data, full_data, core_fused, full_fused,
 @functools.partial(jax.jit, static_argnames=(
     "K", "W1", "CPW1", "BITS1", "R1", "KIND1",
     "W2", "CPW2", "BITS2", "R2", "KIND2",
-    "CAP", "NCLS_C", "NCLS_F", "ESC"))
+    "CAP", "NCLS_C", "NCLS_F", "ESC", "NDOCS"))
 def _fused_batch(core_data, full_data, s01, j01, p2_j0, core_fused,
-                 full_fused, hot2full, C, *,
+                 full_fused, hot2full, C, doc_id, fullv, doc_startv,
+                 last_full, *,
                  K, W1, CPW1, BITS1, R1, KIND1,
                  W2, CPW2, BITS2, R2, KIND2,
-                 CAP, NCLS_C, NCLS_F, ESC):
+                 CAP, NCLS_C, NCLS_F, ESC, NDOCS):
     """Fused two-phase dispatch for the BATCHED document stream
-    (ops/batch.py): both kernel phases + on-device escape redo in one
-    jit, but NO global validation chain or summary — document
-    boundaries break the chain by construction, so the per-document
-    fold on host reads the merged planes directly (they are the
-    readback either way on this path).  The win over the legacy
-    core_count_many is that escaped chunks are redone by the FULL
-    machine's kernel on device instead of one native host walk each.
+    (ops/batch.py): both kernel phases + on-device escape redo + the
+    PER-DOCUMENT validation fold in one jit.
+
+    The per-chunk planes over a big document set are megabytes, and
+    the relay reads values back at ~50 MB/s — so the common case
+    must not touch them.  Document chains validate on device: a full
+    chunk is ok when its speculated entry equals its predecessor's
+    exit (document starts restart at the seed), all_ok means every
+    full chunk of every document validated (chain induction per doc),
+    per-document counts segment-sum over doc_id, and each document's
+    final full-region exit gathers at last_full.  Ragged tails always
+    finish on host from those exits.
 
     s01/j01: phase-1 entry planes (seed at every document start,
     j0 = W1 frozen — ops/batch._batch_entry_planes).  p2_j0: int32
-    [Cp] phase-2 j0 per chunk (W2 at document starts).  Returns
-    (merged [3, Cp] FULL premult, packed core planes [3, Cp],
-    flags [n_esc, overflow])."""
+    [Cp] phase-2 j0 per chunk (W2 at document starts).  doc_id [Cp]
+    (padding = NDOCS, dropped), fullv/doc_startv [Cp] 0/1, last_full
+    [NDOCS] (clipped index of each doc's last FULL chunk; docs
+    without one are masked on host).
+
+    Returns (summary int32 [2 + 2*NDOCS] = [all_ok, n_esc | counts |
+    finals], merged [3, Cp] FULL premult, packed core planes
+    [3, Cp], flags [n_esc, overflow]) — read ONLY the summary unless
+    all_ok is 0."""
     Cp = core_data.shape[0] * GROUPS * 8 * 128
     idx = jnp.arange(Cp, dtype=jnp.int32)
     live = idx < C
@@ -907,10 +919,22 @@ def _fused_batch(core_data, full_data, s01, j01, p2_j0, core_fused,
         W2=W2, CPW2=CPW2, BITS2=BITS2, R2=R2, KIND2=KIND2,
         CAP=CAP, NCLS_C=NCLS_C, NCLS_F=NCLS_F, ESC=ESC,
         p2_j0=p2_j0)
+    # per-document chain validation (document starts take the seed)
+    entries = jnp.where(doc_startv == 1, jnp.int32(0),
+                        jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                         phi_m[:-1]]))
+    okv = (swarm_m == entries) & (fullv == 1)
+    all_ok = jnp.all(okv | (fullv == 0)) & ~overflow
+    dcounts = jnp.zeros(NDOCS, jnp.int32).at[doc_id].add(
+        jnp.where(okv, fm_m, 0), mode="drop")
+    dfinals = phi_m[jnp.clip(last_full, 0, Cp - 1)]
+    summary = jnp.concatenate([
+        jnp.stack([all_ok.astype(jnp.int32), n_esc]),
+        dcounts, dfinals])
     merged = jnp.stack([phi_m, fm_m, swarm_m])
     packed = jnp.stack([phi1, fm1, swarm1])
     flags = jnp.stack([n_esc, overflow.astype(jnp.int32)])
-    return merged, packed, flags
+    return summary, merged, packed, flags
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -337,9 +337,11 @@ def test_batch_fused_overflow_exact(monkeypatch):
     real = pc._fused_batch
 
     def force_overflow(*a, **k):
-        merged, packed, flags = real(*a, **k)
-        return merged, packed, np.array([int(flags[0]), 1],
-                                        dtype=np.int32)
+        summary, merged, packed, flags = real(*a, **k)
+        summary = np.asarray(summary).copy()
+        summary[0] = 0                      # not all_ok
+        summary[1] = 1 << 30                # n_esc > any cap
+        return summary, merged, packed, flags
 
     monkeypatch.setattr(pc, "_fused_batch", force_overflow)
     sc, host, words = _kw_scanner(seed=5, nwords=10)
