@@ -350,3 +350,29 @@ def test_batch_fused_overflow_exact(monkeypatch):
     exp_s = [host.scan(d) for d in docs]
     assert sc.count_many(docs, chunk_len=512) == exp_c
     assert sc.scan_many(docs, chunk_len=512) == exp_s
+
+
+def test_batch_fused_device_summary_fast_path():
+    """The fused batch's common case must be served by the ON-DEVICE
+    per-document summary (all_ok + dcounts/dfinals exact vs the
+    native oracle over each doc's full-chunk region) — the planes
+    stay lazy (the ~50 MB/s relay readback was the measured batch
+    bottleneck; docs/PERFORMANCE.md round-5)."""
+    from sregex_tpu.ops import batch as B
+    sc, host, words = _kw_scanner(seed=9)
+    docs = _kw_docs(words, n_docs=8, plant_every=4096)
+    fct = sc._batch_fused_core(docs)
+    assert fct is not None
+    spec = sc._spec
+    d = B._fused_batch_dispatch(fct, spec, docs, 512, None, None)
+    assert d is not None and d["all_ok"], d and d["n_esc"]
+    K = d["K"]
+    ncls_f = spec.ncls
+    native = fct.native
+    for i, (c0, cd, nd) in enumerate(d["spans"]):
+        fcd = cd - 1 if cd * K > nd else cd
+        if fcd <= 0:
+            continue
+        k, st = native.count(bytes(docs[i][:fcd * K]), 0)
+        assert int(d["dcounts"][i]) == k, (i, int(d["dcounts"][i]), k)
+        assert int(d["dfinals"][i]) // ncls_f == st, i
